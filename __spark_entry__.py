@@ -3,36 +3,52 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sec_xbrl_finwarehouse_spark import oracles
+from sec_xbrl_finwarehouse_spark.plans import star_queries as sq
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full reference pipeline (ingest-shaped facts ->
+    statements_annual, SURVEY.md §3.2) on sf0.001."""
+    return sq.q_statements_annual(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SURVEY §2 reference-parity operators (FIXTURES.md §C mapping)
+        "window_dedup_latest": sq.q_window_dedup_latest,      # W1
+        "window_dedup_priority": sq.q_window_dedup_priority,  # W2
+        "pivot_wide": sq.q_pivot_wide,                        # A1
+        "coalesce_priority": sq.q_coalesce_priority,          # A2
+        "flow_stock_union": sq.q_flow_stock_union,            # U1 + P4
+        "annual_period_filter": sq.q_annual_period_filter,    # P5 + J1
+        "top_k_orders": sq.q_top_k_orders,                    # O1/O2
+        "natural_key_dedup": sq.q_natural_key_dedup,          # D1
+        "insert_if_absent": sq.q_insert_if_absent,            # S6
+        "upsert_latest_wins": sq.q_upsert_latest_wins,        # S5
+        # full pipeline (entry points A/B/C, SURVEY §3)
+        "statements_annual": sq.q_statements_annual,
+        "ratios_annual": sq.q_ratios_annual,
+        "company_profile": sq.q_company_profile,              # J3
+        "ratios_lookup": sq.q_ratios_lookup,                  # O1
+        "screener": sq.q_screener,                            # P6 + J2 + O2
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return oracles.build_reference_oracles()

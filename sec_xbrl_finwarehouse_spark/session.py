@@ -1,0 +1,66 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the
+settings below are chosen so the same logical plans scale to a real
+multi-executor cluster:
+
+* AQE on (runtime coalescing, skew-join splitting) -- at 100 TB the
+  static shuffle-partition count is always wrong; AQE re-plans it.
+* ``spark.sql.shuffle.partitions`` sized to cores locally; on a cluster
+  this would be ~2-3x total cores and AQE coalesces down.
+* UTC session timezone, pinned so timestamp semantics match the DuckDB
+  oracle (duckdb timestamps are naive-UTC).
+* ANSI off: the reference's semantics are Python/Postgres-guarded
+  (``safe_div`` returns NULL rather than erroring, casts are lenient);
+  every division in this engine is still explicitly zero/NULL-guarded
+  so behavior is identical with ANSI on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus and cpus.isdigit():
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "sec-xbrl-finwarehouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    nshuffle = shuffle_partitions or default_parallelism()
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        # dims (region/nation/customer/supplier/part) stay far below this
+        # at any SF that matters for the dim side; fact-fact joins never
+        # broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
