@@ -171,13 +171,13 @@ dedup AS (
   SELECT cik, fiscal_year, tag, value FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY cik, fiscal_year, tag
-      ORDER BY filed DESC NULLS LAST, filing_accession_no DESC NULLS LAST
+      ORDER BY filed DESC NULLS LAST, value DESC
     ) AS rn FROM flow) WHERE rn = 1
   UNION ALL
   SELECT cik, fiscal_year, tag, value FROM (
     SELECT *, ROW_NUMBER() OVER (
       PARTITION BY cik, fiscal_year, tag
-      ORDER BY filed DESC NULLS LAST, filing_accession_no DESC NULLS LAST
+      ORDER BY filed DESC NULLS LAST, value DESC
     ) AS rn FROM stock) WHERE rn = 1
 ),
 wide AS (

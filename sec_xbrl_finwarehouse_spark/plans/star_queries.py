@@ -21,7 +21,7 @@ from ..plans.api_queries import company_profile, company_ratios, screener
 from ..plans.ratios import compute_ratios
 from ..plans.star_facts import star_companies, synthetic_facts
 from ..plans.statements import build_statements
-from ..sources.tables import table_path
+from ..sources.tables import ensure_min_partitions, table_path
 
 # ---- shared expression snippets (Spark SQL == DuckDB) ---------------------
 
@@ -175,7 +175,7 @@ def q_statements_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: entry point B end-to-end (SURVEY.md §3.2) -- synthetic
     facts -> flow/stock filters -> W1 dedup -> union -> pivot -> coalesce
     + sign fix + fcf."""
-    facts = synthetic_facts(_read(spark, sf_dir, "lineitem"))
+    facts = synthetic_facts(ensure_min_partitions(_read(spark, sf_dir, "lineitem")))
     return build_statements(facts, version="v3")
 
 

@@ -20,6 +20,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition only when the scan produced fewer splits than cores.
+
+    The local test parquet is a single row group, so Spark gets ONE input
+    partition and every downstream stage serializes onto one core. On a
+    real cluster (many files / row groups) the scan is already parallel
+    and this is a no-op -- the gate on the observed partition count keeps
+    the extra exchange out of plans that don't need it.
+    """
+    from ..session import default_parallelism
+
+    n = n or default_parallelism()
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load_star_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES
 ) -> dict[str, DataFrame]:
