@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sec_xbrl_finwarehouse_spark import oracles
+from sec_xbrl_finwarehouse_spark.plans import events_queries
 from sec_xbrl_finwarehouse_spark.plans import star_queries as sq
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -47,8 +48,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "company_profile": sq.q_company_profile,              # J3
         "ratios_lookup": sq.q_ratios_lookup,                  # O1
         "screener": sq.q_screener,                            # P6 + J2 + O2
+        # beyond-reference: event-time analytics (SURVEY §2.9 / §7.1-7)
+        **events_queries.QUERIES,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return oracles.build_reference_oracles()
+    return {
+        **oracles.build_reference_oracles(),
+        **events_queries.ORACLES,
+    }

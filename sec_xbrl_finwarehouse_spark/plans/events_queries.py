@@ -1,0 +1,315 @@
+"""Time-series / event analytics over the driver ``events`` table.
+
+Beyond-reference operator pack (SURVEY.md §2.9, §7.1 item 7): the
+reference is pure batch warehouse with no event-time semantics; these are
+the operators a large-scale event pipeline needs, expressed Spark-first
+(single-pass windows, hash aggregation) and each paired with a DuckDB
+oracle co-located in this module so the two spellings cannot drift.
+
+Scale notes (100 TB): every query here shuffles at most once on its
+natural key (``user_id`` or the time bucket); the as-of join is the
+union+window single-pass form -- NOT an inequality join, which Spark
+plans as broadcast-nested-loop and explodes at scale. Sessionization is
+two windows over one ``user_id`` shuffle (sort reused by both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import table_path
+
+SESSION_GAP_SEC = 1800
+TOPK_PER_USER = 3
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a microsecond timestamp.
+
+    The driver parquet stores ``ts`` as TIMESTAMP(NANOS), which the Spark
+    vectorized reader rejects outright; ``nanosAsLong`` reads the raw
+    int64 and the ``div 1000`` truncation to micros matches exactly how
+    DuckDB coerces the same column (its timestamps are micros).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(e.dtypes).get("ts") == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
+# ---- tumbling event-time window -------------------------------------------
+
+def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type: count / sum / avg.
+
+    Uses the real ``F.window`` operator (same plan Structured Streaming
+    uses with a watermark; see streaming/events_stream.py) -- one hash
+    aggregation keyed (window, event_type), map-side partial combine.
+    """
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type", "n_events", "total_value", "avg_value",
+        )
+    )
+
+
+EVENT_WINDOW_AGG_SQL = """
+SELECT date_trunc('hour', ts) AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       sum(value) AS total_value,
+       avg(value) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---- sessionization (gaps-and-islands) ------------------------------------
+
+def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-min inactivity gap.
+
+    Batch spelling of ``session_window`` (streaming twin in
+    streaming/events_stream.py): lag -> new-session flag -> running sum
+    = session id, then aggregate. Both windows and the final groupBy
+    share the one ``user_id`` hash-partitioning; the per-partition sort
+    is reused by both window functions (one shuffle total).
+    """
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = (
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_SEC * 1_000_000)
+    ).cast("long")
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_seq", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000.0)
+         ).alias("duration_sec"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+EVENT_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > {SESSION_GAP_SEC} * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessed AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       date_diff('microsecond', min(ts), max(ts)) / 1000000.0 AS duration_sec,
+       sum(value) AS total_value
+FROM sessed
+GROUP BY 1, 2
+"""
+
+
+# ---- as-of join (click -> latest prior view) ------------------------------
+
+def q_event_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the latest view at-or-before it,
+    per user.
+
+    Spark-first single-pass form: union both sides, one window per user
+    carrying the last non-null view forward (``last(..., ignorenulls)``
+    over rows unbounded-preceding..current). An inequality-join spelling
+    would be a broadcast-nested-loop -- quadratic per user at scale; this
+    is one shuffle + one sort. Views are first deduped to one per
+    (user, ts) so equal-ts ties match the oracle's ASOF JOIN exactly;
+    views sort before clicks at equal ts (ASOF is ``>=``).
+    """
+    e = _events(spark, sf_dir)
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .select("user_id", "ts", "view_event_id", F.col("ts").alias("view_ts"),
+                F.lit(None).cast("long").alias("click_event_id"), F.lit(0).alias("kind"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", "ts",
+                F.lit(None).cast("long").alias("view_event_id"),
+                F.lit(None).cast("timestamp").alias("view_ts"),
+                F.col("event_id").alias("click_event_id"), F.lit(1).alias("kind"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "click_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        views.unionByName(clicks)
+        .withColumn("matched_view_id", F.last("view_event_id", ignorenulls=True).over(w))
+        .withColumn("matched_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    )
+    return (
+        carried.filter((F.col("kind") == 1) & F.col("matched_view_id").isNotNull())
+        .select("click_event_id", "user_id", F.col("ts").alias("click_ts"),
+                F.col("matched_view_id").alias("view_event_id"),
+                F.col("matched_view_ts").alias("view_ts"))
+    )
+
+
+EVENT_ASOF_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+c AS (
+  SELECT event_id AS click_event_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.click_event_id, c.user_id, c.click_ts, v.view_event_id, v.view_ts
+FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
+"""
+
+
+# ---- rollup / grouping sets ------------------------------------------------
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, day): per-day, per-type subtotals and grand
+    total in one pass -- Spark expands grouping sets in a single
+    aggregation (partial combine covers all levels)."""
+    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return (
+        e.rollup("event_type", "day")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+
+
+EVENT_ROLLUP_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       count(*) AS n_events, sum(value) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+# ---- lag-based growth rates ------------------------------------------------
+
+def q_event_daily_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily totals + day-over-day growth via ``lag`` (the
+    'growth rates' extension hook, reference README.md:167). NULL-safe:
+    growth NULL on the first day or when the prior total is 0."""
+    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = e.groupBy("event_type", "day").agg(F.sum("value").alias("total_value"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total_value").over(w)
+    return daily.withColumn(
+        "growth",
+        F.when(prev.isNull() | (prev == 0), F.lit(None))
+         .otherwise((F.col("total_value") - prev) / prev),
+    )
+
+
+EVENT_DAILY_GROWTH_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, total_value,
+       CASE WHEN lag(total_value) OVER w IS NULL OR lag(total_value) OVER w = 0
+            THEN NULL
+            ELSE (total_value - lag(total_value) OVER w) / lag(total_value) OVER w
+       END AS growth
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+# ---- top-k per group -------------------------------------------------------
+
+def q_event_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user (rank-within-group). row_number
+    with a unique tiebreak -> deterministic; Spark runs it after one
+    ``user_id`` shuffle with a partial top-k sort per partition."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc_nulls_last(), F.col("event_id").asc())
+    return (
+        e.select("user_id", "event_id", "event_type", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_PER_USER)
+    )
+
+
+EVENT_TOPK_PER_USER_SQL = f"""
+SELECT user_id, event_id, event_type, value, rk
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC NULLS LAST, event_id ASC) AS rk
+  FROM events
+)
+WHERE rk <= {TOPK_PER_USER}
+"""
+
+
+# ---- distinct users (exact; approx is the 100TB path) ----------------------
+
+def q_event_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event_type. At 100 TB the same query runs
+    as ``approx_count_distinct(user_id, 0.01)`` (HLL++, no second shuffle,
+    fixed-size sketch mergeable map-side) -- unit-tested within 5% in
+    tests/test_events.py; the exact form is the oracle-checked one."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+EVENT_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "event_window_agg": q_event_window_agg,
+    "event_sessionize": q_event_sessionize,
+    "event_asof_join": q_event_asof_join,
+    "event_rollup": q_event_rollup,
+    "event_daily_growth": q_event_daily_growth,
+    "event_topk_per_user": q_event_topk_per_user,
+    "event_distinct_users": q_event_distinct_users,
+}
+
+ORACLES = {
+    "event_window_agg": EVENT_WINDOW_AGG_SQL,
+    "event_sessionize": EVENT_SESSIONIZE_SQL,
+    "event_asof_join": EVENT_ASOF_JOIN_SQL,
+    "event_rollup": EVENT_ROLLUP_SQL,
+    "event_daily_growth": EVENT_DAILY_GROWTH_SQL,
+    "event_topk_per_user": EVENT_TOPK_PER_USER_SQL,
+    "event_distinct_users": EVENT_DISTINCT_USERS_SQL,
+}
