@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sec_xbrl_finwarehouse_spark import oracles
-from sec_xbrl_finwarehouse_spark.plans import events_queries
+from sec_xbrl_finwarehouse_spark.plans import events_queries, text_queries
 from sec_xbrl_finwarehouse_spark.plans import star_queries as sq
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "screener": sq.q_screener,                            # P6 + J2 + O2
         # beyond-reference: event-time analytics (SURVEY §2.9 / §7.1-7)
         **events_queries.QUERIES,
+        # beyond-reference: text analysis + dedup (training-data pipeline)
+        **text_queries.QUERIES,
     }
 
 
@@ -57,4 +59,5 @@ def oracle_sql() -> dict[str, str]:
     return {
         **oracles.build_reference_oracles(),
         **events_queries.ORACLES,
+        **text_queries.ORACLES,
     }

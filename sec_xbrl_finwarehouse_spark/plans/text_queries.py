@@ -1,0 +1,471 @@
+"""Text-analysis + deduplication operators over the ``documents`` table.
+
+Beyond-reference training-data-pipeline pack: exact dedup, n-gram
+Jaccard near-dup, MinHash+LSH near-dup, SimHash fingerprints, token
+stats, quality scoring, language ID, and content fingerprints. Every
+SQL-expressible query has a DuckDB oracle co-located here.
+
+Scale notes (100 TB corpus):
+
+* All tokenization/shingling is built-in expression API (split /
+  transform / filter) -- whole-stage codegen, no Python in the hot path.
+* Exact dedup is one hash aggregation on the normalized text (at real
+  scale: group by ``xxhash64(text)`` first, then within-group confirm,
+  so the shuffle key is 8 bytes, not the document).
+* The exhaustive Jaccard join is the *oracle-checkable* spelling
+  (explode shingles -> equi-join on shingle -> count); its cost is
+  driven by document-frequency of the hottest shingle. The scale path
+  is ``doc_minhash_lsh_dedup``: fixed-size signatures (one shuffle),
+  banded buckets, then exact verification ONLY on candidates -- the
+  standard sub-quadratic near-dup pipeline.
+* MinHash params (128 hashes, 64 bands x 2 rows): P[miss | J=0.5]
+  = (1 - 0.25)^64 ~= 1e-8, so the LSH output provably matches the
+  exhaustive oracle on any data where near-dups sit at J >= 0.5, while
+  background pairs (J ~= 0.02 here) are pruned before verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import table_path
+
+JACCARD_THRESHOLD = 0.5
+SHINGLE_K = 3
+MINHASH_HASHES = 128
+MINHASH_BAND_ROWS = 2
+
+# marker stopwords per language for the n-gram/stopword language-ID
+# heuristic; CJK is detected by codepoint range instead of markers.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "is", "and"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "es": ["el", "los", "las", "y", "una"],
+}
+EN_STOPWORDS = ["the", "a", "an", "of", "is", "and", "to", "in"]
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, "documents"))
+
+
+def _tokens(col):
+    """Whitespace tokens of trimmed, lowercased text (empties filtered)."""
+    return F.filter(F.split(F.lower(F.trim(col)), " +"), lambda t: t != "")
+
+
+def _shingles(tokens_col, k: int = SHINGLE_K):
+    """Distinct k-word shingles; empty array when the doc is shorter
+    than k tokens."""
+    n = F.size(tokens_col)
+    return F.when(n < k, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tokens_col, (i + j + 1).cast("int"))
+                           for j in range(k)]
+                ),
+            )
+        )
+    )
+
+
+# ---- exact dedup -----------------------------------------------------------
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one surviving doc_id (the min) per
+    distinct normalized document + how many copies it had. Single hash
+    aggregation; at 100 TB the group key becomes xxhash64(norm) so the
+    shuffle moves 8-byte keys, not documents."""
+    d = _documents(spark, sf_dir)
+    return (
+        d.withColumn("norm", F.lower(F.trim("text")))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+DOC_EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY lower(trim(text))
+"""
+
+
+# ---- token stats -----------------------------------------------------------
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens, distinct tokens,
+    chars, mean token length. Pure projection -- no shuffle at all."""
+    d = _documents(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.trim("text")).alias("n_chars_actual"),
+        (F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+         / F.greatest(F.size(toks), F.lit(1))).alias("avg_token_len"),
+    )
+
+
+DOC_TOKEN_STATS_SQL = """
+WITH tok AS (
+  SELECT doc_id, trim(text) AS t,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(list_distinct(w)) AS n_distinct_tokens,
+       length(t) AS n_chars_actual,
+       list_sum([length(x) for x in w]) / greatest(len(w), 1) AS avg_token_len
+FROM tok
+"""
+
+
+# ---- quality scoring -------------------------------------------------------
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality signals: length, stopword ratio, non-alpha char
+    ratio, repetition (1 - distinct/total tokens), plus a keep/drop flag
+    in the style of Gopher/C4 quality filters. All built-in expressions;
+    the filter composes with the scan (predicate pushdown on n_chars)."""
+    d = _documents(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+        / F.greatest(n_tok, F.lit(1))
+    ).cast("double")
+    nonalpha = (
+        F.length(F.regexp_replace(F.lower(F.trim("text")), "[a-z0-9 ]", ""))
+        / F.greatest(F.length(F.trim("text")), F.lit(1))
+    ).cast("double")
+    rep = (F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        nonalpha.alias("nonalpha_ratio"),
+        rep.alias("repetition_ratio"),
+        ((n_tok >= 10) & (n_tok <= 100000) & (stop_ratio > 0.0) & (nonalpha < 0.3))
+        .alias("keep"),
+    )
+
+
+DOC_QUALITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, trim(text) AS t,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       (len(list_filter(w, x -> list_contains({EN_STOPWORDS!r}, x)))
+        / greatest(len(w), 1))::double AS stopword_ratio,
+       (length(regexp_replace(lower(t), '[a-z0-9 ]', '', 'g'))
+        / greatest(length(t), 1))::double AS nonalpha_ratio,
+       1.0 - len(list_distinct(w)) / greatest(len(w), 1) AS repetition_ratio,
+       (len(w) >= 10 AND len(w) <= 100000
+        AND (len(list_filter(w, x -> list_contains({EN_STOPWORDS!r}, x)))
+             / greatest(len(w), 1))::double > 0.0
+        AND (length(regexp_replace(lower(t), '[a-z0-9 ]', '', 'g'))
+             / greatest(length(t), 1))::double < 0.3) AS keep
+FROM tok
+"""
+
+
+# ---- language ID -----------------------------------------------------------
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID: vote per language = count of that
+    language's marker tokens; CJK text detected by codepoint range.
+    Argmax with fixed tie order (en > fr > de > es). Pure projection."""
+    d = _documents(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    def _vote(markers):
+        # NB: the lambda must be unary -- F.filter dispatches on arity,
+        # and a second parameter would receive the element index.
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    votes = {lang: _vote(markers) for lang, markers in LANG_MARKERS.items()}
+    cjk = F.length(F.regexp_replace("text", "[^\\u4e00-\\u9fff]", ""))
+    best = F.greatest(*votes.values())
+    pred = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(votes["en"] == best, F.lit("en"))
+        .when(votes["fr"] == best, F.lit("fr"))
+        .when(votes["de"] == best, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return d.select(
+        "doc_id",
+        *[v.alias(f"votes_{k}") for k, v in votes.items()],
+        pred.alias("pred_lang"),
+    )
+
+
+def _lang_vote_sql(lang: str) -> str:
+    return (f"len(list_filter(w, x -> list_contains({LANG_MARKERS[lang]!r}, x)))")
+
+
+DOC_LANG_ID_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, text,
+         {_lang_vote_sql('en')} AS votes_en,
+         {_lang_vote_sql('fr')} AS votes_fr,
+         {_lang_vote_sql('de')} AS votes_de,
+         {_lang_vote_sql('es')} AS votes_es
+  FROM tok
+)
+SELECT doc_id, votes_en, votes_fr, votes_de, votes_es,
+       CASE
+         WHEN length(regexp_replace(text, '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) > 0 THEN 'zh'
+         WHEN greatest(votes_en, votes_fr, votes_de, votes_es) = 0 THEN 'und'
+         WHEN votes_en = greatest(votes_en, votes_fr, votes_de, votes_es) THEN 'en'
+         WHEN votes_fr = greatest(votes_en, votes_fr, votes_de, votes_es) THEN 'fr'
+         WHEN votes_de = greatest(votes_en, votes_fr, votes_de, votes_es) THEN 'de'
+         ELSE 'es'
+       END AS pred_lang
+FROM votes
+"""
+
+
+# ---- fingerprinting --------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact-dup key) and
+    the min/max md5 over k-shingles (an order-invariant content sketch,
+    i.e. a 1-hash MinHash both engines can compute bit-identically)."""
+    d = _documents(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    sh = _shingles(toks)
+    sh_md5 = F.transform(sh, lambda s: F.md5(s))
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("content_md5"),
+        F.array_min(sh_md5).alias("min_shingle_md5"),
+        F.array_max(sh_md5).alias("max_shingle_md5"),
+        F.size(sh).alias("n_shingles"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, trim(text) AS t,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, t,
+         CASE WHEN len(w) < {SHINGLE_K} THEN []::varchar[]
+              ELSE list_distinct([array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')
+                                  for i in range(1, len(w) - {SHINGLE_K - 2})])
+         END AS shingles
+  FROM tok
+)
+SELECT doc_id,
+       md5(lower(t)) AS content_md5,
+       list_min([md5(s) for s in shingles]) AS min_shingle_md5,
+       list_max([md5(s) for s in shingles]) AS max_shingle_md5,
+       len(shingles) AS n_shingles
+FROM sh
+"""
+
+
+# ---- n-gram Jaccard near-dup (exhaustive, oracle-checkable) ----------------
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _documents(spark, sf_dir)
+    return d.select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with k-shingle Jaccard >= 0.5, via explode -> equi-join
+    on shingle -> per-pair intersection count. No cross join: candidate
+    generation cost scales with shingle document frequency, not n^2.
+    At 100 TB, cap hot shingles by document frequency first (drops only
+    pairs whose entire overlap is boilerplate) or use the MinHash
+    variant below."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1")
+                   .withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("n_sh", "n2"), "d2")
+        .withColumn(
+            "jaccard",
+            (F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")))
+            .cast("double"),
+        )
+    )
+    return (
+        j.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+DOC_JACCARD_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {SHINGLE_K} THEN []::varchar[]
+              ELSE list_distinct([array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')
+                                  for i in range(1, len(w) - {SHINGLE_K - 2})])
+         END AS shingles
+  FROM tok
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       (len(list_intersect(a.shingles, b.shingles))::double
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE (len(list_intersect(a.shingles, b.shingles))::double
+       / (len(a.shingles) + len(b.shingles)
+          - len(list_intersect(a.shingles, b.shingles)))) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---- MinHash + LSH near-dup (the scale path; same output contract) ---------
+
+def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: signatures -> banded buckets -> candidate
+    pairs -> EXACT Jaccard verification on candidates only. Output
+    contract is identical to q_doc_jaccard_pairs (pairs with J >= 0.5),
+    which is what the oracle checks; with 64 bands x 2 rows the miss
+    probability at J = 0.5 is (1 - 0.25)^64 ~= 1e-8.
+
+    Plan shape: one explode+agg for signatures (128 partial mins, one
+    shuffle on doc_id), one explode to band keys + self-join on
+    (band, band_hash), then a broadcast-friendly verify join back to the
+    shingle arrays. Everything is xxhash64/built-ins -- no Python."""
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = ex.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+          for i in range(MINHASH_HASHES)]
+    )
+    n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col(f"h{b * MINHASH_BAND_ROWS + r}")
+                                 for r in range(MINHASH_BAND_ROWS)]).alias("bh"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    verified = (
+        cand.join(s1, "d1").join(s2, "d2")
+        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            (F.col("n_inter")
+             / (F.size("sh1") + F.size("sh2") - F.col("n_inter"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return verified.select("d1", "d2", "jaccard")
+
+
+# same contract as the exhaustive query -> same oracle
+DOC_MINHASH_LSH_SQL = DOC_JACCARD_PAIRS_SQL
+
+
+# ---- SimHash (fingerprint; hash-dependent, no SQL oracle) ------------------
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over tokens: per bit, sum +1/-1 weighted by token
+    hash bit, sign -> bit. Computed entirely with built-ins: explode
+    tokens, one groupBy(doc_id) with 64 conditional sums (map-side
+    partial agg), reassemble the fingerprint. Hamming-ball candidate
+    search then works by banding the 64 bits into 4x16-bit keys
+    (tested in tests/test_text.py); xxhash64 is not available in DuckDB
+    so this query has a rows-only driver check, while its *semantics*
+    (near-dup pairs land within small hamming distance) are unit-tested."""
+    d = _documents(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+             .cast("long") * F.lit(1 << i).cast("long"))
+            for i in range(63)  # bit 63 left clear: keep the long positive
+        ).alias("simhash"),
+    )
+    return fp
+
+
+QUERIES = {
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_minhash_lsh_dedup": q_doc_minhash_lsh_dedup,
+    "doc_simhash": q_doc_simhash,
+}
+
+ORACLES = {
+    "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
+    "doc_token_stats": DOC_TOKEN_STATS_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    "doc_lang_id": DOC_LANG_ID_SQL,
+    "doc_fingerprint": DOC_FINGERPRINT_SQL,
+    "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
+    "doc_minhash_lsh_dedup": DOC_MINHASH_LSH_SQL,
+    # doc_simhash: intentionally no oracle (xxhash64 not in DuckDB);
+    # rows-only driver check + unit tests in tests/test_text.py.
+}

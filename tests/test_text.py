@@ -1,0 +1,137 @@
+"""Unit tests for the text/dedup pack (plans/text_queries.py): shingle
+edge cases, SimHash locality (near-dup pairs land at small hamming
+distance; unrelated docs far), and language-ID marker/CJK routing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sec_xbrl_finwarehouse_spark.plans.text_queries import (
+    SHINGLE_K,
+    _shingles,
+    _tokens,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_shingles_short_doc_empty(spark):
+    # fewer than k tokens -> empty shingle array, not null / error
+    df = _docs(spark, ["one two", "a b c", ""])
+    out = df.select(
+        "doc_id", F.size(_shingles(_tokens(F.col("text")))).alias("n")
+    ).collect()
+    got = {r["doc_id"]: r["n"] for r in out}
+    assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_shingles_are_distinct_and_ordered_windows(spark):
+    df = _docs(spark, ["x y x y x y"])  # windows: "x y x","y x y" repeated
+    out = df.select(_shingles(_tokens(F.col("text"))).alias("s")).first()["s"]
+    assert sorted(out) == ["x y x", "y x y"]
+    assert SHINGLE_K == 3
+
+
+def _simhash_of(spark, texts):
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    df = _docs(spark, texts)
+    toks = df.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    toks = toks.withColumn("th", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    fp = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+             .cast("long") * F.lit(1 << i).cast("long"))
+            for i in range(63)
+        ).alias("simhash"),
+    )
+    return {r["doc_id"]: r["simhash"] for r in fp.collect()}
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_simhash_locality(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(58)) + " other words"
+    far = " ".join(f"zzz{i}" for i in range(60))
+    fp = _simhash_of(spark, [base, near, far])
+    d_near = _hamming(fp[0], fp[1])
+    d_far = _hamming(fp[0], fp[2])
+    assert d_near < d_far
+    assert d_near <= 12  # ~97% token overlap -> small hamming ball
+    assert d_far >= 16   # disjoint vocab -> ~32 expected
+
+
+def test_lang_id_markers_and_cjk(spark):
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    df = _docs(spark, [
+        "the cat is on a mat of wool and string",
+        "le chat et la souris et les fromages des alpes",
+        "der hund und die katze und das nicht war",
+        "el gato y los perros y las casas una vez",
+        "spark 中文文档 data",
+        "zzz qqq www",
+    ])
+    df.createOrReplaceTempView("_lang_docs")
+    toks = _tokens(F.col("text"))
+
+    def vote(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+    votes = {k: vote(v) for k, v in tq.LANG_MARKERS.items()}
+    cjk = F.length(F.regexp_replace("text", "[^\\u4e00-\\u9fff]", ""))
+    best = F.greatest(*votes.values())
+    pred = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(votes["en"] == best, F.lit("en"))
+        .when(votes["fr"] == best, F.lit("fr"))
+        .when(votes["de"] == best, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", pred.alias("p")).collect()}
+    assert got == {0: "en", 1: "fr", 2: "de", 3: "es", 4: "zh", 5: "und"}
+
+
+def test_minhash_lsh_recall_on_planted_neardups(spark, tmp_path):
+    """Planted J >= 0.5 pairs must be found by the LSH path (miss prob
+    ~1e-8 at the configured bands), and nothing below threshold."""
+    import shutil
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    base = [f"w{i}" for i in range(40)]
+    texts = {
+        0: " ".join(base),
+        1: " ".join(base[:36] + ["x1", "x2", "x3", "x4"]),  # high overlap
+        2: " ".join(f"q{i}" for i in range(40)),            # unrelated
+    }
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(spark, [texts[i] for i in sorted(texts)]).coalesce(1).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = tq.q_doc_minhash_lsh_dedup(spark, str(sf)).collect()
+    pairs = {(r["d1"], r["d2"]) for r in out}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+    exact = tq.q_doc_jaccard_pairs(spark, str(sf)).collect()
+    assert {(r["d1"], r["d2"]) for r in exact} == pairs
+    shutil.rmtree(sf, ignore_errors=True)
