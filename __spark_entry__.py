@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sec_xbrl_finwarehouse_spark import oracles
-from sec_xbrl_finwarehouse_spark.plans import events_queries, text_queries
+from sec_xbrl_finwarehouse_spark.plans import (
+    embedding_queries,
+    events_queries,
+    text_queries,
+)
 from sec_xbrl_finwarehouse_spark.plans import star_queries as sq
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -52,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **events_queries.QUERIES,
         # beyond-reference: text analysis + dedup (training-data pipeline)
         **text_queries.QUERIES,
+        # beyond-reference: embedding similarity search
+        **embedding_queries.QUERIES,
     }
 
 
@@ -60,4 +66,5 @@ def oracle_sql() -> dict[str, str]:
         **oracles.build_reference_oracles(),
         **events_queries.ORACLES,
         **text_queries.ORACLES,
+        **embedding_queries.ORACLES,
     }

@@ -1,0 +1,297 @@
+"""Similarity search + vector analytics over the ``embeddings`` table
+(``vec_id``, ``embedding array<float>``, ``label``).
+
+Beyond-reference training-data-pipeline pack:
+
+* ``emb_ann_topk`` -- brute-force cosine top-k (the exactness baseline).
+* ``emb_cosine_neardup`` -- all pairs above a cosine threshold
+  (embedding near-dup dedup step).
+* ``emb_nearest_centroid`` -- assign each vector to its nearest
+  label-centroid (the k-means / IVF coarse-quantizer assignment step).
+* ``emb_lsh_ann_topk`` -- random-hyperplane LSH bucketed ANN, the
+  sub-quadratic scale path (vectorized Pandas UDF for the projections,
+  exact re-rank on candidates only). Probabilistic -> no SQL oracle;
+  recall is unit-tested on planted near-neighbors.
+
+Float policy: all arithmetic is promoted to double on both engines and
+every emitted similarity/distance is ``round(x, 6)``; ranking uses the
+ROUNDED value with ``vec_id`` tie-break, so Spark's and DuckDB's
+different summation orders (~1e-14 relative drift) cannot flip ranks
+or hash comparison.
+
+Scale notes (100 TB): the brute-force forms broadcast the small side
+(queries / centroids) and never shuffle the corpus; per-query top-k is
+a window over ``query_id`` -- at thousands of concurrent queries,
+switch the window to the LSH path or per-partition heaps. Cosine is
+``zip_with`` + ``aggregate`` (JVM higher-order functions, no Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import table_path
+
+N_QUERIES = 10        # vec_id < N_QUERIES are the query set
+TOPK = 5
+NEARDUP_COS = 0.4
+LSH_TABLES = 8
+LSH_BITS = 8
+LSH_SEED = 42
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    return e.withColumn("emb", F.col("embedding").cast("array<double>"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# DuckDB spelling of the same double-promoted cosine.
+_DUCK_COS = (
+    "round(list_sum([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)])"
+    " / (sqrt(list_sum([x * x for x in {a}]))"
+    " * sqrt(list_sum([x * x for x in {b}]))), 6)"
+)
+
+
+# ---- brute-force cosine top-k ---------------------------------------------
+
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors in the corpus (vec_id >= 10) for each of
+    the 10 query vectors (vec_id < 10). Queries are broadcast; the
+    corpus is scanned once with no shuffle; per-query ranking is a
+    window keyed by query_id."""
+    e = _embeddings(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "emb"
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine", F.round(_cosine(F.col("qemb"), F.col("emb")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+EMB_ANN_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, emb FROM e WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_DUCK_COS.format(a='q.qemb', b='c.emb')} AS cosine
+  FROM c CROSS JOIN q
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
+# ---- embedding-cosine near-dup pairs --------------------------------------
+
+def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All vector pairs with cosine >= 0.4 (near-dup candidates).
+    Brute-force O(n^2) -- the oracle-checkable baseline; the LSH query
+    below is the sub-quadratic scale path. The join condition keeps
+    only v1 < v2, and one side is broadcast when it fits."""
+    e = _embeddings(spark, sf_dir).select("vec_id", "emb")
+    a = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cosine", F.round(_cosine(F.col("e1"), F.col("e2")), 6))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select("v1", "v2", "cosine")
+    )
+
+
+EMB_COSINE_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       {_DUCK_COS.format(a='a.emb', b='b.emb')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_DUCK_COS.format(a='a.emb', b='b.emb')} >= {NEARDUP_COS}
+"""
+
+
+# ---- nearest-centroid assignment (k-means / IVF step) ----------------------
+
+def q_emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (posexplode -> avg per dimension -> rebuild
+    array), then assign every vector to the nearest centroid by squared
+    euclidean distance. This is one k-means iteration / the IVF coarse
+    quantizer: centroid build is two shuffles on (label, pos) and
+    label; assignment is a broadcast cross join (centroid count is tiny
+    by construction) + a per-vector argmin window."""
+    e = _embeddings(spark, sf_dir)
+    dims = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent = (
+        dims.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.select("vec_id", "emb").crossJoin(F.broadcast(cent)).withColumn(
+        "sqdist", F.round(sqdist, 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sqdist").asc(), F.col("c_label").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("c_label").alias("assigned_label"), "sqdist")
+    )
+
+
+EMB_NEAREST_CENTROID_SQL = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+dim AS (
+  SELECT label, pos, avg(v) AS c
+  FROM (SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+  FROM dim GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, cent.c_label,
+         round(list_sum([(emb[i] - centroid[i]) * (emb[i] - centroid[i])
+                         for i in range(1, len(emb) + 1)]), 6) AS sqdist
+  FROM e CROSS JOIN cent
+)
+SELECT vec_id, c_label AS assigned_label, sqdist
+FROM (
+  SELECT vec_id, c_label, sqdist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sqdist ASC, c_label ASC) AS rk
+  FROM scored
+)
+WHERE rk = 1
+"""
+
+
+# ---- LSH bucketed ANN (scale path; no SQL oracle) --------------------------
+
+def _lsh_buckets_udf():
+    """Pandas UDF: embedding -> array of LSH_TABLES bucket ids.
+
+    Random-hyperplane signatures: LSH_TABLES tables x LSH_BITS planes,
+    hyperplanes drawn once per executor from a seeded RNG (deterministic
+    across the cluster). Arrow-batched matmul -- one numpy GEMM per
+    batch, no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def buckets(emb: pd.Series) -> pd.Series:
+        rng = np.random.RandomState(LSH_SEED)
+        dim = len(emb.iloc[0]) if len(emb) else 0
+        planes = rng.standard_normal((LSH_TABLES * LSH_BITS, dim))
+        m = np.stack(emb.to_numpy())                     # (batch, dim)
+        bits = (m @ planes.T) > 0                        # (batch, T*B)
+        weights = (1 << np.arange(LSH_BITS)).astype("int64")
+        out = []
+        for row in bits:
+            ids = row.reshape(LSH_TABLES, LSH_BITS) @ weights
+            out.append(ids.tolist())
+        return pd.Series(out)
+
+    return buckets
+
+
+def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH: bucket both sides per table,
+    equi-join on (table, bucket) for candidates, exact cosine re-rank of
+    candidates only. Sub-quadratic: cost scales with bucket collision
+    counts, not corpus^2. Probabilistic recall (8 tables x 8 bits:
+    P[miss] < 1e-4 for near-duplicate vectors) -- driver check is
+    rows-only; recall is unit-tested in tests/test_embeddings.py."""
+    e = _embeddings(spark, sf_dir)
+    buckets = _lsh_buckets_udf()
+    with_b = e.select("vec_id", "emb", buckets("emb").alias("bks"))
+    exploded = with_b.select(
+        "vec_id", "emb", F.posexplode("bks").alias("tbl", "bucket")
+    )
+    q = (
+        exploded.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+                "tbl", "bucket")
+    )
+    c = (
+        exploded.filter(F.col("vec_id") >= N_QUERIES)
+        .select(F.col("vec_id").alias("neighbor_id"), "emb", "tbl", "bucket")
+    )
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .select("query_id", "qemb", "neighbor_id", "emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(_cosine(F.col("qemb"), F.col("emb")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+QUERIES = {
+    "emb_ann_topk": q_emb_ann_topk,
+    "emb_cosine_neardup": q_emb_cosine_neardup,
+    "emb_nearest_centroid": q_emb_nearest_centroid,
+    "emb_lsh_ann_topk": q_emb_lsh_ann_topk,
+}
+
+ORACLES = {
+    "emb_ann_topk": EMB_ANN_TOPK_SQL,
+    "emb_cosine_neardup": EMB_COSINE_NEARDUP_SQL,
+    "emb_nearest_centroid": EMB_NEAREST_CENTROID_SQL,
+    # emb_lsh_ann_topk: probabilistic candidate set -> rows-only check;
+    # recall unit-tested in tests/test_embeddings.py.
+}

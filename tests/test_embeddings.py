@@ -1,0 +1,90 @@
+"""Unit tests for the embedding similarity pack: cosine matches numpy,
+LSH ANN recalls planted near-neighbors, centroid assignment is sane."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sec_xbrl_finwarehouse_spark.plans import embedding_queries as eq
+
+
+def _emb_df(spark, vecs, labels=None):
+    rows = [
+        (i, [float(x) for x in v], int(labels[i]) if labels else 0)
+        for i, v in enumerate(vecs)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _write_sf(spark, tmp_path, vecs, labels=None):
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    _emb_df(spark, vecs, labels).coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "embeddings.parquet")
+    )
+    return str(sf)
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    a, b = rng.standard_normal(16), rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [([float(x) for x in a], [float(y) for y in b])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(eq._cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_lsh_ann_recalls_planted_neighbors(spark, tmp_path):
+    """Corpus vectors that are tiny perturbations of each query must be
+    the rank-1 LSH result (cos ~ 0.999 -> collision P[miss] < 1e-4)."""
+    rng = np.random.RandomState(0)
+    dim = 64
+    queries = rng.standard_normal((eq.N_QUERIES, dim))
+    # corpus: for each query one planted near-dup, plus random noise
+    planted = queries + 0.02 * rng.standard_normal((eq.N_QUERIES, dim))
+    noise = rng.standard_normal((100, dim))
+    vecs = list(queries) + list(planted) + list(noise)
+    sf = _write_sf(spark, tmp_path, vecs)
+
+    out = eq.q_emb_lsh_ann_topk(spark, sf).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    # planted near-dup of query q has vec_id = N_QUERIES + q
+    hits = sum(1 for q, n in top1.items() if n == eq.N_QUERIES + q)
+    assert hits == eq.N_QUERIES
+
+
+def test_lsh_matches_bruteforce_top1_on_planted(spark, tmp_path):
+    rng = np.random.RandomState(3)
+    dim = 32
+    queries = rng.standard_normal((eq.N_QUERIES, dim))
+    planted = queries + 0.05 * rng.standard_normal((eq.N_QUERIES, dim))
+    vecs = list(queries) + list(planted) + list(rng.standard_normal((50, dim)))
+    sf = _write_sf(spark, tmp_path, vecs)
+    brute = {r["query_id"]: r["neighbor_id"]
+             for r in eq.q_emb_ann_topk(spark, sf).collect() if r["rank"] == 1}
+    lsh = {r["query_id"]: r["neighbor_id"]
+           for r in eq.q_emb_lsh_ann_topk(spark, sf).collect() if r["rank"] == 1}
+    assert brute == lsh
+
+
+def test_nearest_centroid_recovers_clusters(spark, tmp_path):
+    """Vectors drawn tightly around 3 well-separated centers, labeled by
+    center -> every vector must be assigned its own label's centroid."""
+    rng = np.random.RandomState(1)
+    centers = rng.standard_normal((3, 16)) * 10
+    vecs, labels = [], []
+    for lab in range(3):
+        for _ in range(20):
+            vecs.append(centers[lab] + 0.1 * rng.standard_normal(16))
+            labels.append(lab)
+    sf = _write_sf(spark, tmp_path, vecs, labels)
+    out = eq.q_emb_nearest_centroid(spark, sf).collect()
+    assigned = {r["vec_id"]: r["assigned_label"] for r in out}
+    assert all(assigned[i] == labels[i] for i in range(len(vecs)))
