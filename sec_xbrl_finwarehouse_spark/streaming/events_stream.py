@@ -1,0 +1,140 @@
+"""Structured Streaming twins of the batch event operators
+(plans/events_queries.py).
+
+The reference is pure batch (SURVEY.md §2.9) -- this module is the
+beyond-reference streaming layer, built on the standard Structured
+Streaming operators:
+
+* ``windowed_counts``  -- tumbling event-time window + watermark; the
+  exact streaming twin of ``q_event_window_agg`` (same logical plan,
+  plus state eviction by watermark).
+* ``sessionize_stream`` -- ``session_window`` with a 30-min gap, the
+  streaming twin of the batch gaps-and-islands ``q_event_sessionize``
+  (same gap semantics; batch/stream equivalence is unit-tested).
+* ``user_running_totals`` -- custom stateful operator via
+  ``applyInPandasWithState``: per-user cumulative totals maintained
+  across micro-batches (the shape any bespoke stateful op takes when
+  ``window``/``session_window`` can't express it).
+
+Scale notes: state for both windows is keyed by (window/user) after a
+single hash shuffle -- identical partitioning to the batch plans. The
+watermark bounds state size; without it a 100 TB/day stream would
+accumulate unbounded window state. Parquet file sources are used in
+tests (``availableNow`` -> deterministic, replayable); in production the
+same DataFrames run off Kafka sources unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP = "30 minutes"
+WATERMARK = "1 hour"
+
+EVENTS_STREAM_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("value", DoubleType()),
+])
+
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of event rows (one parquet file per
+    micro-batch with ``maxFilesPerTrigger``; ``availableNow`` drains the
+    directory deterministically in tests)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window per event_type with watermark-bounded
+    state -- streaming twin of q_event_window_agg."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type", "n_events", "total_value", "avg_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
+    """Per-user sessions via the native ``session_window`` operator --
+    merging state keyed (user_id, session) after one shuffle."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events", "total_value",
+        )
+    )
+
+
+# ---- custom stateful operator: applyInPandasWithState ----------------------
+
+RUNNING_TOTALS_STATE = StructType([
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+RUNNING_TOTALS_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("total_value", DoubleType()),
+])
+
+
+def _update_running_totals(key, pdf_iter, state):
+    """Accumulate (count, sum(value)) per user across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    import pandas as pd
+
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user cumulative totals maintained in executor state across
+    micro-batches (GroupState, Arrow-batched). Emits the updated total
+    for each user seen in a batch -> use with outputMode('update')."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=RUNNING_TOTALS_OUT,
+        stateStructType=RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

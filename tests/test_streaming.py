@@ -1,0 +1,115 @@
+"""Structured Streaming tests: batch/stream equivalence of the window
+and session operators (availableNow over a multi-file parquet source)
+and the applyInPandasWithState running-totals operator accumulating
+state across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_xbrl_finwarehouse_spark.streaming.events_stream import (
+    sessionize_stream,
+    stream_events,
+    user_running_totals,
+    windowed_counts,
+)
+
+
+def _ts(minute: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def _write_batches(spark, tmp_path, batches):
+    """One parquet file per batch -> maxFilesPerTrigger=1 gives one
+    micro-batch per file in commit order."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(eid, u, et, _ts(m), v) for eid, u, et, m, v in rows],
+            "event_id long, user_id long, event_type string, ts timestamp, value double",
+        )
+        df.coalesce(1).write.parquet(str(src / f"batch_{i}.parquet"))
+    return str(src) + "/*/"
+
+
+def _run_to_memory(spark, df, name, mode):
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+BATCHES = [
+    [  # batch 0: two users, first hour
+        (1, 1, "view", 0.0, 1.0),
+        (2, 1, "click", 10.0, 2.0),
+        (3, 2, "view", 20.0, 3.0),
+    ],
+    [  # batch 1: second hour + a session gap for user 1
+        (4, 1, "view", 70.0, 4.0),
+        (5, 2, "click", 75.0, 5.0),
+        (6, 1, "view", 130.0, 6.0),  # > 30 min after event 4 -> new session
+    ],
+]
+
+
+def test_windowed_counts_matches_batch(spark, tmp_path):
+    src = _write_batches(spark, tmp_path, BATCHES)
+    streamed = _run_to_memory(
+        spark, windowed_counts(stream_events(spark, src)), "wc_stream", "complete"
+    )
+    batch_df = spark.read.parquet(src)
+    expected = (
+        batch_df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"),
+             F.avg("value").alias("avg_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type",
+                "n_events", "total_value", "avg_value")
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_sessionize_stream_matches_batch_gaps(spark, tmp_path):
+    src = _write_batches(spark, tmp_path, BATCHES)
+    streamed = _run_to_memory(
+        spark, sessionize_stream(stream_events(spark, src)), "sess_stream", "complete"
+    )
+    rows = streamed.collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    # user 1: events at 0,10 | 70 | 130 -> 3 sessions (30-min gaps)
+    assert len(per_user[1]) == 3
+    # user 2: events at 20 | 75 -> 2 sessions
+    assert len(per_user[2]) == 2
+    s1 = sorted(per_user[1], key=lambda r: r["session_start"])
+    assert s1[0]["n_events"] == 2 and s1[0]["total_value"] == 3.0
+    # session_window end = last event + gap
+    assert s1[0]["session_end"] == _ts(10.0 + 30.0)
+
+
+def test_user_running_totals_accumulates_across_batches(spark, tmp_path):
+    src = _write_batches(spark, tmp_path, BATCHES)
+    out = _run_to_memory(
+        spark, user_running_totals(stream_events(spark, src)), "totals_stream",
+        "update",
+    )
+    rows = out.collect()
+    # update mode emits one row per user per micro-batch it appears in;
+    # the LAST emission per user carries the cumulative total.
+    last = {}
+    for r in rows:
+        last[r["user_id"]] = r  # memory sink appends in batch order
+    assert last[1]["n_events"] == 4 and last[1]["total_value"] == pytest.approx(13.0)
+    assert last[2]["n_events"] == 2 and last[2]["total_value"] == pytest.approx(8.0)
+    # user 1 appeared in both batches -> two emissions, monotone totals
+    u1 = sorted((r["n_events"] for r in rows if r["user_id"] == 1))
+    assert u1 == [2, 4]
