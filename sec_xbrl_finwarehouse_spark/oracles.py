@@ -40,7 +40,8 @@ FROM (
   SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate,
          ROW_NUMBER() OVER (
            PARTITION BY l_orderkey
-           ORDER BY l_shipdate DESC NULLS LAST, l_linenumber DESC
+           ORDER BY l_shipdate DESC NULLS LAST, l_linenumber DESC,
+                    l_partkey DESC, l_quantity DESC
          ) AS rn
   FROM lineitem
 ) WHERE rn = 1
@@ -71,7 +72,8 @@ FROM (
   SELECT l_suppkey, l_returnflag, l_quantity,
          ROW_NUMBER() OVER (
            PARTITION BY l_suppkey, l_returnflag
-           ORDER BY l_shipdate DESC NULLS LAST, l_orderkey DESC, l_linenumber DESC
+           ORDER BY l_shipdate DESC NULLS LAST, l_orderkey DESC,
+                    l_linenumber DESC, l_quantity DESC
          ) AS rn
   FROM lineitem
 ) WHERE rn = 1

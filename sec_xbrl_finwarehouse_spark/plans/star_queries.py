@@ -51,10 +51,15 @@ def q_window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: latest-shipped line per order (row_number desc_nulls_last + unique
     tiebreak), mirrors v3.py:60-70."""
     li = _read(spark, sf_dir, "lineitem")
+    # the driver's synthetic lineitem contains duplicate (orderkey,
+    # linenumber) pairs, so the order must extend to every output column
+    # (partkey, quantity) to stay total -- otherwise the winner is
+    # partition-order dependent and flips between engines.
     return latest_wins(
         li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate"),
         ["l_orderkey"],
-        [F.col("l_shipdate").desc_nulls_last(), F.col("l_linenumber").desc()],
+        [F.col("l_shipdate").desc_nulls_last(), F.col("l_linenumber").desc(),
+         F.col("l_partkey").desc(), F.col("l_quantity").desc()],
     )
 
 
@@ -79,8 +84,10 @@ def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_suppkey", "l_returnflag", "l_quantity", "l_shipdate",
                   "l_orderkey", "l_linenumber"),
         ["l_suppkey", "l_returnflag"],
+        # duplicate (orderkey, linenumber) rows exist -> extend the order
+        # to the surviving payload (quantity) so the pivot value is total
         [F.col("l_shipdate").desc_nulls_last(), F.col("l_orderkey").desc(),
-         F.col("l_linenumber").desc()],
+         F.col("l_linenumber").desc(), F.col("l_quantity").desc()],
     )
     wide = pivot_first(deduped, ["l_suppkey"], "l_returnflag", "l_quantity",
                        ["R", "A", "N"])
@@ -175,7 +182,11 @@ def q_statements_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: entry point B end-to-end (SURVEY.md §3.2) -- synthetic
     facts -> flow/stock filters -> W1 dedup -> union -> pivot -> coalesce
     + sign fix + fcf."""
-    facts = synthetic_facts(ensure_min_partitions(_read(spark, sf_dir, "lineitem")))
+    from ..session import default_parallelism
+
+    facts = synthetic_facts(
+        _read(spark, sf_dir, "lineitem"), entity_partitions=default_parallelism()
+    )
     return build_statements(facts, version="v3")
 
 

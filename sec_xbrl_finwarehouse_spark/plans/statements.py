@@ -61,7 +61,11 @@ def _dedup_order(deterministic: bool) -> list[Column]:
     this total-orders the *output* while keeping the order key scalar --
     which is what lets the argmax strategy stay in whole-stage-codegen
     HashAggregate instead of ObjectHashAggregate (a struct/string order
-    key de-optimizes the agg buffer)."""
+    key de-optimizes the agg buffer). A unique surrogate row id would NOT
+    be a valid substitute: the driver's synthetic lineitem contains
+    full-duplicate natural keys, and any id derived from them collides on
+    rows with different values (measured -- it flips winners between
+    engines)."""
     order = [F.col("filed").desc_nulls_last()]
     if deterministic:
         order.append(F.col("value").desc())
@@ -201,8 +205,8 @@ def _wide_v3_argmax(facts: DataFrame) -> DataFrame:
     """Fused dedup+pivot for v3 with scalar-only aggregation buffers.
 
     The window form sorts every (cik, fiscal_year, tag) partition twice
-    (flow + stock) and shuffles a third time for the pivot. The W1 winner
-    is just an argmax, so instead:
+    (flow + stock) and shuffles a third time for the pivot. The W1
+    winner is just an argmax, so instead:
 
       stage 1: groupBy(cik, fy, tag, filed) . max(value)
                -- collapses same-day refilings deterministically
@@ -216,6 +220,12 @@ def _wide_v3_argmax(facts: DataFrame) -> DataFrame:
     A struct/string order key here would silently fall back to
     ObjectHashAggregate (~4x slower measured at sf0.1). Identical output
     to the window path (tests/test_statements_versions.py).
+
+    When the input is hash-partitioned by cik (see
+    ``synthetic_facts(entity_partitions=...)``), BOTH stages and the
+    window alternative run exchange-free: every key here has cik as a
+    prefix, so the cik partitioning satisfies each stage's
+    ClusteredDistribution (4 exchanges -> 1 measured at sf0.1).
     """
     filed_key = desc_nulls_last_key(
         F.col("filed"), F.lit("0001-01-01").cast("date")

