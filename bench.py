@@ -40,9 +40,11 @@ BENCH_QUERIES = [
     "event_window_agg",
     "event_sessionize",
     "event_asof_join",
+    "event_interval_join",
     "doc_quality",
     "doc_minhash_lsh_dedup",
     "emb_ann_topk",
+    "emb_ivf_ann_topk",
     "emb_lsh_ann_topk",
 ]
 

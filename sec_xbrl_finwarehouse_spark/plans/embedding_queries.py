@@ -281,8 +281,144 @@ def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- IVF ANN (coarse-quantize, probe, exact re-rank) -----------------------
+
+NPROBE = 2
+
+
+def _centroids(e: DataFrame) -> DataFrame:
+    """Per-label centroids: posexplode -> avg per dimension -> rebuild
+    array ordered by position. Two shuffles on tiny keys."""
+    dims = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    return (
+        dims.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_label"), "centroid")
+    )
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def q_emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: label-centroids as the coarse quantizer; every corpus
+    vector lives in the cell of its NEAREST centroid; each query probes
+    its NPROBE nearest cells and exact-cosine-ranks only those cells.
+
+    This is the canonical billion-scale ANN layout (FAISS IVF-Flat):
+    search cost = corpus/cells * NPROBE per query instead of the full
+    corpus. Everything but the final cell-equi-join is over
+    centroid-count-sized frames (broadcast); the corpus shuffles ONCE on
+    its cell id -- at 100 TB the corpus would be written pre-partitioned
+    by cell so queries touch only probed partitions (partition pruning).
+    Deterministic (rounded distances + label tie-breaks) -> exact SQL
+    oracle, unlike the probabilistic LSH path below."""
+    e = _embeddings(spark, sf_dir)
+    cent = _centroids(e)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "emb"
+    )
+    # cell assignment = nearest centroid per corpus vector
+    wa = Window.partitionBy("neighbor_id").orderBy(
+        F.col("sqdist").asc(), F.col("c_label").asc()
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("sqdist", F.round(_sqdist(F.col("emb"), F.col("centroid")), 6))
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("neighbor_id", "emb", F.col("c_label").alias("cell"))
+    )
+    # probe list = NPROBE nearest centroids per query
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("sqdist").asc(), F.col("c_label").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("sqdist", F.round(_sqdist(F.col("qemb"), F.col("centroid")), 6))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= NPROBE)
+        .select("query_id", "qemb", F.col("c_label").alias("cell"))
+    )
+    scored = assigned.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", F.round(_cosine(F.col("qemb"), F.col("emb")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+_DUCK_SQDIST = (
+    "round(list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+    " for i in range(1, len({a}) + 1)]), 6)"
+)
+
+EMB_IVF_ANN_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+dim AS (
+  SELECT label, pos, avg(v) AS c
+  FROM (SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+  FROM dim GROUP BY label
+),
+assigned AS (
+  SELECT neighbor_id, emb, cell FROM (
+    SELECT e.vec_id AS neighbor_id, e.emb, cent.c_label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a='e.emb', b='cent.centroid')} ASC,
+                      cent.c_label ASC) AS rk
+    FROM e CROSS JOIN cent WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qemb, cell FROM (
+    SELECT e.vec_id AS query_id, e.emb AS qemb, cent.c_label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a='e.emb', b='cent.centroid')} ASC,
+                      cent.c_label ASC) AS rk
+    FROM e CROSS JOIN cent WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rk <= {NPROBE}
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (
+  SELECT p.query_id, a.neighbor_id,
+         {_DUCK_COS.format(a='p.qemb', b='a.emb')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_DUCK_COS.format(a='p.qemb', b='a.emb')} DESC,
+                    a.neighbor_id ASC) AS rank
+  FROM assigned a JOIN probes p USING (cell)
+)
+WHERE rank <= {TOPK}
+"""
+
+
 QUERIES = {
     "emb_ann_topk": q_emb_ann_topk,
+    "emb_ivf_ann_topk": q_emb_ivf_ann_topk,
     "emb_cosine_neardup": q_emb_cosine_neardup,
     "emb_nearest_centroid": q_emb_nearest_centroid,
     "emb_lsh_ann_topk": q_emb_lsh_ann_topk,
@@ -290,6 +426,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_ann_topk": EMB_ANN_TOPK_SQL,
+    "emb_ivf_ann_topk": EMB_IVF_ANN_TOPK_SQL,
     "emb_cosine_neardup": EMB_COSINE_NEARDUP_SQL,
     "emb_nearest_centroid": EMB_NEAREST_CENTROID_SQL,
     # emb_lsh_ann_topk: probabilistic candidate set -> rows-only check;

@@ -294,6 +294,129 @@ FROM events GROUP BY 1
 """
 
 
+# ---- interval (band) join --------------------------------------------------
+
+BAND_SEC = 300
+
+
+def interval_join_counts(e: DataFrame, band_sec: int = BAND_SEC) -> DataFrame:
+    """Band join core: for each click, count the same user's views within
+    +/-band_sec of the click.
+
+    A raw inequality join is broadcast-nested-loop (quadratic per user).
+    Scalable spelling: bucket both sides into band-width buckets; each
+    click also probes its two neighbor buckets (explode of 3 keys), so
+    every qualifying pair shares exactly ONE equi-join key (the view's
+    bucket) -- a plain hash join with 3x key fan-out, no dedup needed.
+    The exact band predicate filters the bucket-collision false
+    positives. One shuffle on (user_id, bucket) either side; at 100 TB
+    the bucket width trades fan-out against collision rate.
+    """
+    us = F.unix_micros(F.col("ts"))
+    band_us = band_sec * 1_000_000
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .select("user_id", us.alias("v_us"),
+                F.floor(us / band_us).alias("bucket"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_event_id"),
+                F.col("ts").alias("click_ts"), us.alias("c_us"),
+                F.floor(us / band_us).alias("b"))
+        .select("user_id", "click_event_id", "click_ts", "c_us",
+                F.explode(F.array(F.col("b") - 1, F.col("b"),
+                                  F.col("b") + 1)).alias("bucket"))
+    )
+    matched = (
+        clicks.join(views, ["user_id", "bucket"])
+        .filter(F.abs(F.col("v_us") - F.col("c_us")) <= band_us)
+        .groupBy("click_event_id")
+        .agg(F.count("*").alias("n_views"))
+    )
+    all_clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        all_clicks.join(matched, "click_event_id", "left")
+        .select("click_event_id", "user_id", "click_ts",
+                F.coalesce(F.col("n_views"), F.lit(0)).alias("n_views"))
+    )
+
+
+def q_event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join over the driver events table (see interval_join_counts)."""
+    return interval_join_counts(_events(spark, sf_dir))
+
+
+EVENT_INTERVAL_JOIN_SQL = f"""
+WITH c AS (
+  SELECT event_id AS click_event_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.click_event_id, c.user_id, c.click_ts,
+       count(v.ts) AS n_views
+FROM c LEFT JOIN v
+  ON c.user_id = v.user_id
+ AND abs(date_diff('microsecond', c.click_ts, v.ts)) <= {BAND_SEC} * 1000000
+GROUP BY 1, 2, 3
+"""
+
+
+# ---- exact percentiles (linear interpolation) ------------------------------
+
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event_type (linear interpolation,
+    same semantics as SQL quantile_cont). Exact `percentile` needs the
+    full group sorted -- fine per-type; at 100 TB switch to
+    `approx_percentile` (t-digest sketch, map-side mergeable, bounded
+    memory) at a declared error bound."""
+    e = _events(spark, sf_dir)
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p90"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+        )
+    )
+
+
+EVENT_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+"""
+
+
+# ---- cube ------------------------------------------------------------------
+
+def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, day): all four grouping sets in one aggregation
+    pass (Spark expands the sets before the partial aggregate, so the
+    shuffle carries pre-combined rows for every level at once)."""
+    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return (
+        e.cube("event_type", "day")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+    )
+
+
+EVENT_CUBE_SQL = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       count(*) AS n_events, sum(value) AS total_value
+FROM events
+GROUP BY CUBE (event_type, day)
+"""
+
+
 QUERIES = {
     "event_window_agg": q_event_window_agg,
     "event_sessionize": q_event_sessionize,
@@ -302,9 +425,15 @@ QUERIES = {
     "event_daily_growth": q_event_daily_growth,
     "event_topk_per_user": q_event_topk_per_user,
     "event_distinct_users": q_event_distinct_users,
+    "event_interval_join": q_event_interval_join,
+    "event_percentiles": q_event_percentiles,
+    "event_cube": q_event_cube,
 }
 
 ORACLES = {
+    "event_interval_join": EVENT_INTERVAL_JOIN_SQL,
+    "event_percentiles": EVENT_PERCENTILES_SQL,
+    "event_cube": EVENT_CUBE_SQL,
     "event_window_agg": EVENT_WINDOW_AGG_SQL,
     "event_sessionize": EVENT_SESSIONIZE_SQL,
     "event_asof_join": EVENT_ASOF_JOIN_SQL,

@@ -88,3 +88,36 @@ def test_nearest_centroid_recovers_clusters(spark, tmp_path):
     out = eq.q_emb_nearest_centroid(spark, sf).collect()
     assigned = {r["vec_id"]: r["assigned_label"] for r in out}
     assert all(assigned[i] == labels[i] for i in range(len(vecs)))
+
+
+def test_ivf_equals_bruteforce_when_probing_all_cells(spark, tmp_path, monkeypatch):
+    """With NPROBE >= number of cells, IVF search IS exhaustive search --
+    the two queries must return identical frames."""
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((eq.N_QUERIES + 40, 16))
+    labels = [i % 3 for i in range(len(vecs))]
+    sf = _write_sf(spark, tmp_path, vecs, labels)
+    monkeypatch.setattr(eq, "NPROBE", 3)
+    brute = sorted(map(tuple, eq.q_emb_ann_topk(spark, sf).collect()))
+    ivf = sorted(map(tuple, eq.q_emb_ivf_ann_topk(spark, sf).collect()))
+    assert brute == ivf
+
+
+def test_ivf_recalls_planted_neighbor(spark, tmp_path):
+    """A near-duplicate of each query (same label cluster) must be the
+    IVF rank-1 result: the planted vector's cell is by construction the
+    query's nearest centroid."""
+    rng = np.random.RandomState(13)
+    dim = 16
+    centers = rng.standard_normal((2, dim)) * 10
+    queries = [centers[i % 2] + 0.1 * rng.standard_normal(dim)
+               for i in range(eq.N_QUERIES)]
+    planted = [q + 0.01 * rng.standard_normal(dim) for q in queries]
+    fill = [centers[i % 2] + 0.5 * rng.standard_normal(dim) for i in range(30)]
+    vecs = queries + planted + fill
+    labels = ([i % 2 for i in range(eq.N_QUERIES)] * 2
+              + [i % 2 for i in range(30)])
+    sf = _write_sf(spark, tmp_path, vecs, labels)
+    top1 = {r["query_id"]: r["neighbor_id"]
+            for r in eq.q_emb_ivf_ann_topk(spark, sf).collect() if r["rank"] == 1}
+    assert top1 == {i: i + eq.N_QUERIES for i in range(eq.N_QUERIES)}

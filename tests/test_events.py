@@ -129,3 +129,49 @@ def test_approx_distinct_within_bound(spark):
         (F.col("id") % 5_000).alias("user_id"))
     approx = df.agg(F.approx_count_distinct("user_id", 0.01)).first()[0]
     assert abs(approx - 5_000) / 5_000 < 0.05
+
+
+# ---- interval (band) join --------------------------------------------------
+
+def _interval(spark, df, band_sec=300):
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import interval_join_counts
+    return {r["click_event_id"]: r["n_views"]
+            for r in interval_join_counts(df, band_sec).collect()}
+
+
+def test_interval_join_band_edges(spark):
+    # band is inclusive at exactly +/-300s; 300s + 1min is out
+    rows = [
+        (1, 1, "click", 10.0, 1.0),
+        (2, 1, "view", 5.0, 1.0),    # -5:00  = -300s  -> in
+        (3, 1, "view", 15.0, 1.0),   # +5:00  = +300s  -> in
+        (4, 1, "view", 16.0, 1.0),   # +6:00 out
+        (5, 1, "view", 4.0, 1.0),    # -6:00 out
+    ]
+    assert _interval(spark, _events(spark, rows)) == {1: 2}
+
+
+def test_interval_join_bucket_boundary(spark):
+    # view lands in the click's NEIGHBOR bucket (bucket width == band):
+    # click at 9:59, view at 5:01 -> dt = -4:58, in band, different bucket
+    rows = [
+        (1, 1, "click", 9.983, 1.0),
+        (2, 1, "view", 5.017, 1.0),
+    ]
+    assert _interval(spark, _events(spark, rows)) == {1: 1}
+
+
+def test_interval_join_zero_matches_kept(spark):
+    rows = [(1, 1, "click", 0.0, 1.0), (2, 2, "view", 0.0, 1.0)]
+    assert _interval(spark, _events(spark, rows)) == {1: 0}
+
+
+def test_interval_join_per_user_isolation(spark):
+    rows = [(1, 1, "click", 10.0, 1.0), (2, 2, "view", 10.0, 1.0)]
+    assert _interval(spark, _events(spark, rows)) == {1: 0}
+
+
+def test_interval_join_pair_counted_once(spark):
+    # same-bucket pair must not double count via the neighbor-bucket probes
+    rows = [(1, 1, "click", 10.0, 1.0), (2, 1, "view", 10.0, 1.0)]
+    assert _interval(spark, _events(spark, rows)) == {1: 1}
