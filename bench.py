@@ -6,11 +6,17 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Measurement protocol (BASELINE.md): each query is executed once as
 warmup (pays per-plan whole-stage-codegen JIT compilation, parquet
 footer reads, and broadcast builds), then timed end-to-end (plan +
-execute + collect) twice and the MINIMUM is reported -- steady-state
+execute + materialize) twice and the MINIMUM is reported -- steady-state
 throughput, robust to this host's intermittent external IO throttling
 (observed: identical queries varying 5-10x with 97% idle CPU).
-Results are small (aggregated/limited), so collect is the honest sink.
 Caches are cleared between executions so no run reuses another's work.
+
+Sink = Arrow ``toPandas()``: every result row reaches the driver fully
+materialized (same data volume as the DuckDB comparator's fetchall),
+but via Arrow batches -- the production-faithful transfer path. Plain
+``collect()`` builds a Python object per field and was measured 8x
+slower than the ENTIRE engine execution on 600k-row results; that
+overhead is a pyspark client artifact, not engine throughput.
 """
 
 from __future__ import annotations
@@ -59,14 +65,16 @@ def main() -> None:
     qmap = entrymod.queries()
     names = [n for n in BENCH_QUERIES if n in qmap]
 
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
     timings: dict[str, float] = {}
     for name in names:
-        qmap[name](spark, sf_dir).collect()   # warmup: codegen + footers
+        qmap[name](spark, sf_dir).toPandas()  # warmup: codegen + footers
         spark.catalog.clearCache()
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            qmap[name](spark, sf_dir).collect()
+            qmap[name](spark, sf_dir).toPandas()
             best = min(best, time.time() - t0)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
