@@ -98,11 +98,14 @@ def synthetic_facts(lineitem: DataFrame, entity_partitions: int | None = None) -
     ``entity_partitions``: when set, hash-partition the base rows by
     ``cik`` before the explode. Every downstream statements/ratios key
     (cik, fiscal_year[, tag]) is functionally co-partitioned with cik,
-    so this ONE narrow exchange satisfies the ClusteredDistribution of
-    every later aggregation/window -- the whole pipeline then runs
-    shuffle-free (4 exchanges -> 1 measured at sf0.1). The same idiom is
-    the 100 TB strategy: partition facts by entity once at ingest,
-    then every mart rebuild is exchange-free.
+    so this ONE exchange satisfies the ClusteredDistribution of every
+    later aggregation/window -- the rest of the pipeline runs
+    exchange-free. Measured at sf0.1 (fresh plans per run): 1.5s vs
+    2.7s for a round-robin repartition of the same width vs 10.8s with
+    no repartition (single-row-group parquet scans as one split).
+    The same idiom at 100 TB: bucket facts by entity at INGEST and
+    every mart rebuild is exchange-free with no runtime repartition
+    at all.
     """
     base = lineitem.select(
         "*", *[F.expr(sql).alias(name) for name, sql in BASE_COLS.items()]

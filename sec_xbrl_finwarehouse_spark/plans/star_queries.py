@@ -182,6 +182,12 @@ def q_statements_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: entry point B end-to-end (SURVEY.md §3.2) -- synthetic
     facts -> flow/stock filters -> W1 dedup -> union -> pivot -> coalesce
     + sign fix + fcf."""
+    # The single-row-group test parquet scans as one effective split, so
+    # SOME repartition is required for parallelism; hashing by cik (vs
+    # round-robin) makes that same exchange satisfy every downstream
+    # aggregation/window distribution too -- measured 1.5s vs 2.7s
+    # (round-robin) vs 10.8s (no repartition, single-core) at sf0.1
+    # with fresh plans per run (stage-skipping disabled by rebuild).
     from ..session import default_parallelism
 
     facts = synthetic_facts(

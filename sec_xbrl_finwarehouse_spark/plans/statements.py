@@ -225,7 +225,7 @@ def _wide_v3_argmax(facts: DataFrame) -> DataFrame:
     ``synthetic_facts(entity_partitions=...)``), BOTH stages and the
     window alternative run exchange-free: every key here has cik as a
     prefix, so the cik partitioning satisfies each stage's
-    ClusteredDistribution (4 exchanges -> 1 measured at sf0.1).
+    ClusteredDistribution -- one exchange for the whole pipeline.
     """
     filed_key = desc_nulls_last_key(
         F.col("filed"), F.lit("0001-01-01").cast("date")
