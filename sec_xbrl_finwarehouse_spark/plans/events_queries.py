@@ -117,8 +117,11 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessed AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  SELECT * EXCLUDE (new_sess),
+         -- BIGINT cast: DuckDB sum(int) is HUGEINT -> float64 in pandas,
+         -- which would type-mismatch Spark's int64 session_seq
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq,
@@ -198,8 +201,14 @@ FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (event_type, day): per-day, per-type subtotals and grand
     total in one pass -- Spark expands grouping sets in a single
-    aggregation (partial combine covers all levels)."""
-    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    aggregation (partial combine covers all levels).
+
+    ``day`` is a midnight TIMESTAMP (date_trunc), not DATE, on both
+    sides: rollup total rows have NULL day, and a timestamp column
+    nulls as NaT in Arrow/pandas on both engines (a Spark DATE arrives
+    as python-date objects whose null is None -- same values, different
+    rendering, spurious hash mismatch)."""
+    e = _events(spark, sf_dir).withColumn("day", F.date_trunc("day", "ts"))
     return (
         e.rollup("event_type", "day")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
@@ -207,7 +216,10 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENT_ROLLUP_SQL = """
-SELECT event_type, CAST(ts AS DATE) AS day,
+SELECT event_type,
+       -- TIMESTAMP cast: DuckDB's date_trunc('day') yields DATE, Spark's a
+       -- midnight timestamp; cast so both row-tuples and Arrow frames agree
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        count(*) AS n_events, sum(value) AS total_value
 FROM events
 GROUP BY ROLLUP (event_type, day)
@@ -401,8 +413,11 @@ FROM events GROUP BY 1
 def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE (event_type, day): all four grouping sets in one aggregation
     pass (Spark expands the sets before the partial aggregate, so the
-    shuffle carries pre-combined rows for every level at once)."""
-    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    shuffle carries pre-combined rows for every level at once).
+
+    ``day`` is a midnight TIMESTAMP on both sides for null-rendering
+    parity on the total rows (see q_event_rollup)."""
+    e = _events(spark, sf_dir).withColumn("day", F.date_trunc("day", "ts"))
     return (
         e.cube("event_type", "day")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
@@ -410,7 +425,8 @@ def q_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENT_CUBE_SQL = """
-SELECT event_type, CAST(ts AS DATE) AS day,
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        count(*) AS n_events, sum(value) AS total_value
 FROM events
 GROUP BY CUBE (event_type, day)
