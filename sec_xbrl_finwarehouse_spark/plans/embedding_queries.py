@@ -21,9 +21,11 @@ or hash comparison.
 
 Scale notes (100 TB): the brute-force forms broadcast the small side
 (queries / centroids) and never shuffle the corpus; per-query top-k is
-a window over ``query_id`` -- at thousands of concurrent queries,
-switch the window to the LSH path or per-partition heaps. Cosine is
-``zip_with`` + ``aggregate`` (JVM higher-order functions, no Python).
+two-phase (:func:`_topk_per_query`) -- rank within each input
+partition, drop everything past k, then rank the tiny survivor set --
+so no stage ever funnels the corpus into n_queries partitions. Cosine
+is ``zip_with`` + ``aggregate`` (JVM higher-order functions, no
+Python).
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import table_path
+from ..sources.tables import parallelize_scan, table_path
 
 N_QUERIES = 10        # vec_id < N_QUERIES are the query set
 TOPK = 5
@@ -44,9 +46,55 @@ LSH_BITS = 8
 LSH_SEED = 42
 
 
-def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embeddings(spark: SparkSession, sf_dir: str, parallel: bool = True) -> DataFrame:
+    """Embeddings scan spread across cores (the per-dimension array math
+    -- cosine, sqdist, centroid assignment -- is interpreted JVM
+    higher-order-function work, and the single-file local layout would
+    otherwise run it on one core). No-op at real scale; see
+    :func:`parallelize_scan`.
+
+    ``parallel=False`` for the Pandas-UDF (LSH) path: an Arrow-batched
+    UDF already processes a whole partition per numpy call, so splitting
+    a small scan into 32 near-empty Arrow batches only multiplies
+    Python-worker round-trips (measured 22s vs 2.3s cold at sf0.01 --
+    the UDF subplan executes twice, once for the broadcast side). On a
+    real multi-file corpus the scan parallelism comes from the file
+    layout and the UDF amortizes over full-size batches."""
     e = spark.read.parquet(table_path(sf_dir, "embeddings"))
+    if parallel:
+        e = parallelize_scan(e, "vec_id")
     return e.withColumn("emb", F.col("embedding").cast("array<double>"))
+
+
+def _topk_per_query(scored: DataFrame, k: int = TOPK) -> DataFrame:
+    """Two-phase top-k by (cosine DESC, neighbor_id ASC) per query_id.
+
+    Phase 1 ranks within (query_id, input partition) -- the shuffle is
+    spread over n_partitions x n_queries balanced keys and everything
+    past rank k is dropped there. Phase 2 ranks the ~n_partitions x k
+    survivors per query. A single Window.partitionBy("query_id") (the r1
+    shape) funneled the ENTIRE scored corpus into n_queries partitions
+    -- one task per query holding corpus/n_queries rows at 100x scale.
+    Deterministic: phase-1 pruning can never evict a global top-k row,
+    so the result is bit-identical to the one-window form (same oracle).
+    """
+    local = scored.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        local.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= k)
+        .drop("pid", "lrk")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
 
 
 def _dot(a, b):
@@ -85,17 +133,14 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), "emb"
     )
-    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "cosine", F.round(_cosine(F.col("qemb"), F.col("emb")), 6)
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _topk_per_query(scored)
 
 
 EMB_ANN_TOPK_SQL = f"""
@@ -248,12 +293,15 @@ def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, not corpus^2. Probabilistic recall (8 tables x 8 bits:
     P[miss] < 1e-4 for near-duplicate vectors) -- driver check is
     rows-only; recall is unit-tested in tests/test_embeddings.py."""
-    e = _embeddings(spark, sf_dir)
+    e = _embeddings(spark, sf_dir, parallel=False)
     buckets = _lsh_buckets_udf()
     with_b = e.select("vec_id", "emb", buckets("emb").alias("bks"))
+    # persisted: both the broadcast (query) side and the corpus side
+    # consume this frame -- without it the Pandas-UDF projection subplan
+    # executes twice (once to build the broadcast, once streaming).
     exploded = with_b.select(
         "vec_id", "emb", F.posexplode("bks").alias("tbl", "bucket")
-    )
+    ).persist()
     q = (
         exploded.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
@@ -268,17 +316,11 @@ def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qemb", "neighbor_id", "emb")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine", F.round(_cosine(F.col("qemb"), F.col("emb")), 6)
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _topk_per_query(scored)
 
 
 # ---- IVF ANN (coarse-quantize, probe, exact re-rank) -----------------------
@@ -353,17 +395,11 @@ def q_emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= NPROBE)
         .select("query_id", "qemb", F.col("c_label").alias("cell"))
     )
-    scored = assigned.join(F.broadcast(probes), "cell").withColumn(
-        "cosine", F.round(_cosine(F.col("qemb"), F.col("emb")), 6)
+    scored = assigned.join(F.broadcast(probes), "cell").select(
+        "query_id", "neighbor_id",
+        F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return _topk_per_query(scored)
 
 
 _DUCK_SQDIST = (

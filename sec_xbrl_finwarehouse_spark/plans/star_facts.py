@@ -107,8 +107,13 @@ def synthetic_facts(lineitem: DataFrame, entity_partitions: int | None = None) -
     every mart rebuild is exchange-free with no runtime repartition
     at all.
     """
+    # explicit projection documents what the exchange actually carries;
+    # Catalyst's ColumnPruning reaches the same scan/shuffle schema (6
+    # measure columns + 8 derived) either way -- verified via ReadSchema.
+    branch_inputs = ("l_extendedprice", "l_discount", "l_tax", "l_quantity",
+                     "l_returnflag", "l_linestatus", "l_suppkey")
     base = lineitem.select(
-        "*", *[F.expr(sql).alias(name) for name, sql in BASE_COLS.items()]
+        *branch_inputs, *[F.expr(sql).alias(name) for name, sql in BASE_COLS.items()]
     )
     if entity_partitions:
         base = base.repartition(entity_partitions, "cik")

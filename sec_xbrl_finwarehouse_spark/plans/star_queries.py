@@ -21,7 +21,7 @@ from ..plans.api_queries import company_profile, company_ratios, screener
 from ..plans.ratios import compute_ratios
 from ..plans.star_facts import star_companies, synthetic_facts
 from ..plans.statements import build_statements
-from ..sources.tables import ensure_min_partitions, table_path
+from ..sources.tables import parallelize_scan, table_path
 
 # ---- shared expression snippets (Spark SQL == DuckDB) ---------------------
 
@@ -55,8 +55,16 @@ def q_window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # linenumber) pairs, so the order must extend to every output column
     # (partkey, quantity) to stay total -- otherwise the winner is
     # partition-order dependent and flips between engines.
+    # Hash-partition the (column-pruned) scan on the window key: the one
+    # exchange both parallelizes the single-split local scan AND
+    # satisfies the window's ClusteredDistribution, so the plan has no
+    # second shuffle. No-op on a multi-file cluster layout.
     return latest_wins(
-        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate"),
+        parallelize_scan(
+            li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+                      "l_shipdate"),
+            "l_orderkey",
+        ),
         ["l_orderkey"],
         [F.col("l_shipdate").desc_nulls_last(), F.col("l_linenumber").desc(),
          F.col("l_partkey").desc(), F.col("l_quantity").desc()],
@@ -80,9 +88,15 @@ def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: window-dedup to unique (supplier, returnflag) then long->wide
     pivot with first-value semantics (v3.py:111-114)."""
     li = _read(spark, sf_dir, "lineitem")
+    # one exchange hashed on l_suppkey: a subset of the window key
+    # (l_suppkey, l_returnflag) AND the pivot's group key, so both
+    # downstream operators reuse it (no further shuffle).
     deduped = latest_wins(
-        li.select("l_suppkey", "l_returnflag", "l_quantity", "l_shipdate",
-                  "l_orderkey", "l_linenumber"),
+        parallelize_scan(
+            li.select("l_suppkey", "l_returnflag", "l_quantity", "l_shipdate",
+                      "l_orderkey", "l_linenumber"),
+            "l_suppkey",
+        ),
         ["l_suppkey", "l_returnflag"],
         # duplicate (orderkey, linenumber) rows exist -> extend the order
         # to the surviving payload (quantity) so the pivot value is total
@@ -126,9 +140,9 @@ def q_flow_stock_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_annual_period_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: datediff BETWEEN range predicate (v3.py:50,58) -- ship lag
     between order date and ship date, joined on the order key."""
-    li = _read(spark, sf_dir, "lineitem")
+    li = parallelize_scan(_read(spark, sf_dir, "lineitem"), "l_orderkey")
     o = _read(spark, sf_dir, "orders")
-    j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "inner")
     days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     return (
         j.filter(days.between(60, 90))

@@ -29,12 +29,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import table_path
+from ..sources.tables import parallelize_scan, table_path
 
 JACCARD_THRESHOLD = 0.5
 SHINGLE_K = 3
 MINHASH_HASHES = 128
 MINHASH_BAND_ROWS = 2
+
+# MinHash permutation family: hash each shingle ONCE (xxhash64), reduce
+# mod a Mersenne prime, then derive the 128 signature values as affine
+# permutations sig_i = (a_i * h + b_i) mod p. Same LSH guarantees as 128
+# independent hashes at ~1/100th the hash work (the r1 driver bench spent
+# 77 s of 112 s inside 128x xxhash64-per-shingle). p = 2^31 - 1 keeps
+# a_i * h < 2^62, so the arithmetic never overflows a signed 64-bit long
+# even under Spark 4's ANSI mode; this is the same construction (and
+# near the same prime) Spark MLlib's MinHashLSH uses. Coefficients are
+# drawn from a fixed seed so signatures are deterministic across runs.
+MINHASH_PRIME = (1 << 31) - 1
+import random as _random
+
+_rng = _random.Random(0x5EC0DE)
+MINHASH_COEFFS = [
+    (_rng.randint(1, MINHASH_PRIME - 1), _rng.randint(0, MINHASH_PRIME - 1))
+    for _ in range(MINHASH_HASHES)
+]
+del _rng
 
 # marker stopwords per language for the n-gram/stopword language-ID
 # heuristic; CJK is detected by codepoint range instead of markers.
@@ -48,7 +67,34 @@ EN_STOPWORDS = ["the", "a", "an", "of", "is", "and", "to", "in"]
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, "documents"))
+    """Documents scan, spread across cores when the file layout is too
+    small to parallelize naturally (single-row-group local test files
+    scan as ONE split, serializing the tokenize/shingle CPU work that
+    dominates every query here). Hash-partitioned on doc_id so the
+    per-doc aggregations downstream reuse the exchange. No-op at real
+    scale -- see :func:`parallelize_scan`."""
+    return parallelize_scan(
+        spark.read.parquet(table_path(sf_dir, "documents")), "doc_id"
+    )
+
+
+def _persist_hot(df: DataFrame) -> DataFrame:
+    """Persist a multiply-consumed intermediate at a conf-driven level.
+
+    ``spark.finwarehouse.hotSetStorageLevel`` (default MEMORY_AND_DISK,
+    i.e. spill-don't-recompute) controls the level; ``NONE`` disables
+    persistence entirely. At 100 TB the distinct (doc_id, shingle) set is
+    corpus-sized, so an in-memory cache is a cliff: set DISK_ONLY there
+    (pay one serialized write, never evict hot executor memory) or NONE
+    if the downstream consumers are cheap enough to recompute."""
+    from pyspark import StorageLevel
+
+    level_name = df.sparkSession.conf.get(
+        "spark.finwarehouse.hotSetStorageLevel", "MEMORY_AND_DISK"
+    )
+    if level_name.upper() == "NONE":
+        return df
+    return df.persist(getattr(StorageLevel, level_name.upper()))
 
 
 def _tokens(col):
@@ -80,17 +126,37 @@ def _shingles(tokens_col, k: int = SHINGLE_K):
 # ---- exact dedup -----------------------------------------------------------
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized text: one surviving doc_id (the min) per
-    distinct normalized document + how many copies it had. Single hash
-    aggregation; at 100 TB the group key becomes xxhash64(norm) so the
-    shuffle moves 8-byte keys, not documents."""
-    d = _documents(spark, sf_dir)
-    return (
-        d.withColumn("norm", F.lower(F.trim("text")))
+    """Exact dedup on normalized text, keyed by the 8-byte hash of the
+    text rather than the text itself: one surviving doc_id (the min) per
+    distinct normalized document + how many copies it had.
+
+    Scale plan (this IS the shipped plan, not a docstring aspiration):
+    group by ``xxhash64(norm)`` so the shuffle hashes/compares 8-byte
+    keys instead of full documents, carrying ``min(norm)``/``max(norm)``
+    through the same aggregation as a collision check. Hash groups where
+    min == max (every group, in practice: P[any xxhash64 collision] ~
+    n^2 / 2^64) are emitted directly; a collided group -- two DIFFERENT
+    texts sharing a hash -- is re-resolved by re-grouping just those
+    rows on the exact text, so output equals the text-keyed oracle even
+    under collisions. The fallback branch is a broadcast semi-join on a
+    (near-always-empty) key set, costing one empty-side job."""
+    d = _documents(spark, sf_dir).withColumn("norm", F.lower(F.trim("text")))
+    agg = d.groupBy(F.xxhash64("norm").alias("hkey")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min("norm").alias("mn"),
+        F.max("norm").alias("mx"),
+    )
+    clean = agg.filter(F.col("mn") == F.col("mx")).select("keep_doc_id", "n_copies")
+    collided_keys = agg.filter(F.col("mn") != F.col("mx")).select("hkey")
+    collided = (
+        d.withColumn("hkey", F.xxhash64("norm"))
+        .join(F.broadcast(collided_keys), "hkey", "left_semi")
         .groupBy("norm")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
         .select("keep_doc_id", "n_copies")
     )
+    return clean.unionByName(collided)
 
 
 DOC_EXACT_DEDUP_SQL = """
@@ -332,27 +398,42 @@ def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_from_exploded(ex: DataFrame, pairs: DataFrame | None) -> DataFrame:
     """Per-pair exact Jaccard from (doc_id, shingle) rows.
 
-    intersection = co-occurring shingle count per (d1, d2) equi-join on
-    shingle; union = n1 + n2 - intersection with sizes from one count
-    agg. When ``pairs`` is given, only those candidate pairs are scored
-    (LSH verify path -- the shingle self-join is semi-joined down before
-    the heavy aggregation).
+    intersection = co-occurring shingle count per (d1, d2); union =
+    n1 + n2 - intersection with sizes from one count agg.
 
-    ``ex`` is cached: it feeds three consumers (sizes + both self-join
-    sides) and recomputing the tokenize+shingle scan per consumer
-    measured ~2x the whole query's runtime. The cached set is compact --
-    distinct (doc_id, shingle) rows, already column-pruned."""
-    ex = ex.cache()
+    Two intersection plans, chosen by whether a candidate set exists:
+
+    * ``pairs is None`` (exhaustive oracle baseline): shingle self
+      equi-join -- cost driven by the document frequency of the hottest
+      shingle, the honest all-pairs lower bound.
+    * ``pairs`` given (LSH verify path): candidate-bounded join --
+      pairs ⋈ shingles(d1) on d1, then equi-join shingles(d2) on
+      (d2, shingle). Cost is |pairs| x shingles-per-doc, INDEPENDENT of
+      hot-shingle fan-out; a pair with an empty intersection drops out,
+      which is correct (its Jaccard is 0 < threshold). This is the shape
+      that survives 100 TB: verification work scales with what LSH
+      actually surfaced, never with corpus-wide shingle collisions.
+
+    ``ex`` is persisted (conf-driven level, see ``_persist_hot``): it
+    feeds three consumers (sizes + both intersection sides) and
+    recomputing the tokenize+shingle scan per consumer measured ~2x the
+    whole query's runtime. The persisted set is column-pruned (doc_id,
+    shingle) but corpus-sized at 100 TB -- set
+    spark.finwarehouse.hotSetStorageLevel=DISK_ONLY there."""
+    ex = _persist_hot(ex)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    co = a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")))
-    inter = (
-        co.select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-    )
-    if pairs is not None:
-        inter = inter.join(pairs, ["d1", "d2"], "left_semi")
+    if pairs is None:
+        a = ex.alias("a")
+        b = ex.alias("b")
+        co = a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+        inter = (
+            co.select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        )
+    else:
+        s1 = ex.select(F.col("doc_id").alias("d1"), "shingle")
+        s2 = ex.select(F.col("doc_id").alias("d2"), "shingle")
+        inter = pairs.join(s1, "d1").join(s2, ["d2", "shingle"])
     inter = inter.groupBy("d1", "d2").agg(F.count("*").alias("n_inter"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "d1")
@@ -416,15 +497,22 @@ def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what the oracle checks; with 64 bands x 2 rows the miss
     probability at J = 0.5 is (1 - 0.25)^64 ~= 1e-8.
 
-    Plan shape: one explode+agg for signatures (128 partial mins, one
-    shuffle on doc_id), one explode to band keys + self-join on
-    (band, band_hash), then exact Jaccard on the candidate pairs only
-    (shingle equi-join semi-joined down to candidates before the heavy
-    aggregation). Everything is xxhash64/built-ins -- no Python."""
+    Plan shape: hash each shingle ONCE (xxhash64 -> pmod p), derive the
+    128 signature values as affine permutations of that single hash
+    (see MINHASH_COEFFS), one groupBy(doc_id) with 128 partial mins, one
+    explode to band keys + self-join on (band, band_hash), then exact
+    Jaccard on the candidate pairs only (shingle equi-join semi-joined
+    down to candidates before the heavy aggregation). Everything is
+    built-in expressions -- no Python in the hot path."""
     ex = _doc_shingles_exploded(spark, sf_dir)
-    sig = ex.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-          for i in range(MINHASH_HASHES)]
+    hashed = ex.select(
+        "doc_id",
+        F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)).alias("sh"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_PRIME))
+          .alias(f"h{i}")
+          for i, (a, b) in enumerate(MINHASH_COEFFS)]
     )
     n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
     bands = sig.select(
@@ -439,7 +527,8 @@ def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(n_bands)
             ])
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh").cache()
+    ).select("doc_id", "bk.band", "bk.bh")
+    bands = _persist_hot(bands)  # n_docs x 64 rows -- small even at scale
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

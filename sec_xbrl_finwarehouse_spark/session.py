@@ -54,8 +54,22 @@ def get_spark(
         # at any SF that matters for the dim side; fact-fact joins never
         # broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # NOTE deliberately NO spark.driver.memory here: in-process
+        # SparkSession creation cannot resize an already-launched JVM, so
+        # setting it in the factory silently does nothing. Heap size
+        # belongs to the launcher -- bench.py seeds PYSPARK_SUBMIT_ARGS
+        # (which DOES apply, it is read before JVM launch), spark-submit
+        # users pass --driver-memory.
         .config("spark.ui.enabled", "false")
+        # The driver test parquet stores events.ts as TIMESTAMP(NANOS),
+        # which Spark's vectorized reader rejects outright; this legacy
+        # flag reads the raw int64 instead (queries then reconstruct
+        # micros via timestamp_micros(ts div 1000), matching DuckDB's
+        # coercion). Set ONCE here -- scoping it per-read is impossible
+        # (no DataFrameReader option exists), and flipping it inside a
+        # query builder would silently retype any later nanos column in
+        # unrelated reads (ADVICE r1).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
     )
     # Shuffle/spill files on tmpfs when available: this host's disk is

@@ -39,6 +39,12 @@ def flatten_facts(
       * rows with NULL ``val`` dropped (:52-54)
       * ``float(val)`` -> double (:80), ``date.fromisoformat`` -> to_date (:36-37)
       * cik zero-padded to 10 (sec_client.py:28)
+
+    Output is FACTS_SCHEMA plus ``fy``/``fp`` (the item's fiscal year /
+    period, ingest_facts.py:62-63): the reference's filings rows take
+    fiscal_year/fiscal_period from the fact ITEM (:70), so the columns
+    must survive the flatten for :func:`derive_filings` to reproduce
+    FILINGS_SCHEMA. Select FACTS_SCHEMA's columns to store facts.
     """
     tags = (
         docs.select(
@@ -67,6 +73,8 @@ def flatten_facts(
         F.col("it.form").alias("form"),
         F.to_date("it.filed").alias("filed"),
         F.col("it.frame").alias("frame"),
+        F.col("it.fy").cast("int").alias("fy"),
+        F.col("it.fp").alias("fp"),
     )
 
 
@@ -74,16 +82,20 @@ def derive_filings(facts: DataFrame) -> DataFrame:
     """Filings dimension derived from flattened facts.
 
     The reference overwrites a dict entry per accession while scanning, so
-    "last fact encountered wins" -- order-dependent (ingest_facts.py:65-69).
-    We make it deterministic: latest (filed, period_end) wins per accession.
-    ``report_date`` is period_end as the reference's V1 proxy (:68).
-    """
+    "last fact encountered wins" -- order-dependent (ingest_facts.py:65-70).
+    We make it deterministic: latest (filed, report_date) wins per
+    accession. ``report_date`` is period_end as the reference's V1 proxy
+    (:68); ``fiscal_year``/``fiscal_period`` come from the item's fy/fp
+    (:70), matching FILINGS_SCHEMA -- so the output feeds the v1/v2
+    statements join (J1: accession -> fiscal_year, fiscal_period='FY')
+    directly."""
     withs = facts.filter(F.col("filing_accession_no").isNotNull()).select(
         F.col("filing_accession_no").alias("accession_no"),
         "cik", "form",
         F.col("filed").alias("filing_date"),
         F.col("period_end").alias("report_date"),
-        F.year("period_end").cast("int").alias("fiscal_year_proxy"),
+        F.col("fy").cast("int").alias("fiscal_year"),
+        F.col("fp").alias("fiscal_period"),
     )
     return latest_wins(
         withs,
@@ -91,6 +103,11 @@ def derive_filings(facts: DataFrame) -> DataFrame:
         [
             F.col("filing_date").desc_nulls_last(),
             F.col("report_date").desc_nulls_last(),
+            # total order even when one accession carries conflicting
+            # metadata across items (possible in raw companyfacts)
+            F.col("form").desc_nulls_last(),
+            F.col("fiscal_year").desc_nulls_last(),
+            F.col("fiscal_period").desc_nulls_last(),
         ],
     )
 

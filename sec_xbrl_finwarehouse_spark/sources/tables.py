@@ -20,21 +20,58 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
-def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
-    """Repartition only when the scan produced fewer splits than cores.
+_BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
 
-    The local test parquet is a single row group, so Spark gets ONE input
-    partition and every downstream stage serializes onto one core. On a
-    real cluster (many files / row groups) the scan is already parallel
-    and this is a no-op -- the gate on the observed partition count keeps
-    the extra exchange out of plans that don't need it.
+
+def _parse_bytes(s: str) -> int:
+    """Spark size-conf strings: '134217728', '134217728b', '128m', '128MB'."""
+    s = s.strip().lower()
+    digits = s.rstrip("kmgb")
+    return int(digits) * _BYTE_SUFFIX[s[len(digits):]]
+
+
+def parallelize_scan(
+    df: DataFrame, *keys: str, target: int | None = None
+) -> DataFrame:
+    """Spread a SMALL file-backed scan across the cluster before
+    CPU-heavy narrow work (tokenize, shingle, per-dimension array math).
+
+    Spark assigns ~one task per ``spark.sql.files.maxPartitionBytes`` of
+    input, so a table that lives in one small parquet file (every local
+    test table does) is scanned -- and everything narrow above the scan
+    is computed -- on ONE core. This helper repartitions only when the
+    estimated split count is below ``target``, judged purely from
+    driver-side metadata (``df.inputFiles()`` + file sizes): no job, no
+    ``df.rdd`` plan materialization (the anti-idiom the old
+    ``ensure_min_partitions`` had), and AQE is untouched.
+
+    At real scale the input is thousands of files, the estimate exceeds
+    ``target`` and this is a NO-OP -- the 100 TB corpus is never
+    shuffled. When ``keys`` are given the repartition hash-partitions on
+    them, so a downstream groupBy/window on the same (or a superset)
+    key reuses the exchange instead of adding a second one.
     """
     from ..session import default_parallelism
 
-    n = n or default_parallelism()
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    target = target or default_parallelism()
+    spark = df.sparkSession
+    max_pb = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_splits = 0
+    for uri in df.inputFiles():
+        path = uri[len("file://"):] if uri.startswith("file://") else uri
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            return df  # non-local storage: trust the source's splits
+        est_splits += max(1, -(-size // max_pb))
+        if est_splits >= target:
+            return df
+    if keys:
+        return df.repartition(target, *keys)
+    return df.repartition(target)
 
 
 def load_star_tables(

@@ -35,10 +35,13 @@ def facts_df(spark, tmp_path_factory):
                 "Revenues": {"units": {"USD": [
                     _fact(100.0, "a1", "10-K", "2021-02-01", "2020-01-01", "2020-12-31"),
                     _fact(110.0, "a2", "10-K", "2021-03-01", "2020-01-01", "2020-12-31"),
-                    # quarterly period (90 days) -> excluded by 330-380 filter
-                    _fact(999.0, "a3", "10-K", "2021-04-01", "2020-10-01", "2020-12-30"),
-                    # 10-Q form -> excluded by form filter
-                    _fact(888.0, "a4", "10-Q", "2021-05-01", "2020-01-01", "2020-12-31"),
+                    # quarterly period (90 days) -> excluded by the 330-380
+                    # filter in v3 and by fiscal_period != 'FY' in v1/v2
+                    _fact(999.0, "a3", "10-K", "2021-04-01", "2020-10-01", "2020-12-30",
+                          fp="Q4"),
+                    # 10-Q form -> excluded by form filter (v3) / fp (v1/v2)
+                    _fact(888.0, "a4", "10-Q", "2021-05-01", "2020-01-01", "2020-12-31",
+                          fp="Q1"),
                     # null val -> dropped at ingest
                     _fact(None, "a5", "10-K", "2021-06-01", "2020-01-01", "2020-12-31"),
                     # exact duplicate of the a2 fact (same natural key incl. value+filed)
@@ -133,6 +136,35 @@ def test_ratios_golden(facts_df):
     assert r["fcf_margin"] == 22.0 / 105.0
     assert r["asset_turnover"] == 105.0 / 200.0
     assert r["operating_margin"] is None  # operating_income absent
+
+
+def test_derive_filings_carries_fiscal_year_period(facts_df):
+    """fy/fp flow through the flatten into FILINGS_SCHEMA's
+    fiscal_year/fiscal_period (ingest_facts.py:62-70)."""
+    filings = {r["accession_no"]: r for r in derive_filings(facts_df).collect()}
+    assert filings["a2"]["fiscal_year"] == 2020
+    assert filings["a2"]["fiscal_period"] == "FY"
+    assert all(r["fiscal_year"] is not None for r in filings.values())
+
+
+def test_statements_v1_v2_from_ingested_filings(facts_df):
+    """Composes the INGESTED-data path end-to-end: flatten_facts ->
+    derive_filings -> build_statements v1/v2 (the reference's
+    build_statements_annual.py / _v2.py pipeline). Broken in r1 because
+    flatten dropped fy/fp (ADVICE r1 #1)."""
+    filings = derive_filings(facts_df)
+    for version in ("v1", "v2"):
+        stm = build_statements(facts_df, version=version, filings=filings).collect()
+        assert len(stm) == 1, version
+        r = stm[0]
+        assert r["cik"] == "0000320193" and r["fiscal_year"] == 2020
+        # v1 takes the literal Revenues tag; v2's coalesce ALSO lists
+        # Revenues first (v2.py:6-9) -> both pick the latest-filed 110,
+        # unlike v3 which prefers RevenueFromContract... (105)
+        assert r["revenues"] == 110.0, version
+        assert r["net_income"] == 20.0
+        # v1/v2 do NOT sign-fix capex (reference v1/v2 lack the fix)
+        assert r["capex"] == -8.0
 
 
 def test_reingest_idempotent(facts_df):

@@ -1,0 +1,123 @@
+"""Stored-table sink tests: S5/S6 as writes, write-then-swap, F12
+audit timestamps, and the re-ingest idempotence contract round-tripped
+through parquet (VERDICT r1 "What's missing" #1/#3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sec_xbrl_finwarehouse_spark import sinks
+
+
+def _rows(spark, df_path):
+    return {
+        tuple(r) for r in
+        spark.read.parquet(df_path)
+        .select("k", "v").orderBy("k").collect()
+    }
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame([{"k": k, "v": v} for k, v in pairs])
+
+
+def test_write_replace_swaps_atomically(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.write_replace(_mk(spark, [(1, "a")]), path)
+    assert _rows(spark, path) == {(1, "a")}
+    sinks.write_replace(_mk(spark, [(2, "b")]), path)
+    assert _rows(spark, path) == {(2, "b")}
+    # no staging/backup litter left behind
+    assert [p for p in os.listdir(tmp_path) if "__" in p] == []
+
+
+def test_write_replace_self_overwrite_safe(spark, tmp_path):
+    """Rebuilding a table FROM ITSELF (the reference's mart refresh shape)
+    must not hit Spark's cannot-overwrite-input-path trap."""
+    path = str(tmp_path / "t")
+    sinks.write_replace(_mk(spark, [(1, "a"), (2, "b")]), path)
+    derived = spark.read.parquet(path).withColumn("v", F.upper("v"))
+    sinks.write_replace(derived, path)
+    assert _rows(spark, path) == {(1, "A"), (2, "B")}
+
+
+def test_upsert_creates_then_merges(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.upsert(spark, path, _mk(spark, [(1, "a"), (2, "b")]), ["k"])
+    sinks.upsert(spark, path, _mk(spark, [(2, "B2"), (3, "c")]), ["k"])
+    assert _rows(spark, path) == {(1, "a"), (2, "B2"), (3, "c")}
+
+
+def test_upsert_audit_semantics(spark, tmp_path):
+    """created_at survives an overwrite; updated_at refreshes only for
+    upserted keys (db/schema.sql:61, build_statements_annual_v3.py:175)."""
+    path = str(tmp_path / "t")
+    sinks.upsert(spark, path, _mk(spark, [(1, "a"), (2, "b")]), ["k"])
+    first = {r["k"]: r for r in spark.read.parquet(path).collect()}
+    assert all(r[sinks.CREATED_AT] == r[sinks.UPDATED_AT] for r in first.values())
+
+    sinks.upsert(spark, path, _mk(spark, [(2, "B2")]), ["k"])
+    second = {r["k"]: r for r in spark.read.parquet(path).collect()}
+    # untouched key: both stamps unchanged
+    assert second[1][sinks.CREATED_AT] == first[1][sinks.CREATED_AT]
+    assert second[1][sinks.UPDATED_AT] == first[1][sinks.UPDATED_AT]
+    # upserted key: created_at preserved, updated_at advanced
+    assert second[2][sinks.CREATED_AT] == first[2][sinks.CREATED_AT]
+    assert second[2][sinks.UPDATED_AT] >= first[2][sinks.UPDATED_AT]
+    assert second[2]["v"] == "B2"
+
+
+def test_upsert_reingest_idempotent(spark, tmp_path):
+    """Running the same upsert batch twice leaves the same data rows as
+    once (D2/SCD-0 re-ingest contract), now as a STORED table."""
+    path = str(tmp_path / "t")
+    batch = [(1, "a"), (2, "b"), (3, "c")]
+    sinks.upsert(spark, path, _mk(spark, batch), ["k"])
+    once = _rows(spark, path)
+    sinks.upsert(spark, path, _mk(spark, batch), ["k"])
+    twice = _rows(spark, path)
+    assert once == twice == set(batch)
+    # exactly one row per key (the merge never duplicates)
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_append_if_absent_skips_existing_keys(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.append_if_absent(spark, path, _mk(spark, [(1, "a"), (2, "b")]), ["k"])
+    n = sinks.append_if_absent(
+        spark, path, _mk(spark, [(2, "CHANGED"), (3, "c")]), ["k"]
+    )
+    assert n > 0
+    # key 2 keeps its ORIGINAL value: conflict -> DO NOTHING
+    assert _rows(spark, path) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_append_if_absent_pure_duplicate_is_noop(spark, tmp_path):
+    """Re-running an identical batch commits zero files and leaves the
+    table byte-identical (ingest_facts.py:119-143 idempotence)."""
+    path = str(tmp_path / "t")
+    batch = _mk(spark, [(1, "a"), (2, "b")])
+    sinks.append_if_absent(spark, path, batch, ["k"])
+    files_before = sorted(os.listdir(path))
+    stamps_before = {
+        r["k"]: (r[sinks.CREATED_AT], r[sinks.UPDATED_AT])
+        for r in spark.read.parquet(path).collect()
+    }
+    n = sinks.append_if_absent(spark, path, batch, ["k"])
+    assert n == 0
+    assert sorted(os.listdir(path)) == files_before
+    stamps_after = {
+        r["k"]: (r[sinks.CREATED_AT], r[sinks.UPDATED_AT])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert stamps_after == stamps_before
+
+
+def test_append_if_absent_dedups_within_batch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.append_if_absent(
+        spark, path, _mk(spark, [(1, "a"), (1, "a"), (2, "b")]), ["k"]
+    )
+    assert spark.read.parquet(path).count() == 2
