@@ -142,7 +142,10 @@ def q_annual_period_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     between order date and ship date, joined on the order key."""
     li = parallelize_scan(_read(spark, sf_dir, "lineitem"), "l_orderkey")
     o = _read(spark, sf_dir, "orders")
-    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey, "inner")
+    # no broadcast hint: orders scales with the fact side, so the right
+    # plan flips from broadcast (small SF, auto under the 64 MB
+    # threshold) to shuffle join (large SF) -- AQE decides per run
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
     days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     return (
         j.filter(days.between(60, 90))

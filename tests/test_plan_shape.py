@@ -1,0 +1,112 @@
+"""Physical-plan shape regression tests: the 100 TB design claims in
+docstrings (one exchange for the statements pipeline, no corpus funnel
+in ANN top-k, broadcast dims, pushed filters) asserted against
+``explain``, so a refactor that silently adds a shuffle fails CI."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _n_exchanges(plan: str) -> int:
+    # count shuffle exchanges only (broadcast exchanges are the cheap,
+    # intended kind); AQE may print ShuffleQueryStage wrappers
+    return len(re.findall(r"Exchange hashpartitioning|Exchange rangepartitioning"
+                          r"|Exchange RoundRobinPartitioning", plan))
+
+
+@pytest.fixture(scope="module")
+def qmap():
+    return entrymod.queries()
+
+
+def test_statements_pipeline_single_exchange(spark, qmap):
+    """The cik hash repartition is the ONLY shuffle: both aggregation
+    stages reuse it (keys are cik-prefixed), so the claim in
+    star_facts.synthetic_facts holds."""
+    plan = _plan(qmap["statements_annual"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_ratios_adds_no_exchange(spark, qmap):
+    """Ratio derivation is projection-only on top of statements."""
+    plan = _plan(qmap["ratios_annual"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_screener_broadcasts_companies(spark, qmap):
+    """J2: companies dim joins via broadcast, never a shuffle of ratios;
+    the top-k compiles to TakeOrderedAndProject (no global sort)."""
+    plan = _plan(qmap["screener"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_window_dedup_latest_single_exchange(spark, qmap):
+    """parallelize_scan's hash repartition on l_orderkey satisfies the
+    window's ClusteredDistribution -- no second shuffle."""
+    plan = _plan(qmap["window_dedup_latest"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_pivot_wide_single_exchange(spark, qmap):
+    """One exchange hashed on l_suppkey serves both the dedup window
+    (l_suppkey, l_returnflag) and the pivot groupBy(l_suppkey)."""
+    plan = _plan(qmap["pivot_wide"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_emb_ann_topk_no_query_funnel(spark, qmap):
+    """Two-phase top-k: no exchange partitioned ONLY by query_id below
+    the first (partition-local) rank -- the corpus is never funneled
+    into n_queries partitions before local pruning."""
+    plan = _plan(qmap["emb_ann_topk"](spark, SF_DIR))
+    # the only query_id-keyed exchange must sit above the survivor set
+    # (which also carries pid through phase 1); the phase-1 window keys
+    # include pid, so a bare query_id partitioning can appear at most
+    # once (the global phase), never twice
+    assert len(re.findall(r"hashpartitioning\(query_id#\d+, \d+\)", plan)) <= 1, plan
+
+
+def test_top_k_orders_is_take_ordered(spark, qmap):
+    """O1/O2 compile to distributed top-k, not sort + limit."""
+    plan = _plan(qmap["top_k_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert _n_exchanges(plan) == 0, plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """P2/P3 predicates appear as parquet PushedFilters, and column
+    pruning reaches ReadSchema (the §2 pushdown contract)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") >= 45).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity"
+    }, plan
+
+
+def test_exact_dedup_shuffles_hash_key_not_text(spark, qmap):
+    """doc_exact_dedup's aggregation keys on xxhash64(norm), so the
+    exchange moves 8-byte keys -- the optimized plan groups by the hash
+    expression, not the raw text."""
+    plan = _optimized(qmap["doc_exact_dedup"](spark, SF_DIR))
+    assert "xxhash64" in plan.lower()

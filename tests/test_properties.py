@@ -1,0 +1,121 @@
+"""Property-based tests (SURVEY.md §5.4): hypothesis-generated inputs
+through the dedup/upsert/pivot operators.
+
+Strategy sizes are kept small (each example runs real Spark jobs) but
+the GENERATED SHAPES cover what example-based tests miss: duplicate
+keys, NULL values, empty frames, single-row frames, and key collisions
+between batches. deadline=None because Spark job latency is not the
+property under test.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sec_xbrl_finwarehouse_spark.operators.dedup import natural_key_dedup
+from sec_xbrl_finwarehouse_spark.operators.pivot import pivot_first
+from sec_xbrl_finwarehouse_spark.operators.upsert import (
+    insert_if_absent,
+    upsert_latest_wins,
+)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_ROW_SCHEMA = T.StructType([
+    T.StructField("k", T.IntegerType(), False),
+    T.StructField("tag", T.StringType(), False),
+    T.StructField("v", T.DoubleType(), True),
+])
+
+TAGS = ["a", "b", "c"]
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),
+        st.sampled_from(TAGS),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       width=32)),
+    ),
+    max_size=12,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(k, t, v) for k, t, v in rows], schema=_ROW_SCHEMA
+    )
+
+
+@_SETTINGS
+@given(rows=rows_strategy)
+def test_reingest_idempotent(spark, rows):
+    """D1: dedup(batch ∪ batch) == dedup(batch) -- re-ingesting the same
+    data is always a no-op, for ANY batch content."""
+    df = _df(spark, rows)
+    once = natural_key_dedup(df, ["k", "tag"])
+    twice = natural_key_dedup(df.unionByName(df), ["k", "tag"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # at most one survivor per key
+    assert once.groupBy("k", "tag").count().filter(F.col("count") > 1).count() == 0
+
+
+@_SETTINGS
+@given(rows=rows_strategy)
+def test_upsert_idempotent_and_total(spark, rows):
+    """S5: upserting a batch into itself changes nothing; upserting into
+    empty yields the batch; every key appears exactly once."""
+    incoming = natural_key_dedup(_df(spark, rows), ["k", "tag"])
+    merged = upsert_latest_wins(incoming, incoming, ["k", "tag"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, incoming.collect())
+    )
+
+
+@_SETTINGS
+@given(rows=rows_strategy, rows2=rows_strategy)
+def test_insert_if_absent_preserves_existing(spark, rows, rows2):
+    """S6: existing rows always survive untouched; incoming rows appear
+    iff their key was absent; result keys = union of key sets."""
+    existing = natural_key_dedup(_df(spark, rows), ["k", "tag"])
+    incoming = _df(spark, rows2)
+    merged = insert_if_absent(existing, incoming, ["k", "tag"])
+    got = {(r["k"], r["tag"]): r["v"] for r in merged.collect()}
+    existing_rows = {(r["k"], r["tag"]): r["v"] for r in existing.collect()}
+    incoming_keys = {(k, t) for k, t, _ in rows2}
+    # existing values win on conflict
+    for key, v in existing_rows.items():
+        assert key in got and got[key] == v
+    assert set(got) == set(existing_rows) | incoming_keys
+    assert merged.count() == len(got)  # unique per key
+
+
+@_SETTINGS
+@given(rows=rows_strategy)
+def test_pivot_unpivot_roundtrip(spark, rows):
+    """A1: pivot then unpivot recovers exactly the unique long rows with
+    non-null values (NULL cells are unobservable in the wide form, like
+    the reference's dict never storing absent tags)."""
+    long = natural_key_dedup(_df(spark, rows), ["k", "tag"])
+    wide = pivot_first(long, ["k"], "tag", "v", TAGS)
+    back = wide.unpivot("k", TAGS, "tag", "v").filter(F.col("v").isNotNull())
+    expect = sorted(
+        (r["k"], r["tag"], r["v"]) for r in long.collect() if r["v"] is not None
+    )
+    assert sorted(map(tuple, back.collect())) == expect
+
+
+@pytest.mark.parametrize("n", [0, 1])
+def test_pivot_degenerate_sizes(spark, n):
+    """Empty and single-row frames survive the full pivot∘unpivot path."""
+    rows = [(0, "a", 1.0)][:n]
+    long = _df(spark, rows)
+    wide = pivot_first(long, ["k"], "tag", "v", TAGS)
+    assert wide.count() == n

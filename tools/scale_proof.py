@@ -1,0 +1,178 @@
+"""Scale-up proof for the job-floor claims (VERDICT r1 next-round #6).
+
+Several bench queries have sub-0.5s DuckDB comparators at sf0.1, where
+Spark's fixed per-job cost (scheduling, codegen reuse, Arrow collect)
+dominates its measurement -- BASELINE.md calls them floor-bound. This
+tool tests that claim: amplify the sf0.1 tables ~10x into a MULTI-FILE
+layout (so scans parallelize from the file layout alone, like
+production), run the same query + oracle pair on the bigger data, and
+report both engines' times. If the claim is right, the Spark/DuckDB
+ratio must FALL as data grows (fixed cost amortizes); a query whose
+ratio grows instead is genuinely slow and gets flagged.
+
+Amplification: 10 key-shifted copies of lineitem/orders/supplier/events/
+embeddings (copy 0 unshifted, so point lookups like the profile ticker
+still resolve; join keys shift consistently so join cardinalities scale
+linearly). documents/part/nation/region/customer copy through unchanged
+-- amplifying documents with identical text would manufacture a
+quadratic near-dup blowup that says nothing about job floors.
+
+Usage: python tools/scale_proof.py [out_dir] [query ...]
+Writes out_dir (default /tmp/sf1_scaleproof) once and reuses it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ.setdefault(
+    "PYSPARK_SUBMIT_ARGS",
+    f"--driver-memory {os.environ.get('SPARK_DRIVER_MEMORY', '48g')} pyspark-shell",
+)
+
+COPIES = 10
+SRC = "/root/testdata/sf0.1"
+SHIFTS = {  # table -> {column: stride}; strides exceed any source key
+    "lineitem": {"l_orderkey": 10_000_000, "l_suppkey": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 1_000_000},
+    "events": {"user_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+COPY_THROUGH = ("documents", "part", "nation", "region", "customer")
+N_FILES = 8  # multi-file layout: scans parallelize without repartition
+
+QUERIES = [
+    # floor-bound claims to prove
+    "annual_period_filter", "upsert_latest_wins", "top_k_orders",
+    "event_window_agg", "event_asof_join", "emb_ann_topk",
+    # previously perf-weak: confirm the ratio trend at 10x
+    "statements_annual", "ratios_annual", "screener",
+    "window_dedup_latest", "pivot_wide",
+]
+
+PER_QUERY_CAP_SEC = 300.0
+
+
+def build(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    for name, shifts in SHIFTS.items():
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        if name == "events":
+            # the source stores ts as TIMESTAMP(NANOS), which the session
+            # reads as raw int64 (nanosAsLong); materialize the scaled
+            # copy as a real micros timestamp so both engines read the
+            # same type without the legacy flag
+            from pyspark.sql import functions as FF
+            src = src.withColumn("ts", FF.timestamp_micros(FF.expr("ts div 1000")))
+        parts = []
+        for i in range(COPIES):
+            c = src
+            for col, stride in shifts.items():
+                c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+            if name == "supplier" and i > 0:
+                # unique tickers per copy (star_companies upper(s_name));
+                # copy 0 keeps originals so point lookups still hit
+                c = c.withColumn(
+                    "s_name", F.concat(F.col("s_name"), F.lit(f"_C{i}"))
+                )
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(N_FILES).write.mode("overwrite").parquet(
+            f"{out_dir}/{name}.parquet"
+        )
+    for name in COPY_THROUGH:
+        spark.read.parquet(f"{SRC}/{name}.parquet").repartition(
+            2
+        ).write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_scaleproof"
+    only = sys.argv[2:]
+    from sec_xbrl_finwarehouse_spark.session import get_spark
+    from sec_xbrl_finwarehouse_spark.schemas import STAR_TABLES
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scale-proof")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        t0 = time.time()
+        build(spark, out_dir)
+        print(f"built {out_dir} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    qmap = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = [n for n in QUERIES if n in qmap and (not only or n in only)]
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {os.cpu_count()}")
+    for t in STAR_TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{out_dir}/{t}.parquet/*.parquet'"
+        )
+
+    def duck_time(sql: str) -> tuple[float, bool]:
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(PER_QUERY_CAP_SEC):
+                con.interrupt()
+
+        best, capped = float("inf"), False
+        for _ in range(2):
+            w = threading.Thread(target=watchdog, daemon=True)
+            w.start()
+            t0 = time.time()
+            try:
+                con.sql(sql).fetchall()
+                best = min(best, time.time() - t0)
+            except Exception as ex:
+                if time.time() - t0 >= PER_QUERY_CAP_SEC - 1:
+                    capped = True
+                    best = min(best, PER_QUERY_CAP_SEC)
+                else:  # a real error, not the watchdog: surface it
+                    raise RuntimeError(f"oracle failed (not a timeout): {ex}")
+            finally:
+                done.set()
+            done.clear()
+        return best, capped
+
+    results = {}
+    for name in names:
+        qmap[name](spark, out_dir).toPandas()  # warmup
+        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            qmap[name](spark, out_dir).toPandas()
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+        d, capped = (
+            duck_time(oracles[name]) if name in oracles else (None, False)
+        )
+        results[name] = {
+            "spark_sec": round(best, 3),
+            "duckdb_sec": None if d is None else round(d, 3),
+            "duckdb_capped": capped,
+            "ratio": None if not d else round(best / d, 2),
+        }
+        print(json.dumps({"query": name, **results[name]}), file=sys.stderr)
+
+    print(json.dumps({"sf": "sf0.1 x10 multi-file", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
