@@ -452,6 +452,70 @@ WHERE rank <= {TOPK}
 """
 
 
+# ---- IVF as a STORED index (pre-partitioned by cell) -----------------------
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the IVF layout the q_emb_ivf_ann_topk docstring
+    promises at 100 TB: the corpus written ONCE, hash-partitioned on its
+    coarse-quantizer cell (``partitionBy("cell")``), plus the centroid
+    table beside it. After this, every ANN query touches only its NPROBE
+    probed cells -- partition pruning does the skipping, no full-corpus
+    scan ever again. This is the FAISS IVF-Flat build step re-expressed
+    as a parquet layout decision."""
+    e = _embeddings(spark, sf_dir)
+    cent = _centroids(e)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "emb"
+    )
+    wa = Window.partitionBy("neighbor_id").orderBy(
+        F.col("sqdist").asc(), F.col("c_label").asc()
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .withColumn("sqdist", F.round(_sqdist(F.col("emb"), F.col("centroid")), 6))
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+        .select("neighbor_id", "emb", F.col("c_label").alias("cell"))
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/corpus"
+    )
+    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def q_emb_ivf_index_probe(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """ANN top-k against a STORED IVF index: identical output contract to
+    q_emb_ivf_ann_topk, but the corpus side is the pre-partitioned
+    parquet and the probe list arrives via a broadcast join on the
+    partition column -- Spark's dynamic partition pruning then reads
+    ONLY the probed cell directories (verified in
+    tests/test_ivf_index.py by inspecting the scan's pruning filters).
+    At 100 TB this is the difference between scanning NPROBE/cells of
+    the data and scanning all of it."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    queries = _embeddings(spark, sf_dir).filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("sqdist").asc(), F.col("c_label").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("sqdist", F.round(_sqdist(F.col("qemb"), F.col("centroid")), 6))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") <= NPROBE)
+        .select("query_id", "qemb", F.col("c_label").alias("cell"))
+    )
+    stored = spark.read.parquet(f"{index_dir}/corpus")
+    scored = stored.join(F.broadcast(probes), "cell").select(
+        "query_id", "neighbor_id",
+        F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+    )
+    return _topk_per_query(scored)
+
+
 QUERIES = {
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ivf_ann_topk": q_emb_ivf_ann_topk,

@@ -200,6 +200,74 @@ FROM tok
 """
 
 
+# ---- BPE-ish regex token count ---------------------------------------------
+
+# GPT-2-style pretokenizer, restricted to syntax RE2 (DuckDB) and Java
+# (Spark) interpret identically: alternation of contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
+# No lookaheads (RE2 has none), no \p classes (ASCII approximation).
+BPE_PATTERN = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+
+def q_doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts under a BPE-ish regex pretokenizer (the GPT-2 split
+    pattern, ASCII-approximated) next to the whitespace count -- the
+    standard "how many tokens will training see" estimator. Pure
+    projection (regexp_extract_all is a built-in, no UDF, no shuffle);
+    non-whitespace token count excludes runs of pure whitespace like BPE
+    pretokenization does."""
+    d = _documents(spark, sf_dir)
+    # Column API, not F.expr: the pattern contains a single quote (the
+    # contraction branch), which would terminate a SQL string literal
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))
+    return d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("\\S"))).alias("n_bpe_tokens"),
+    )
+
+
+DOC_BPE_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> ''))
+         AS n_ws_tokens,
+       len(list_filter(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}'),
+                       x -> regexp_matches(x, '\\S')))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---- deterministic train/test split ----------------------------------------
+
+TRAIN_HEX = tuple("0123456789abcd")  # 14/16 of the md5 space -> "train"
+
+
+def q_doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-independent train/test assignment: split by
+    the first hex digit of md5(doc_id) (14/16 ~ 87.5% train). This is
+    the content-stable split every training pipeline needs -- no RNG, no
+    seed coordination across engines or re-runs, re-ingesting the same
+    doc always lands in the same split, and at 100 TB it is a pure
+    projection (no shuffle, no sampling pass)."""
+    d = _documents(spark, sf_dir)
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        F.when(first_hex.isin(*TRAIN_HEX), F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+DOC_TRAIN_TEST_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN {TRAIN_HEX!r} THEN 'train' ELSE 'test' END AS split
+FROM documents
+"""
+
+
 # ---- quality scoring -------------------------------------------------------
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,6 +654,8 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_bpe_token_count": q_doc_bpe_token_count,
+    "doc_train_test_split": q_doc_train_test_split,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
@@ -597,6 +667,8 @@ QUERIES = {
 
 ORACLES = {
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
+    "doc_bpe_token_count": DOC_BPE_TOKEN_COUNT_SQL,
+    "doc_train_test_split": DOC_TRAIN_TEST_SPLIT_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
     "doc_lang_id": DOC_LANG_ID_SQL,
