@@ -60,6 +60,23 @@ def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming exactly-once dedup on the natural key -- the streaming
+    twin of the batch D1 ``natural_key_dedup`` and the ingestion shape
+    of ``ON CONFLICT DO NOTHING`` (first observation wins, replays and
+    at-least-once source duplicates are dropped).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's event time, so state is bounded by the
+    duplicate horizon (here 1 hour) instead of growing with the stream --
+    the only form that survives an unbounded 100 TB/day feed. Duplicates
+    arriving later than the watermark are the source's SLA violation,
+    exactly like late events for the windowed aggregations."""
+    return events.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling event-time window per event_type with watermark-bounded
     state -- streaming twin of q_event_window_agg."""

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sec_xbrl_finwarehouse_spark.streaming.events_stream import (
+    dedup_stream,
     sessionize_stream,
     stream_events,
     user_running_totals,
@@ -94,6 +95,29 @@ def test_sessionize_stream_matches_batch_gaps(spark, tmp_path):
     assert s1[0]["n_events"] == 2 and s1[0]["total_value"] == 3.0
     # session_window end = last event + gap
     assert s1[0]["session_end"] == _ts(10.0 + 30.0)
+
+
+def test_dedup_stream_drops_replayed_duplicates(spark, tmp_path):
+    """At-least-once replay: the same event_id arriving again (same or
+    later micro-batch, within the watermark horizon) is emitted once --
+    streaming twin of the D1 natural-key dedup."""
+    batches = [
+        [
+            (1, 1, "view", 0.0, 1.0),
+            (1, 1, "view", 0.0, 1.0),   # in-batch duplicate
+            (2, 1, "click", 10.0, 2.0),
+        ],
+        [
+            (2, 1, "click", 10.0, 2.0),  # replayed from batch 0
+            (3, 2, "view", 20.0, 3.0),
+        ],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    out = _run_to_memory(
+        spark, dedup_stream(stream_events(spark, src)), "dedup_stream", "append"
+    )
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 3]
 
 
 def test_user_running_totals_accumulates_across_batches(spark, tmp_path):
