@@ -617,39 +617,80 @@ def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_MINHASH_LSH_SQL = DOC_JACCARD_PAIRS_SQL
 
 
-# ---- SimHash (fingerprint; hash-dependent, no SQL oracle) ------------------
+# ---- SimHash (fingerprint; portable hash -> full SQL oracle) ---------------
 
-def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash over tokens: per bit, sum +1/-1 weighted by token
-    hash bit, sign -> bit. Computed entirely with built-ins: explode
-    tokens, one groupBy(doc_id) with 64 conditional sums (map-side
-    partial agg), reassemble the fingerprint. Hamming-ball candidate
-    search then works by banding the 64 bits into 4x16-bit keys
-    (tested in tests/test_text.py); xxhash64 is not available in DuckDB
-    so this query has a rows-only driver check, while its *semantics*
-    (near-dup pairs land within small hamming distance) are unit-tested."""
-    d = _documents(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
-    bit_sums = toks.groupBy("doc_id").agg(
+SIMHASH_BITS = 60
+
+
+def _portable_hash60(col):
+    """60-bit token hash both engines compute identically: the first 15
+    hex chars of md5, parsed base-16. Spark spells it
+    ``conv(substr(md5(x),1,15),16,10)``; DuckDB
+    ``('0x' || substr(md5(x),1,15))::BIGINT`` -- verified equal. md5 is
+    ~3x the cost of xxhash64, which is fine here (one hash per token);
+    the MinHash path keeps xxhash64 because its cost IS the query."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _simhash_from_tokens(toks: DataFrame) -> DataFrame:
+    """(doc_id, tok) -> (doc_id, simhash): per bit, sum +1/-1 by the
+    token-hash bit, sign -> fingerprint bit. One groupBy(doc_id) with 60
+    conditional sums (map-side partial agg), then reassembly -- all
+    built-ins, no UDF. 60 bits keep the fingerprint a positive long."""
+    hashed = toks.withColumn("th", _portable_hash60(F.col("tok")))
+    bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
                        F.lit(1)).otherwise(F.lit(-1))
             ).alias(f"b{i}")
-            for i in range(64)
+            for i in range(SIMHASH_BITS)
         ]
     )
-    fp = bit_sums.select(
+    return bit_sums.select(
         "doc_id",
         sum(
             (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
              .cast("long") * F.lit(1 << i).cast("long"))
-            for i in range(63)  # bit 63 left clear: keep the long positive
+            for i in range(SIMHASH_BITS)
         ).alias("simhash"),
     )
-    return fp
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints over whitespace tokens. Hamming-ball
+    candidate search works by banding the 60 bits into 4x15-bit keys;
+    locality (near-dup pairs land at small hamming distance) is
+    unit-tested in tests/test_text.py. The token hash is the portable
+    md5-derived 60-bit value, so the DuckDB oracle reproduces the exact
+    fingerprints (hash-match, not just rows-only)."""
+    d = _documents(spark, sf_dir)
+    return _simhash_from_tokens(
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    )
+
+
+DOC_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM tok
+),
+bits AS (
+  SELECT doc_id,
+         {', '.join(f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+                    for i in range(SIMHASH_BITS))}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       {' + '.join(f"(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << i}"
+                   for i in range(SIMHASH_BITS))} AS simhash
+FROM bits
+"""
 
 
 QUERIES = {
@@ -675,6 +716,5 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_minhash_lsh_dedup": DOC_MINHASH_LSH_SQL,
-    # doc_simhash: intentionally no oracle (xxhash64 not in DuckDB);
-    # rows-only driver check + unit tests in tests/test_text.py.
+    "doc_simhash": DOC_SIMHASH_SQL,
 }

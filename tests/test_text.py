@@ -41,24 +41,7 @@ def _simhash_of(spark, texts):
 
     df = _docs(spark, texts)
     toks = df.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    toks = toks.withColumn("th", F.xxhash64("tok"))
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
-                       F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
-    )
-    fp = bit_sums.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
-             .cast("long") * F.lit(1 << i).cast("long"))
-            for i in range(63)
-        ).alias("simhash"),
-    )
+    fp = tq._simhash_from_tokens(toks)
     return {r["doc_id"]: r["simhash"] for r in fp.collect()}
 
 
