@@ -10,8 +10,9 @@ Beyond-reference training-data-pipeline pack:
   label-centroid (the k-means / IVF coarse-quantizer assignment step).
 * ``emb_lsh_ann_topk`` -- random-hyperplane LSH bucketed ANN, the
   sub-quadratic scale path (vectorized Pandas UDF for the projections,
-  exact re-rank on candidates only). Probabilistic -> no SQL oracle;
-  recall is unit-tested on planted near-neighbors.
+  exact re-rank on candidates only). The +-1 planes are md5-derived, so
+  the query is deterministic and fully oracle-paired; *recall* (a data
+  property) is unit-tested on planted near-neighbors.
 
 Float policy: all arithmetic is promoted to double on both engines and
 every emitted similarity/distance is ``round(x, 6)``; ranking uses the
@@ -43,7 +44,6 @@ TOPK = 5
 NEARDUP_COS = 0.4
 LSH_TABLES = 8
 LSH_BITS = 8
-LSH_SEED = 42
 
 
 def _embeddings(spark: SparkSession, sf_dir: str, parallel: bool = True) -> DataFrame:
@@ -258,22 +258,40 @@ WHERE rk = 1
 """
 
 
-# ---- LSH bucketed ANN (scale path; no SQL oracle) --------------------------
+# ---- LSH bucketed ANN (scale path; portable planes -> SQL oracle) ----------
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    """Rademacher (+-1) hyperplanes, entry (j, i) = parity of the
+    md5-derived 60-bit hash of ``"lsh_{j}_{i}"`` -- the same bits
+    DuckDB's ``md5`` yields, so the SQL oracle reproduces the exact
+    buckets (EMB_LSH_ANN_TOPK_SQL). +-1 sign random projections are the
+    standard SRP-LSH variant (Charikar '02 / Achlioptas '01): the
+    collision probability 1 - theta/pi holds as for Gaussian planes.
+    Deterministic across executors with no RNG state to ship."""
+    import hashlib
+
+    n = LSH_TABLES * LSH_BITS
+    arr = np.empty((n, dim))
+    for j in range(n):
+        for i in range(dim):
+            h = int(hashlib.md5(f"lsh_{j}_{i}".encode()).hexdigest()[:15], 16)
+            arr[j, i] = 1.0 if h & 1 else -1.0
+    return arr
+
 
 def _lsh_buckets_udf():
     """Pandas UDF: embedding -> array of LSH_TABLES bucket ids.
 
-    Random-hyperplane signatures: LSH_TABLES tables x LSH_BITS planes,
-    hyperplanes drawn once per executor from a seeded RNG (deterministic
-    across the cluster). Arrow-batched matmul -- one numpy GEMM per
-    batch, no per-row Python."""
+    Random-hyperplane signatures: LSH_TABLES tables x LSH_BITS planes
+    (:func:`_lsh_planes`, rebuilt per batch from md5 -- trivial next to
+    the GEMM). Arrow-batched matmul -- one numpy GEMM per batch, no
+    per-row Python."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
     def buckets(emb: pd.Series) -> pd.Series:
-        rng = np.random.RandomState(LSH_SEED)
         dim = len(emb.iloc[0]) if len(emb) else 0
-        planes = rng.standard_normal((LSH_TABLES * LSH_BITS, dim))
+        planes = _lsh_planes(dim)
         m = np.stack(emb.to_numpy())                     # (batch, dim)
         bits = (m @ planes.T) > 0                        # (batch, T*B)
         weights = (1 << np.arange(LSH_BITS)).astype("int64")
@@ -290,9 +308,12 @@ def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: bucket both sides per table,
     equi-join on (table, bucket) for candidates, exact cosine re-rank of
     candidates only. Sub-quadratic: cost scales with bucket collision
-    counts, not corpus^2. Probabilistic recall (8 tables x 8 bits:
-    P[miss] < 1e-4 for near-duplicate vectors) -- driver check is
-    rows-only; recall is unit-tested in tests/test_embeddings.py."""
+    counts, not corpus^2. Recall is probabilistic in the *data* (8
+    tables x 8 bits: P[miss] < 1e-4 for near-duplicate vectors; tested
+    on planted neighbors in tests/test_embeddings.py), but the query
+    itself is deterministic -- the planes are md5-derived
+    (:func:`_lsh_planes`), so the DuckDB oracle replicates the exact
+    candidate sets and the driver check is a full hash match."""
     e = _embeddings(spark, sf_dir, parallel=False)
     buckets = _lsh_buckets_udf()
     with_b = e.select("vec_id", "emb", buckets("emb").alias("bks"))
@@ -321,6 +342,58 @@ def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
     )
     return _topk_per_query(scored)
+
+
+# Same pipeline in SQL: rebuild the +-1 planes from md5 parity, signature
+# bits from the per-plane dot sign, bucket ids per table, candidate
+# equi-join on (tbl, bucket), exact cosine re-rank. The only approximation
+# risk vs Spark is a dot product landing exactly on 0 under one engine's
+# summation order and not the other's -- measure-zero for real embeddings.
+EMB_LSH_ANN_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+ed AS (
+  SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x FROM e
+),
+proj AS (
+  SELECT j, i,
+         CASE WHEN ('0x' || substr(md5('lsh_' || j || '_' || (i - 1)), 1, 15))
+                   ::BIGINT & 1 = 1
+              THEN 1.0 ELSE -1.0 END AS w
+  FROM range(0, {LSH_TABLES * LSH_BITS}) t(j)
+       CROSS JOIN (SELECT DISTINCT i FROM ed) d
+),
+bits AS (
+  SELECT ed.vec_id, p.j,
+         CASE WHEN sum(ed.x * p.w) > 0 THEN 1 ELSE 0 END AS bit
+  FROM ed JOIN proj p USING (i)
+  GROUP BY ed.vec_id, p.j
+),
+buckets AS (
+  SELECT vec_id, j // {LSH_BITS} AS tbl,
+         sum(bit * (1 << (j % {LSH_BITS}))) AS bucket
+  FROM bits GROUP BY vec_id, j // {LSH_BITS}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_DUCK_COS.format(a='qe.emb', b='ce.emb')} AS cosine
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
 
 
 # ---- IVF ANN (coarse-quantize, probe, exact re-rank) -----------------------
@@ -529,6 +602,5 @@ ORACLES = {
     "emb_ivf_ann_topk": EMB_IVF_ANN_TOPK_SQL,
     "emb_cosine_neardup": EMB_COSINE_NEARDUP_SQL,
     "emb_nearest_centroid": EMB_NEAREST_CENTROID_SQL,
-    # emb_lsh_ann_topk: probabilistic candidate set -> rows-only check;
-    # recall unit-tested in tests/test_embeddings.py.
+    "emb_lsh_ann_topk": EMB_LSH_ANN_TOPK_SQL,
 }
