@@ -617,6 +617,119 @@ def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_MINHASH_LSH_SQL = DOC_JACCARD_PAIRS_SQL
 
 
+# ---- dedup clusters (connected components over near-dup pairs) -------------
+
+CC_MAX_ITERS = 20
+
+
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup clusters: connected components over the
+    LSH-verified pair graph, every document mapped to its component's
+    min doc_id (``cluster_rep``) with ``keep`` marking the canonical
+    copy. This is the step that turns pairwise similarity into an
+    actual dedup decision (transitive: A~B, B~C dedups C against A even
+    when A,C were never a pair).
+
+    Iterative Hash-Min label propagation (Rastogi et al. 2013, "Finding
+    Connected Components in MapReduce and Beyond"):
+
+    * Only the pair-graph NODES iterate -- at 100 TB the near-dup graph
+      is orders of magnitude smaller than the corpus, which joins in
+      exactly once at the end (left join, singletons keep themselves).
+    * Each iteration is one equi-join + min-agg; labels only ever
+      decrease, so ``sum(rep)`` is strictly monotone and one scalar
+      action per iteration detects the fixpoint.
+    * ``localCheckpoint`` truncates lineage per iteration (on a cluster:
+      ``checkpoint()`` to reliable storage) -- without it the plan
+      doubles every round and Catalyst analysis time explodes.
+    * Iterations needed = eccentricity of each component's min node;
+      near-dup clusters are near-cliques (2-4 hops), far under
+      ``CC_MAX_ITERS``.
+    """
+    pairs = q_doc_minhash_lsh_dedup(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.unionByName(
+            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+        )
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("rep", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
+        nmin = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        labels = (
+            labels.join(nmin, labels["doc_id"] == nmin["src"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("rep")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    edges.unpersist()
+    docs = _documents(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .withColumn("cluster_rep", F.coalesce("rep", "doc_id"))
+        .select(
+            "doc_id",
+            "cluster_rep",
+            (F.col("cluster_rep") == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+# Oracle: the exhaustive Jaccard pairs (same contract the LSH path is
+# verified against) + transitive closure via a recursive CTE, min
+# reachable node = component representative.
+DOC_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {SHINGLE_K} THEN []::varchar[]
+              ELSE list_distinct([array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')
+                                  for i in range(1, len(w) - {SHINGLE_K - 2})])
+         END AS shingles
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE (len(list_intersect(a.shingles, b.shingles))::double
+         / (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles)))) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+walk AS (
+  SELECT a AS doc_id, a AS reach FROM edges
+  UNION
+  SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (SELECT doc_id, min(reach) AS cluster_rep FROM walk GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+       coalesce(c.cluster_rep, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 # ---- SimHash (fingerprint; portable hash -> full SQL oracle) ---------------
 
 SIMHASH_BITS = 60
@@ -703,6 +816,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_minhash_lsh_dedup": q_doc_minhash_lsh_dedup,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
 }
 
@@ -716,5 +830,6 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_minhash_lsh_dedup": DOC_MINHASH_LSH_SQL,
+    "doc_dedup_clusters": DOC_DEDUP_CLUSTERS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
 }

@@ -118,3 +118,31 @@ def test_minhash_lsh_recall_on_planted_neardups(spark, tmp_path):
     exact = tq.q_doc_jaccard_pairs(spark, str(sf)).collect()
     assert {(r["d1"], r["d2"]) for r in exact} == pairs
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_dedup_clusters_transitive_chain(spark, tmp_path):
+    """A~B and B~C (but A!~C directly) must land in ONE cluster with the
+    min doc_id as rep; unrelated docs keep themselves."""
+    import shutil
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    base = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(base),                                      # 0: A
+        " ".join(base[12:] + [f"x{i}" for i in range(12)]),  # 1: B ~ A (J~0.54)
+        " ".join(base[24:] + [f"x{i}" for i in range(12)]
+                 + [f"y{i}" for i in range(12)]),            # 2: C ~ B, not ~A
+        " ".join(f"q{i}" for i in range(40)),                # 3: unrelated
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(spark, texts).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    # sanity: the pair graph is exactly the chain {(0,1), (1,2)}
+    got_pairs = {(r["d1"], r["d2"])
+                 for r in tq.q_doc_jaccard_pairs(spark, str(sf)).collect()}
+    assert got_pairs == {(0, 1), (1, 2)}
+    out = {r["doc_id"]: (r["cluster_rep"], r["keep"])
+           for r in tq.q_doc_dedup_clusters(spark, str(sf)).collect()}
+    assert out == {0: (0, True), 1: (0, False), 2: (0, False), 3: (3, True)}
+    shutil.rmtree(sf, ignore_errors=True)
