@@ -25,6 +25,19 @@ but via Arrow batches -- the production-faithful transfer path. Plain
 ``collect()`` builds a Python object per field and was measured 8x
 slower than the ENTIRE engine execution on 600k-row results; that
 overhead is a pyspark client artifact, not engine throughput.
+
+Same-run comparator: the DuckDB oracle for each query is timed in the
+SAME process run, interleaved per query (duck, then spark), with the
+identical warmup + min-of-3 protocol. Rationale: the host's bursty
+throttling (above) hits whole multi-minute windows, so a Spark bench
+taken during a noisy window compared against a DuckDB table recorded
+on a quiet day overstates every ratio ~uniformly (r2: the driver's
+Spark numbers ran ~2x the builder's across ALL queries, including
+pure-floor ones). Interleaving puts both engines under the same
+conditions; the JSON carries both sides plus per-query ratios, so the
+ratio -- the actual gate -- is noise-robust even when absolute numbers
+are not. DuckDB runs are capped (watchdog interrupt) and reported as
+the cap with a ``capped`` marker ("needs at least this long").
 """
 
 from __future__ import annotations
@@ -72,6 +85,52 @@ BENCH_QUERIES = [
 ]
 
 
+ORACLE_CAP_SEC = 20.0
+
+
+def _oracle_runner(sf_dir: str):
+    """(sql) -> min-of-3 sec (or cap) on a DuckDB connection over the
+    same parquet; None-safe watchdog interrupt implements the cap."""
+    import threading
+
+    import duckdb
+
+    from sec_xbrl_finwarehouse_spark.schemas import STAR_TABLES
+
+    con = duckdb.connect()
+    con.sql(f"SET threads TO {os.cpu_count()}")
+    for t in STAR_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    def timed_once(sql: str) -> float | None:
+        done = threading.Event()
+
+        def watchdog():
+            if not done.wait(ORACLE_CAP_SEC):
+                con.interrupt()
+
+        threading.Thread(target=watchdog, daemon=True).start()
+        t0 = time.time()
+        try:
+            con.sql(sql).fetchall()
+            return time.time() - t0
+        except duckdb.InterruptException:
+            return None
+        finally:
+            done.set()
+
+    def run(sql: str) -> tuple[float, bool]:
+        if timed_once(sql) is None:          # warmup doubles as cap probe
+            return ORACLE_CAP_SEC, True
+        best = float("inf")
+        for _ in range(3):
+            got = timed_once(sql)
+            best = min(best, got if got is not None else ORACLE_CAP_SEC)
+        return round(best, 3), False
+
+    return run
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -80,12 +139,21 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qmap = entrymod.queries()
+    osql = entrymod.oracle_sql()
     names = [n for n in BENCH_QUERIES if n in qmap]
+    run_oracle = _oracle_runner(sf_dir)
 
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
     timings: dict[str, float] = {}
+    oracle: dict[str, float] = {}
+    ratio: dict[str, float] = {}
+    capped: list[str] = []
     for name in names:
+        if name in osql:                     # comparator first, same window
+            oracle[name], was_capped = run_oracle(osql[name])
+            if was_capped:
+                capped.append(name)
         qmap[name](spark, sf_dir).toPandas()  # warmup: codegen + footers
         spark.catalog.clearCache()
         best = float("inf")
@@ -95,6 +163,8 @@ def main() -> None:
             best = min(best, time.time() - t0)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        if name in oracle and oracle[name] > 0:
+            ratio[name] = round(timings[name] / oracle[name], 2)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -103,6 +173,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "oracle_same_run": {
+            "metric": "duckdb_oracle_total",
+            "value": round(sum(oracle.values()), 3),
+            "queries": oracle,
+            "capped": capped,
+            "cap_sec": ORACLE_CAP_SEC,
+        },
+        "spark_over_duckdb_ratio": ratio,
     }))
 
 

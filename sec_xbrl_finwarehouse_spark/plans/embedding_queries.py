@@ -316,20 +316,26 @@ def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate sets and the driver check is a full hash match."""
     e = _embeddings(spark, sf_dir, parallel=False)
     buckets = _lsh_buckets_udf()
-    with_b = e.select("vec_id", "emb", buckets("emb").alias("bks"))
-    # persisted: both the broadcast (query) side and the corpus side
-    # consume this frame -- without it the Pandas-UDF projection subplan
-    # executes twice (once to build the broadcast, once streaming).
-    exploded = with_b.select(
-        "vec_id", "emb", F.posexplode("bks").alias("tbl", "bucket")
-    ).persist()
+
+    # The query/corpus split happens BELOW the Pandas UDF on purpose: the
+    # broadcast (query) side re-executes its subplan when the join
+    # materializes, but its vec_id filter is pushed into the parquet scan
+    # so that re-execution buckets only N_QUERIES rows. The corpus side
+    # streams through the UDF exactly once. No persist -- an earlier
+    # version cached the full bucketed corpus here and leaked it in
+    # long-lived sessions (never unpersisted).
+    def _bucketed(side: DataFrame) -> DataFrame:
+        return side.select(
+            "vec_id", "emb", buckets("emb").alias("bks")
+        ).select("vec_id", "emb", F.posexplode("bks").alias("tbl", "bucket"))
+
     q = (
-        exploded.filter(F.col("vec_id") < N_QUERIES)
+        _bucketed(e.filter(F.col("vec_id") < N_QUERIES))
         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
                 "tbl", "bucket")
     )
     c = (
-        exploded.filter(F.col("vec_id") >= N_QUERIES)
+        _bucketed(e.filter(F.col("vec_id") >= N_QUERIES))
         .select(F.col("vec_id").alias("neighbor_id"), "emb", "tbl", "bucket")
     )
     cand = (

@@ -28,14 +28,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a microsecond timestamp.
 
     The driver parquet stores ``ts`` as TIMESTAMP(NANOS), which the Spark
-    vectorized reader rejects outright; the session-level
-    ``spark.sql.legacy.parquet.nanosAsLong`` flag (set once in
-    session.get_spark -- there is no per-read option) reads the raw
-    int64, and the ``div 1000`` truncation to micros matches exactly how
-    DuckDB coerces the same column (its timestamps are micros). The
-    dtype check below keeps this reader correct either way, e.g. under
-    an externally-built session without the flag and nanos-free data.
+    vectorized reader rejects outright; the ``spark.sql.legacy.parquet.
+    nanosAsLong`` flag (a runtime-settable SQL conf -- there is no
+    per-read option) reads the raw int64, and the ``div 1000``
+    truncation to micros matches exactly how DuckDB coerces the same
+    column (its timestamps are micros). The conf is ALSO a get_spark
+    builder default, but it must be set here too: callers routinely hand
+    us an externally-built session (the driver's verify harness does),
+    and without the conf every events read crashes with
+    PARQUET_TYPE_ILLEGAL. Idempotent, so setting it per-read is free.
+    The dtype check keeps the reader correct either way (nanos-free data
+    under a flagless session arrives as a real timestamp already).
     """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(table_path(sf_dir, "events"))
     if dict(e.dtypes).get("ts") == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -139,16 +139,27 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts sharing a hash -- is re-resolved by re-grouping just those
     rows on the exact text, so output equals the text-keyed oracle even
     under collisions. The fallback branch is a broadcast semi-join on a
-    (near-always-empty) key set, costing one empty-side job."""
+    (near-always-empty) key set, costing one empty-side job.
+
+    NULL handling: documents with NULL text form one group (the oracle's
+    GROUP BY groups NULLs together, as does Spark's). min/max IGNORE
+    nulls, so the collision check must be null-safe on two axes: an
+    all-NULL group has mn = mx = NULL (eqNullSafe keeps it clean), and a
+    mixed NULL/non-NULL hash collision would fool a bare min=max check
+    because the NULLs vanish from both -- hence the n_nonnull guard."""
     d = _documents(spark, sf_dir).withColumn("norm", F.lower(F.trim("text")))
     agg = d.groupBy(F.xxhash64("norm").alias("hkey")).agg(
         F.min("doc_id").alias("keep_doc_id"),
         F.count("*").alias("n_copies"),
         F.min("norm").alias("mn"),
         F.max("norm").alias("mx"),
+        F.count("norm").alias("n_nonnull"),
     )
-    clean = agg.filter(F.col("mn") == F.col("mx")).select("keep_doc_id", "n_copies")
-    collided_keys = agg.filter(F.col("mn") != F.col("mx")).select("hkey")
+    is_clean = F.col("mn").eqNullSafe(F.col("mx")) & (
+        (F.col("n_nonnull") == F.col("n_copies")) | (F.col("n_nonnull") == 0)
+    )
+    clean = agg.filter(is_clean).select("keep_doc_id", "n_copies")
+    collided_keys = agg.filter(~is_clean).select("hkey")
     collided = (
         d.withColumn("hkey", F.xxhash64("norm"))
         .join(F.broadcast(collided_keys), "hkey", "left_semi")

@@ -65,10 +65,12 @@ def get_spark(
         # which Spark's vectorized reader rejects outright; this legacy
         # flag reads the raw int64 instead (queries then reconstruct
         # micros via timestamp_micros(ts div 1000), matching DuckDB's
-        # coercion). Set ONCE here -- scoping it per-read is impossible
-        # (no DataFrameReader option exists), and flipping it inside a
-        # query builder would silently retype any later nanos column in
-        # unrelated reads (ADVICE r1).
+        # coercion). Scoping it per-read is impossible (no
+        # DataFrameReader option exists), so it is a session default here
+        # AND set idempotently inside plans/events_queries._events --
+        # callers routinely hand the query builders an externally-built
+        # session (the driver's verify harness does), and without the
+        # conf every events read crashes (ADVICE r2).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
     )

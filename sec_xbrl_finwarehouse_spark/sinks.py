@@ -79,15 +79,27 @@ def _data_cols(df: DataFrame) -> list[str]:
 
 
 def write_replace(df: DataFrame, path: str) -> None:
-    """Write-then-swap full-table publish (atomic on POSIX/HDFS)."""
+    """Write-then-swap full-table publish (atomic on POSIX/HDFS).
+
+    Staging/old directories are siblings of ``path`` (same parent, so
+    same filesystem -- a cross-device rename would raise EXDEV and break
+    atomicity). If the swap-in of the new version fails after the old
+    version was already renamed away, the old version is renamed BACK
+    before re-raising, so a failed publish never leaves the table
+    missing: readers see either the old or the new version, never a gap.
+    """
     tmp = f"{path}.__staging__{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
     old = f"{path}.__old__{uuid.uuid4().hex}"
+    moved_old = False
     try:
         if os.path.exists(path):
             os.rename(path, old)
+            moved_old = True
         os.rename(tmp, path)
     except OSError:
+        if moved_old and not os.path.exists(path):
+            os.rename(old, path)
         shutil.rmtree(tmp, ignore_errors=True)
         raise
     shutil.rmtree(old, ignore_errors=True)

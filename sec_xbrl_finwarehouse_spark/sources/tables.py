@@ -21,14 +21,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 _BYTE_SUFFIX = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
-                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
+
+_DEFAULT_MAX_PARTITION_BYTES = 128 * 1024 * 1024
 
 
 def _parse_bytes(s: str) -> int:
-    """Spark size-conf strings: '134217728', '134217728b', '128m', '128MB'."""
+    """Spark size-conf strings: '134217728', '134217728b', '128m', '1tb'.
+
+    Unparseable values fall back to Spark's 128 MB default instead of
+    raising -- a weird user conf must not crash the scan helper."""
     s = s.strip().lower()
-    digits = s.rstrip("kmgb")
-    return int(digits) * _BYTE_SUFFIX[s[len(digits):]]
+    digits = s.rstrip("kmgtpb")
+    try:
+        return int(digits) * _BYTE_SUFFIX[s[len(digits):]]
+    except (ValueError, KeyError):
+        return _DEFAULT_MAX_PARTITION_BYTES
 
 
 def parallelize_scan(

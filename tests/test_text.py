@@ -146,3 +146,35 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path):
            for r in tq.q_doc_dedup_clusters(spark, str(sf)).collect()}
     assert out == {0: (0, True), 1: (0, False), 2: (0, False), 3: (3, True)}
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_exact_dedup_null_text_matches_oracle(spark, tmp_path):
+    """Documents with NULL text form ONE dedup group (SQL GROUP BY groups
+    NULLs together); the hash-keyed plan must emit that group, not drop
+    it. Regression: min/max over an all-NULL group are NULL, so a bare
+    mn == mx collision check evaluates to NULL and the group fell into
+    NEITHER branch."""
+    import shutil
+
+    import duckdb
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    rows = [(0, "alpha beta"), (1, None), (2, "  Alpha Beta "),
+            (3, None), (4, "gamma"), (5, None)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1) \
+        .write.parquet(str(sf / "documents.parquet"))
+    got = sorted(
+        (r["keep_doc_id"], r["n_copies"])
+        for r in tq.q_doc_exact_dedup(spark, str(sf)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(tq.DOC_EXACT_DEDUP_SQL).fetchall()))
+    assert got == want == [(0, 2), (1, 3), (4, 1)]
+    shutil.rmtree(sf, ignore_errors=True)
