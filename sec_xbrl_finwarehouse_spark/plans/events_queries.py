@@ -25,26 +25,48 @@ TOPK_PER_USER = 3
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a microsecond timestamp.
+    """events with ``ts`` normalized to a microsecond TIMESTAMP_NTZ.
 
-    The driver parquet stores ``ts`` as TIMESTAMP(NANOS), which the Spark
-    vectorized reader rejects outright; the ``spark.sql.legacy.parquet.
-    nanosAsLong`` flag (a runtime-settable SQL conf -- there is no
-    per-read option) reads the raw int64, and the ``div 1000``
-    truncation to micros matches exactly how DuckDB coerces the same
-    column (its timestamps are micros). The conf is ALSO a get_spark
-    builder default, but it must be set here too: callers routinely hand
-    us an externally-built session (the driver's verify harness does),
-    and without the conf every events read crashes with
-    PARQUET_TYPE_ILLEGAL. Idempotent, so setting it per-read is free.
-    The dtype check keeps the reader correct either way (nanos-free data
-    under a flagless session arrives as a real timestamp already).
+    The driver parquet has shipped ``ts`` three different ways across
+    rounds, and callers routinely hand us an externally-built session
+    (the driver's verify harness does), so this loader must accept all
+    of them and emit ONE canonical dtype:
+
+    * TIMESTAMP(NANOS): the Spark vectorized reader rejects it outright;
+      the ``spark.sql.legacy.parquet.nanosAsLong`` conf (runtime-settable;
+      there is no per-read option) reads the raw int64 and ``div 1000``
+      truncates to micros -- exactly how DuckDB coerces the same column.
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ
+      (the current testdata shape) -- kept as-is.
+    * TIMESTAMP(MICROS, adjusted): arrives as TIMESTAMP -- cast to NTZ
+      (wall-clock preserving in the session zone).
+
+    Canonical NTZ matches DuckDB, whose parquet timestamps are naive
+    micros, so every downstream ts-emitting query hashes identically to
+    its oracle regardless of which parquet flavor was read.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(e.dtypes).get("ts") == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = dict(e.dtypes).get("ts")
+    if dt == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    elif dt == "timestamp":
+        e = e.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return e
+
+
+def _epoch_micros(c):
+    """Epoch microseconds of a TIMESTAMP or TIMESTAMP_NTZ column.
+
+    ``F.unix_micros`` only accepts TIMESTAMP, so NTZ input (the canonical
+    ``_events`` dtype) is first pinned to an instant via
+    ``to_utc_timestamp(c, 'UTC')`` -- i.e. the naive wall clock is read AS
+    UTC, which is deterministic regardless of the session time zone and
+    matches DuckDB's ``date_diff('microsecond', ...)`` on the same naive
+    values. Every use below is a difference of two such values, so even a
+    fixed offset would cancel; the UTC pin removes the dependence anyway.
+    """
+    return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
 
 
 # ---- tumbling event-time window -------------------------------------------
@@ -98,7 +120,7 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("ts").over(w)
     new_sess = (
         prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_SEC * 1_000_000)
+        | ((_epoch_micros(F.col("ts")) - _epoch_micros(prev)) > SESSION_GAP_SEC * 1_000_000)
     ).cast("long")
     sess = (
         e.withColumn("new_sess", new_sess)
@@ -109,7 +131,7 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
-        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000.0)
+        ((_epoch_micros(F.max("ts")) - _epoch_micros(F.min("ts"))) / F.lit(1_000_000.0)
          ).alias("duration_sec"),
         F.sum("value").alias("total_value"),
     )
@@ -169,7 +191,7 @@ def q_event_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "click")
         .select("user_id", "ts",
                 F.lit(None).cast("long").alias("view_event_id"),
-                F.lit(None).cast("timestamp").alias("view_ts"),
+                F.lit(None).cast(dict(e.dtypes)["ts"]).alias("view_ts"),
                 F.col("event_id").alias("click_event_id"), F.lit(1).alias("kind"))
     )
     w = (
@@ -332,7 +354,7 @@ def interval_join_counts(e: DataFrame, band_sec: int = BAND_SEC) -> DataFrame:
     positives. One shuffle on (user_id, bucket) either side; at 100 TB
     the bucket width trades fan-out against collision rate.
     """
-    us = F.unix_micros(F.col("ts"))
+    us = _epoch_micros(F.col("ts"))
     band_us = band_sec * 1_000_000
     views = (
         e.filter(F.col("event_type") == "view")
