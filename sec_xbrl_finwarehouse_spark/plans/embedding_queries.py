@@ -350,12 +350,13 @@ def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_per_query(scored)
 
 
-# Same pipeline in SQL: rebuild the +-1 planes from md5 parity, signature
-# bits from the per-plane dot sign, bucket ids per table, candidate
-# equi-join on (tbl, bucket), exact cosine re-rank. The only approximation
-# risk vs Spark is a dot product landing exactly on 0 under one engine's
-# summation order and not the other's -- measure-zero for real embeddings.
-EMB_LSH_ANN_TOPK_SQL = f"""
+# Shared CTE text: rebuild the +-1 planes from md5 parity, signature
+# bits from the per-plane dot sign, bucket ids per table. Used by both
+# LSH oracles (ANN top-k and near-dup pairs) so the bucket spelling
+# cannot drift between them. The only approximation risk vs Spark is a
+# dot product landing exactly on 0 under one engine's summation order
+# and not the other's -- measure-zero for real embeddings.
+_LSH_BUCKET_CTES = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 ed AS (
   SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x FROM e
@@ -378,7 +379,9 @@ buckets AS (
   SELECT vec_id, j // {LSH_BITS} AS tbl,
          sum(bit * (1 << (j % {LSH_BITS}))) AS bucket
   FROM bits GROUP BY vec_id, j // {LSH_BITS}
-),
+)"""
+
+EMB_LSH_ANN_TOPK_SQL = f"""{_LSH_BUCKET_CTES},
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
@@ -399,6 +402,65 @@ FROM (
   FROM scored
 )
 WHERE rank <= {TOPK}
+"""
+
+
+# ---- LSH bucketed near-dup pairs (scale path for emb_cosine_neardup) -------
+
+def q_emb_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via LSH buckets: candidates = vector
+    pairs sharing at least one (table, bucket), exact cosine verify at
+    the same threshold as the brute-force baseline.
+
+    This is the sub-quadratic scale path ``q_emb_cosine_neardup``'s
+    docstring promises: the O(n^2) theta join is replaced by a plain
+    equi-join on (tbl, bucket) -- cost scales with per-bucket collision
+    counts, not corpus^2, exactly the MinHash-LSH shape used for text.
+    Candidate pairs are distinct-ed BEFORE the embedding fetch so each
+    pair's cosine is computed once; embeddings are then fetched by two
+    id equi-joins (at 100 TB the bucketed signature table is tiny next
+    to the vectors, and the fetch joins co-partition on vec_id).
+    Deterministic: the planes are md5-derived (:func:`_lsh_planes`), so
+    the DuckDB oracle reproduces the exact candidate set and the driver
+    check is a full hash match. Recall vs the brute-force pair set is a
+    data property (same tables/bits as the ANN path: P[miss] < 1e-4 for
+    true near-duplicates), unit-tested on planted duplicates."""
+    e = _embeddings(spark, sf_dir, parallel=False).select("vec_id", "emb")
+    buckets = _lsh_buckets_udf()
+    b = (
+        e.select("vec_id", buckets("emb").alias("bks"))
+        .select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
+    )
+    left = b.select(F.col("vec_id").alias("v1"), "tbl", "bucket")
+    right = b.select(F.col("vec_id").alias("v2"), "tbl", "bucket")
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .dropDuplicates(["v1", "v2"])
+    )
+    e1 = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"))
+    e2 = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"))
+    return (
+        cand.join(e1, "v1").join(e2, "v2")
+        .withColumn("cosine", F.round(_cosine(F.col("e1"), F.col("e2")), 6))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select("v1", "v2", "cosine")
+    )
+
+
+EMB_LSH_NEARDUP_SQL = f"""{_LSH_BUCKET_CTES},
+cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT cand.v1, cand.v2,
+       {_DUCK_COS.format(a='ea.emb', b='eb.emb')} AS cosine
+FROM cand
+JOIN e ea ON ea.vec_id = cand.v1
+JOIN e eb ON eb.vec_id = cand.v2
+WHERE {_DUCK_COS.format(a='ea.emb', b='eb.emb')} >= {NEARDUP_COS}
 """
 
 
@@ -601,6 +663,7 @@ QUERIES = {
     "emb_cosine_neardup": q_emb_cosine_neardup,
     "emb_nearest_centroid": q_emb_nearest_centroid,
     "emb_lsh_ann_topk": q_emb_lsh_ann_topk,
+    "emb_lsh_neardup": q_emb_lsh_neardup,
 }
 
 ORACLES = {
@@ -609,4 +672,5 @@ ORACLES = {
     "emb_cosine_neardup": EMB_COSINE_NEARDUP_SQL,
     "emb_nearest_centroid": EMB_NEAREST_CENTROID_SQL,
     "emb_lsh_ann_topk": EMB_LSH_ANN_TOPK_SQL,
+    "emb_lsh_neardup": EMB_LSH_NEARDUP_SQL,
 }

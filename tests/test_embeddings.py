@@ -121,3 +121,27 @@ def test_ivf_recalls_planted_neighbor(spark, tmp_path):
     top1 = {r["query_id"]: r["neighbor_id"]
             for r in eq.q_emb_ivf_ann_topk(spark, sf).collect() if r["rank"] == 1}
     assert top1 == {i: i + eq.N_QUERIES for i in range(eq.N_QUERIES)}
+
+
+def test_lsh_neardup_finds_planted_pairs(spark, tmp_path):
+    """Planted near-duplicate pairs (cos ~ 0.999) must all survive the
+    LSH bucket-candidate stage and the exact verify; pairs of
+    independent random vectors (E[cos] ~ 0) must not appear."""
+    rng = np.random.RandomState(11)
+    dim = 64
+    base = rng.standard_normal((10, dim))
+    dups = base + 0.02 * rng.standard_normal((10, dim))
+    noise = rng.standard_normal((60, dim))
+    vecs = list(base) + list(dups) + list(noise)
+    sf = _write_sf(spark, tmp_path, vecs)
+
+    rows = eq.q_emb_lsh_neardup(spark, sf).collect()
+    got = {(r["v1"], r["v2"]) for r in rows}
+    planted = {(i, 10 + i) for i in range(10)}
+    assert planted <= got
+    # every reported pair genuinely clears the threshold (numpy check)
+    arr = np.stack(vecs)
+    for r in rows:
+        a, b = arr[r["v1"]], arr[r["v2"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos == pytest.approx(r["cosine"], abs=1e-5) and cos >= eq.NEARDUP_COS - 1e-6

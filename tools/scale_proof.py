@@ -67,12 +67,17 @@ def build(spark, out_dir: str) -> None:
     for name, shifts in SHIFTS.items():
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
         if name == "events":
-            # the source stores ts as TIMESTAMP(NANOS), which the session
-            # reads as raw int64 (nanosAsLong); materialize the scaled
-            # copy as a real micros timestamp so both engines read the
-            # same type without the legacy flag
+            # normalize ts across the parquet flavors the driver has
+            # shipped (nanos-as-long / NTZ micros / adjusted micros) so
+            # the scaled copy is always naive micros -- same rules as
+            # plans/events_queries._events
             from pyspark.sql import functions as FF
-            src = src.withColumn("ts", FF.timestamp_micros(FF.expr("ts div 1000")))
+            dt = dict(src.dtypes).get("ts")
+            if dt == "bigint":
+                src = src.withColumn(
+                    "ts", FF.timestamp_micros(FF.expr("ts div 1000")).cast("timestamp_ntz"))
+            elif dt == "timestamp":
+                src = src.withColumn("ts", FF.col("ts").cast("timestamp_ntz"))
         parts = []
         for i in range(COPIES):
             c = src
