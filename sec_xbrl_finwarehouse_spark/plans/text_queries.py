@@ -26,7 +26,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import parallelize_scan, table_path
@@ -794,7 +794,10 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_SIMHASH_SQL = f"""
+# Shared CTE text ending in ``sh(doc_id, simhash)`` -- used by both the
+# fingerprint oracle and the banded near-dup oracle so the simhash
+# spelling cannot drift between them.
+_DOC_SIMHASH_CTES = f"""
 WITH tok AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
@@ -809,11 +812,130 @@ bits AS (
          {', '.join(f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
                     for i in range(SIMHASH_BITS))}
   FROM h GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+         {' + '.join(f"(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << i}"
+                     for i in range(SIMHASH_BITS))} AS simhash
+  FROM bits
+)"""
+
+DOC_SIMHASH_SQL = f"""{_DOC_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sh
+"""
+
+
+# ---- SimHash banded near-dup pairs ----------------------------------------
+
+SIMHASH_BANDS = 4
+SIMHASH_HAM_MAX = 3
+
+
+def q_doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, banded for scale.
+
+    The 60-bit fingerprint is split into 4 x 15-bit band keys; candidate
+    pairs are (band, key) equi-join collisions, verified with the exact
+    ``bit_count(s1 XOR s2) <= {SIMHASH_HAM_MAX}`` hamming test. The
+    pigeonhole guarantee makes banding LOSSLESS here -- a pair within
+    hamming {SIMHASH_HAM_MAX} differs in at most {SIMHASH_HAM_MAX} of 4
+    bands, so at least one band key matches exactly and recall vs a full
+    O(n^2) hamming scan is 1.0, not probabilistic (unlike MinHash bands).
+    Cost shape is the standard LSH one: one shuffle on (band, key), work
+    proportional to per-bucket collisions; both join sides are the same
+    aggregation subplan, so Spark's exchange reuse computes the
+    fingerprints once."""
+    bits_per = SIMHASH_BITS // SIMHASH_BANDS
+    d = _documents(spark, sf_dir)
+    sh = _simhash_from_tokens(
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    )
+    banded = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * bits_per)
+                 .bitwiseAND(F.lit((1 << bits_per) - 1)).alias("key"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    left = banded.select(F.col("doc_id").alias("d1"),
+                         F.col("simhash").alias("s1"), "band", "key")
+    right = banded.select(F.col("doc_id").alias("d2"),
+                          F.col("simhash").alias("s2"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+             .cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["d1", "d2"])
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+    )
+
+
+DOC_SIMHASH_NEARDUP_SQL = f"""{_DOC_SIMHASH_CTES},
+banded AS (
+  SELECT doc_id, simhash, t.band,
+         (simhash >> (t.band * {SIMHASH_BITS // SIMHASH_BANDS}))
+           & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS key
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                  a.simhash AS s1, b.simhash AS s2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
 )
-SELECT doc_id,
-       {' + '.join(f"(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END)::BIGINT * {1 << i}"
-                   for i in range(SIMHASH_BITS))} AS simhash
-FROM bits
+SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(s1, s2)) <= {SIMHASH_HAM_MAX}
+"""
+
+
+# ---- deterministic stratified sampling ------------------------------------
+
+STRATA_SAMPLE_K = 25
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: up to {STRATA_SAMPLE_K} docs per
+    language, drawn by ranking on ``md5(doc_id)`` within each stratum.
+
+    The md5 rank is a reproducible uniform draw -- every engine (and
+    every rerun, any partitioning) picks the same rows, unlike
+    ``DataFrame.sample`` whose output depends on partition layout. This
+    is the language-balancing step of a training-data pipeline: one
+    shuffle on the stratum key, a rank-k window per stratum (partial
+    top-k sort per partition), no full sort of the corpus. At 100 TB
+    the same plan holds; if one language dominates, the stratum key is
+    salted and per-salt quotas merged (same idiom as skewed groupBy)."""
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("draw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("draw_rank") <= STRATA_SAMPLE_K)
+        .select("doc_id", "lang", "source", "n_chars", "draw_rank")
+    )
+
+
+DOC_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars, draw_rank
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC)::BIGINT AS draw_rank
+  FROM documents
+)
+WHERE draw_rank <= {STRATA_SAMPLE_K}
 """
 
 
@@ -829,6 +951,8 @@ QUERIES = {
     "doc_minhash_lsh_dedup": q_doc_minhash_lsh_dedup,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_neardup": q_doc_simhash_neardup,
+    "doc_stratified_sample": q_doc_stratified_sample,
 }
 
 ORACLES = {
@@ -843,4 +967,6 @@ ORACLES = {
     "doc_minhash_lsh_dedup": DOC_MINHASH_LSH_SQL,
     "doc_dedup_clusters": DOC_DEDUP_CLUSTERS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
+    "doc_simhash_neardup": DOC_SIMHASH_NEARDUP_SQL,
+    "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
 }

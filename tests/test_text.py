@@ -178,3 +178,54 @@ def test_exact_dedup_null_text_matches_oracle(spark, tmp_path):
     want = sorted(map(tuple, con.execute(tq.DOC_EXACT_DEDUP_SQL).fetchall()))
     assert got == want == [(0, 2), (1, 3), (4, 1)]
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_simhash_neardup_planted(spark, tmp_path):
+    """A one-token edit of a 60-token doc lands within hamming 3 of the
+    original (near-identical token multiset); an unrelated doc never
+    pairs. Banding is lossless at ham<=3 (pigeonhole over 4 bands)."""
+    import shutil
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    base = [f"tok{i}" for i in range(60)]
+    edited = base[:59] + ["changed"]
+    texts = [" ".join(base), " ".join(edited),
+             " ".join(f"zz{i}" for i in range(60))]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(spark, texts).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    rows = tq.q_doc_simhash_neardup(spark, str(sf)).collect()
+    pairs = {(r["d1"], r["d2"]): r["hamming"] for r in rows}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= tq.SIMHASH_HAM_MAX
+    assert all(2 not in p for p in pairs)
+    shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_stratified_sample_quota_and_determinism(spark, tmp_path):
+    """Per-language quota respected; draw is identical across reruns and
+    independent of input partitioning (md5 rank, not sample())."""
+    import shutil
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    rows = [(i, f"text {i}", ["en", "fr", "de"][i % 3], "web", 10 + i)
+            for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    got1 = sorted((r["lang"], r["doc_id"], r["draw_rank"])
+                  for r in tq.q_doc_stratified_sample(spark, str(sf)).collect())
+    got2 = sorted((r["lang"], r["doc_id"], r["draw_rank"])
+                  for r in tq.q_doc_stratified_sample(spark, str(sf)).collect())
+    assert got1 == got2
+    per_lang = {}
+    for lang, _, rank in got1:
+        per_lang.setdefault(lang, []).append(rank)
+    for lang, ranks in per_lang.items():
+        assert sorted(ranks) == list(range(1, tq.STRATA_SAMPLE_K + 1))
+    shutil.rmtree(sf, ignore_errors=True)
