@@ -505,36 +505,52 @@ def q_emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cell id -- at 100 TB the corpus would be written pre-partitioned
     by cell so queries touch only probed partitions (partition pruning).
     Deterministic (rounded distances + label tie-breaks) -> exact SQL
-    oracle, unlike the probabilistic LSH path below."""
+    oracle, unlike the probabilistic LSH path below.
+
+    Quantizer shape: the centroid table is folded into ONE broadcast row
+    holding an array of (label, centroid) structs, and the nearest-cell
+    choice is a per-row ``array_sort`` over (sqdist, label) structs --
+    lexicographic struct order IS the (distance ASC, label ASC)
+    tie-break. vs the crossJoin-explode + row_number window spelling
+    (the ``q_emb_nearest_centroid`` oracle form): the corpus is never
+    multiplied by the centroid count and there is NO per-row-group
+    window shuffle/sort -- assignment is a pure projection, which is
+    also the only shape that works when the corpus is 100 TB (the
+    window form would shuffle corpus x n_cells rows)."""
     e = _embeddings(spark, sf_dir)
-    cent = _centroids(e)
-    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "emb"
+    cents_one_row = F.broadcast(
+        _centroids(e).groupBy().agg(
+            F.collect_list(F.struct("c_label", "centroid")).alias("cents")
+        )
     )
-    # cell assignment = nearest centroid per corpus vector
-    wa = Window.partitionBy("neighbor_id").orderBy(
-        F.col("sqdist").asc(), F.col("c_label").asc()
-    )
+
+    def _nearest_cells(emb_col, k: int):
+        # (sqdist, label) structs sorted lexicographically = argmin with
+        # label tie-break; collect_list order is irrelevant post-sort
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(_sqdist(emb_col, c["centroid"]), 6).alias("sqdist"),
+                c["c_label"].alias("cell"),
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, k)
+
     assigned = (
-        corpus.crossJoin(F.broadcast(cent))
-        .withColumn("sqdist", F.round(_sqdist(F.col("emb"), F.col("centroid")), 6))
-        .withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") == 1)
-        .select("neighbor_id", "emb", F.col("c_label").alias("cell"))
-    )
-    # probe list = NPROBE nearest centroids per query
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("sqdist").asc(), F.col("c_label").asc()
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .select(F.col("vec_id").alias("neighbor_id"), "emb")
+        .crossJoin(cents_one_row)
+        .select("neighbor_id", "emb",
+                _nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
     )
     probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .withColumn("sqdist", F.round(_sqdist(F.col("qemb"), F.col("centroid")), 6))
-        .withColumn("rk", F.row_number().over(wp))
-        .filter(F.col("rk") <= NPROBE)
-        .select("query_id", "qemb", F.col("c_label").alias("cell"))
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+        .crossJoin(cents_one_row)
+        .select("query_id", "qemb",
+                F.explode(F.transform(
+                    _nearest_cells(F.col("qemb"), NPROBE), lambda s: s["cell"]
+                )).alias("cell"))
     )
     scored = assigned.join(F.broadcast(probes), "cell").select(
         "query_id", "neighbor_id",

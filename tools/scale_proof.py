@@ -53,6 +53,8 @@ QUERIES = [
     # floor-bound claims to prove
     "annual_period_filter", "upsert_latest_wins", "top_k_orders",
     "event_window_agg", "event_asof_join", "emb_ann_topk",
+    "emb_ivf_ann_topk", "emb_lsh_ann_topk", "event_interval_join",
+    "event_sessionize",
     # previously perf-weak: confirm the ratio trend at 10x
     "statements_annual", "ratios_annual", "screener",
     "window_dedup_latest", "pivot_wide",
