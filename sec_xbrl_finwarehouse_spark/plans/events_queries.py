@@ -407,6 +407,84 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---- ordered funnel (view -> click -> purchase) ----------------------------
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel: first view, first click AT OR AFTER that
+    view, first purchase at or after that click, and the stage reached
+    (0-3). The ordering constraint is what makes this a funnel rather
+    than three independent mins -- a click before any view does not
+    count.
+
+    Plan shape: three min-aggregations and three left joins, ALL keyed
+    on user_id -- one hash-partitioning serves every step (each
+    aggregation's min combines map-side), so at 100 TB this is one
+    shuffle of the events projection and small per-user state, never a
+    sort. Events with one of the three types feed the aggregations;
+    everything else only contributes to the user universe."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    users = e.select("user_id").distinct()
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("first_purchase"))
+    )
+    stage = (
+        F.when(F.col("first_purchase").isNotNull(), 3)
+        .when(F.col("first_click").isNotNull(), 2)
+        .when(F.col("first_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "first_view", "first_click", "first_purchase",
+                stage.cast("int").alias("stage"))
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= v.first_view
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY 1
+)
+SELECT u.user_id, v.first_view, c.first_click, p.first_purchase,
+       (CASE WHEN p.first_purchase IS NOT NULL THEN 3
+             WHEN c.first_click IS NOT NULL THEN 2
+             WHEN v.first_view IS NOT NULL THEN 1
+             ELSE 0 END)::INT AS stage
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
 # ---- exact percentiles (linear interpolation) ------------------------------
 
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,6 +552,7 @@ QUERIES = {
     "event_interval_join": q_event_interval_join,
     "event_percentiles": q_event_percentiles,
     "event_cube": q_event_cube,
+    "event_funnel": q_event_funnel,
 }
 
 ORACLES = {
@@ -487,4 +566,5 @@ ORACLES = {
     "event_daily_growth": EVENT_DAILY_GROWTH_SQL,
     "event_topk_per_user": EVENT_TOPK_PER_USER_SQL,
     "event_distinct_users": EVENT_DISTINCT_USERS_SQL,
+    "event_funnel": EVENT_FUNNEL_SQL,
 }

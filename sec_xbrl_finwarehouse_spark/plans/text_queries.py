@@ -703,10 +703,11 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle: the exhaustive Jaccard pairs (same contract the LSH path is
-# verified against) + transitive closure via a recursive CTE, min
-# reachable node = component representative.
-DOC_DEDUP_CLUSTERS_SQL = f"""
+# Oracle CTE prefix (shared by the clusters oracle and the keep-best
+# oracle so the component spelling cannot drift): the exhaustive Jaccard
+# pairs (same contract the LSH path is verified against) + transitive
+# closure via a recursive CTE, min reachable node = representative.
+_DOC_CLUSTERS_CTES = f"""
 WITH RECURSIVE tok AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
@@ -733,11 +734,55 @@ walk AS (
   UNION
   SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.reach
 ),
-comp AS (SELECT doc_id, min(reach) AS cluster_rep FROM walk GROUP BY doc_id)
+comp AS (SELECT doc_id, min(reach) AS cluster_rep FROM walk GROUP BY doc_id)"""
+
+DOC_DEDUP_CLUSTERS_SQL = f"""{_DOC_CLUSTERS_CTES}
 SELECT d.doc_id,
        coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
        coalesce(c.cluster_rep, d.doc_id) = d.doc_id AS keep
 FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
+# ---- keep-best-per-cluster (dedup decision x quality signal) ---------------
+
+def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual dedup DECISION a training pipeline ships: within each
+    near-dup cluster keep the highest-quality member (longest token
+    count, doc_id as the tie-break), not the arbitrary min-id one.
+
+    Composition of two existing operators -- connected-component
+    clusters x the quality signal -- plus one rank-1 window per cluster.
+    The window key is the cluster representative; near-dup clusters are
+    tiny (2-5 docs), so the window sees bounded groups no matter how
+    large the corpus, and singleton docs (the overwhelming majority)
+    pass through with keep=true. One extra shuffle on cluster_rep over
+    the cluster-member subset only."""
+    clusters = q_doc_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
+    quality = q_doc_quality(spark, sf_dir).select("doc_id", "n_tokens")
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "cluster_rep", "n_tokens",
+                (F.col("rk") == 1).alias("keep"))
+    )
+
+
+DOC_DEDUP_KEEP_BEST_SQL = f"""{_DOC_CLUSTERS_CTES},
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+         len(list_filter(string_split_regex(lower(trim(d.text)), ' +'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_rep, n_tokens,
+       ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                          ORDER BY n_tokens DESC, doc_id ASC) = 1 AS keep
+FROM labeled
 """
 
 
@@ -953,6 +998,7 @@ QUERIES = {
     "doc_simhash": q_doc_simhash,
     "doc_simhash_neardup": q_doc_simhash_neardup,
     "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_dedup_keep_best": q_doc_dedup_keep_best,
 }
 
 ORACLES = {
@@ -969,4 +1015,5 @@ ORACLES = {
     "doc_simhash": DOC_SIMHASH_SQL,
     "doc_simhash_neardup": DOC_SIMHASH_NEARDUP_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
+    "doc_dedup_keep_best": DOC_DEDUP_KEEP_BEST_SQL,
 }

@@ -175,3 +175,28 @@ def test_interval_join_pair_counted_once(spark):
     # same-bucket pair must not double count via the neighbor-bucket probes
     rows = [(1, 1, "click", 10.0, 1.0), (2, 1, "view", 10.0, 1.0)]
     assert _interval(spark, _events(spark, rows)) == {1: 1}
+
+
+def test_funnel_ordering_constraint(spark, tmp_path):
+    """A click BEFORE the user's first view must not advance the funnel;
+    equal timestamps count (>= semantics at every stage)."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import q_event_funnel
+
+    rows = [
+        # user 1: full ordered funnel view(0) -> click(5) -> purchase(9)
+        (1, 1, "view", 0.0, 1.0), (2, 1, "click", 5.0, 1.0), (3, 1, "purchase", 9.0, 1.0),
+        # user 2: click(0) precedes view(5) -> stage stops at 1
+        (4, 2, "click", 0.0, 1.0), (5, 2, "view", 5.0, 1.0),
+        # user 3: purchase before click -> stage 2 (view 0, click 5, purchase 3)
+        (6, 3, "view", 0.0, 1.0), (7, 3, "purchase", 3.0, 1.0), (8, 3, "click", 5.0, 1.0),
+        # user 4: never viewed -> stage 0
+        (9, 4, "signup", 1.0, 1.0),
+        # user 5: click at the exact view instant -> counts (>=)
+        (10, 5, "view", 2.0, 1.0), (11, 5, "click", 2.0, 1.0),
+    ]
+    df = _events(spark, rows)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    got = {r["user_id"]: r["stage"] for r in q_event_funnel(spark, str(sf)).collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 0, 5: 2}

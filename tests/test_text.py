@@ -229,3 +229,28 @@ def test_stratified_sample_quota_and_determinism(spark, tmp_path):
     for lang, ranks in per_lang.items():
         assert sorted(ranks) == list(range(1, tq.STRATA_SAMPLE_K + 1))
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_keep_best_prefers_longest_in_cluster(spark, tmp_path):
+    """Within a near-dup cluster the LONGEST doc is kept, not the min-id
+    one; singletons always keep themselves."""
+    import shutil
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    base = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(base),                                   # doc 0: 40 tokens
+        " ".join(base + ["extra1", "extra2"]),            # doc 1: 42 tokens, near-dup of 0
+        " ".join(f"q{i}" for i in range(30)),             # doc 2: unrelated singleton
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(spark, texts).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    got = {r["doc_id"]: (r["cluster_rep"], r["keep"])
+           for r in tq.q_doc_dedup_keep_best(spark, str(sf)).collect()}
+    assert got[0] == (0, False)   # shorter member dropped despite min id
+    assert got[1] == (0, True)    # longest member kept
+    assert got[2] == (2, True)    # singleton keeps itself
+    shutil.rmtree(sf, ignore_errors=True)
