@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "event_interval_join",
     "doc_quality",
     "doc_minhash_lsh_dedup",
+    "doc_dedup_clusters",
+    "doc_dedup_keep_best",
     "emb_ann_topk",
     "emb_ivf_ann_topk",
     "emb_lsh_ann_topk",
