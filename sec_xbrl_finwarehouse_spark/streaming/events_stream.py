@@ -155,3 +155,41 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BAND = "5 minutes"
+
+
+def click_view_stream_join(clicks: DataFrame, views: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    views within +-5 min of the click -- the streaming twin of the batch
+    interval band join (plans/events_queries.interval_join_counts).
+
+    Uses Spark's native watermarked stream-stream join: both sides carry
+    a watermark, and the event-time RANGE condition in the join predicate
+    is what lets the state store evict -- rows older than
+    watermark + band can never match and are dropped. Without the range
+    condition the join state would grow without bound; with it, state is
+    O(rate x (watermark + band)) per side regardless of total stream
+    length. The equi-key (user_id) keeps the join a hash join after one
+    shuffle per side -- the same (user_id, bucket) co-location story as
+    the batch spelling, with the band predicate applied post-match.
+    """
+    c = (
+        clicks.withWatermark("ts", WATERMARK)
+        .select("user_id", F.col("event_id").alias("click_event_id"),
+                F.col("ts").alias("click_ts"))
+    )
+    v = (
+        views.withWatermark("ts", WATERMARK)
+        .select(F.col("user_id").alias("v_user_id"),
+                F.col("event_id").alias("view_event_id"),
+                F.col("ts").alias("view_ts"))
+    )
+    return c.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {BAND}"))
+        & (F.col("view_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {BAND}")),
+        "inner",
+    ).select("user_id", "click_event_id", "click_ts", "view_event_id", "view_ts")

@@ -137,3 +137,38 @@ def test_user_running_totals_accumulates_across_batches(spark, tmp_path):
     # user 1 appeared in both batches -> two emissions, monotone totals
     u1 = sorted((r["n_events"] for r in rows if r["user_id"] == 1))
     assert u1 == [2, 4]
+
+
+def test_stream_stream_band_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream band join over two event streams must
+    produce exactly the pairs the equivalent batch join produces (append
+    mode; availableNow drains both sides deterministically)."""
+    from sec_xbrl_finwarehouse_spark.streaming.events_stream import (
+        click_view_stream_join,
+    )
+
+    batches = [
+        [  # clicks and views interleaved around the 5-min band edge
+            (1, 1, "view", 0.0, 1.0),
+            (2, 1, "click", 4.0, 1.0),    # view@0 within 5 min -> match
+            (3, 1, "view", 10.0, 1.0),    # 6 min after click -> no match
+            (4, 2, "view", 0.0, 1.0),
+        ],
+        [
+            (5, 2, "click", 4.5, 1.0),    # matches view@0 for user 2
+            (6, 3, "click", 50.0, 1.0),   # no views for user 3
+            (7, 1, "view", 8.0, 1.0),     # within 5 min of click@4 -> match
+        ],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    ev = stream_events(spark, src)
+    streamed = _run_to_memory(
+        spark,
+        click_view_stream_join(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "view"),
+        ),
+        "ssj_stream", "append",
+    )
+    got = {(r["click_event_id"], r["view_event_id"]) for r in streamed.collect()}
+    assert got == {(2, 1), (5, 4), (2, 7)}
