@@ -54,7 +54,7 @@ QUERIES = [
     "annual_period_filter", "upsert_latest_wins", "top_k_orders",
     "event_window_agg", "event_asof_join", "emb_ann_topk",
     "emb_ivf_ann_topk", "emb_lsh_ann_topk", "event_interval_join",
-    "event_sessionize",
+    "event_sessionize", "emb_lsh_neardup", "event_funnel",
     # previously perf-weak: confirm the ratio trend at 10x
     "statements_annual", "ratios_annual", "screener",
     "window_dedup_latest", "pivot_wide",
