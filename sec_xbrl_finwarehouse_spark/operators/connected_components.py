@@ -1,0 +1,78 @@
+"""Distributed connected components via Hash-Min label propagation.
+
+The dedup-decision step shared by the text and embedding near-dup
+pipelines: pairwise similarity edges in, per-node component label out
+(min node id reachable = representative). Extracted from the text
+clusters query so every modality (documents, embeddings, any future
+pair source) reuses one implementation.
+
+Algorithm (Rastogi et al. 2013, "Finding Connected Components in
+MapReduce and Beyond" -- Hash-Min): every node starts labeled with
+itself; each iteration every node takes the min of its own label and
+its neighbors' labels; labels only ever decrease, so ``sum(label)`` is
+strictly monotone and a single scalar action per iteration detects the
+fixpoint.
+
+Scale notes (100 TB): only the PAIR-GRAPH NODES iterate -- the near-dup
+graph is orders of magnitude smaller than the corpus, which joins in
+exactly once afterwards (callers left-join; singletons keep
+themselves). Each iteration is one equi-join + min-aggregation on the
+node id -- one co-partitioned key throughout. ``localCheckpoint``
+truncates lineage per iteration (on a real cluster: ``checkpoint()`` to
+reliable storage) -- without it the plan doubles every round and
+Catalyst analysis time explodes. Iterations needed = eccentricity of
+each component's min node; near-dup clusters are near-cliques (2-4
+hops), far under the default cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CC_MAX_ITERS = 20
+
+
+def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """(a, b) undirected edge pairs -> (node_id, rep) component labels.
+
+    ``pairs`` must have exactly two like-typed columns (any names); the
+    output covers every node that appears in at least one edge --
+    callers left-join the full entity table and coalesce singletons to
+    themselves.
+    """
+    ca, cb = pairs.columns
+    edges = (
+        pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("rep", F.col("node_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        nmin = (
+            edges.join(labels, edges["dst"] == labels["node_id"])
+            .groupBy("src")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        labels = (
+            labels.join(nmin, labels["node_id"] == nmin["src"], "left")
+            .select(
+                "node_id",
+                F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur = labels.agg(F.sum("rep")).first()[0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    edges.unpersist()
+    return labels

@@ -464,6 +464,58 @@ WHERE {_DUCK_COS.format(a='ea.emb', b='eb.emb')} >= {NEARDUP_COS}
 """
 
 
+# ---- embedding dedup clusters (components over LSH near-dup pairs) ---------
+
+def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs -> dedup clusters: the same Hash-Min
+    connected-components operator the text pipeline uses
+    (operators/connected_components.py), fed by the LSH-bucketed cosine
+    pairs. Every vector maps to its component's min vec_id with ``keep``
+    marking the canonical copy; semantic (embedding-space) duplicates
+    dedup transitively even when two members were never a direct pair."""
+    from ..operators.connected_components import hash_min_components
+
+    pairs = q_emb_lsh_neardup(spark, sf_dir).select("v1", "v2")
+    labels = hash_min_components(pairs).withColumnRenamed("node_id", "vec_id")
+    vecs = _embeddings(spark, sf_dir, parallel=False).select("vec_id")
+    return (
+        vecs.join(labels, "vec_id", "left")
+        .withColumn("cluster_rep", F.coalesce("rep", "vec_id"))
+        .select(
+            "vec_id",
+            "cluster_rep",
+            (F.col("cluster_rep") == F.col("vec_id")).alias("keep"),
+        )
+    )
+
+
+EMB_DEDUP_CLUSTERS_SQL = f"""{_LSH_BUCKET_CTES.replace("WITH e AS", "WITH RECURSIVE e AS", 1)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT cand.v1, cand.v2
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.v1
+  JOIN e eb ON eb.vec_id = cand.v2
+  WHERE {_DUCK_COS.format(a='ea.emb', b='eb.emb')} >= {NEARDUP_COS}
+),
+edges AS (SELECT v1 AS a, v2 AS b FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
+walk AS (
+  SELECT a AS vec_id, a AS reach FROM edges
+  UNION
+  SELECT w.vec_id, ed.b FROM walk w JOIN edges ed ON ed.a = w.reach
+),
+comp AS (SELECT vec_id, min(reach) AS cluster_rep FROM walk GROUP BY vec_id)
+SELECT v.vec_id,
+       coalesce(c.cluster_rep, v.vec_id) AS cluster_rep,
+       coalesce(c.cluster_rep, v.vec_id) = v.vec_id AS keep
+FROM embeddings v LEFT JOIN comp c USING (vec_id)
+"""
+
+
 # ---- IVF ANN (coarse-quantize, probe, exact re-rank) -----------------------
 
 NPROBE = 2
@@ -680,6 +732,7 @@ QUERIES = {
     "emb_nearest_centroid": q_emb_nearest_centroid,
     "emb_lsh_ann_topk": q_emb_lsh_ann_topk,
     "emb_lsh_neardup": q_emb_lsh_neardup,
+    "emb_dedup_clusters": q_emb_dedup_clusters,
 }
 
 ORACLES = {
@@ -689,4 +742,5 @@ ORACLES = {
     "emb_nearest_centroid": EMB_NEAREST_CENTROID_SQL,
     "emb_lsh_ann_topk": EMB_LSH_ANN_TOPK_SQL,
     "emb_lsh_neardup": EMB_LSH_NEARDUP_SQL,
+    "emb_dedup_clusters": EMB_DEDUP_CLUSTERS_SQL,
 }

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.connected_components import hash_min_components
 from ..sources.tables import parallelize_scan, table_path
 
 JACCARD_THRESHOLD = 0.5
@@ -641,56 +642,15 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual dedup decision (transitive: A~B, B~C dedups C against A even
     when A,C were never a pair).
 
-    Iterative Hash-Min label propagation (Rastogi et al. 2013, "Finding
-    Connected Components in MapReduce and Beyond"):
-
-    * Only the pair-graph NODES iterate -- at 100 TB the near-dup graph
-      is orders of magnitude smaller than the corpus, which joins in
-      exactly once at the end (left join, singletons keep themselves).
-    * Each iteration is one equi-join + min-agg; labels only ever
-      decrease, so ``sum(rep)`` is strictly monotone and one scalar
-      action per iteration detects the fixpoint.
-    * ``localCheckpoint`` truncates lineage per iteration (on a cluster:
-      ``checkpoint()`` to reliable storage) -- without it the plan
-      doubles every round and Catalyst analysis time explodes.
-    * Iterations needed = eccentricity of each component's min node;
-      near-dup clusters are near-cliques (2-4 hops), far under
-      ``CC_MAX_ITERS``.
+    The component labeling is the shared Hash-Min operator
+    (operators/connected_components.py -- see its docstring for the
+    iteration/scale analysis); this query feeds it the LSH-verified
+    pair graph and left-joins the corpus so singletons keep themselves.
     """
     pairs = q_doc_minhash_lsh_dedup(spark, sf_dir).select("d1", "d2")
-    edges = (
-        pairs.unionByName(
-            pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-        )
-        .toDF("src", "dst")
-        .persist()
+    labels = hash_min_components(pairs, CC_MAX_ITERS).withColumnRenamed(
+        "node_id", "doc_id"
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("rep", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = None
-    for _ in range(CC_MAX_ITERS):
-        nmin = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
-            .groupBy("src")
-            .agg(F.min("rep").alias("nrep"))
-        )
-        labels = (
-            labels.join(nmin, labels["doc_id"] == nmin["src"], "left")
-            .select(
-                "doc_id",
-                F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        cur = labels.agg(F.sum("rep")).first()[0]
-        if cur == prev_sum:
-            break
-        prev_sum = cur
-    edges.unpersist()
     docs = _documents(spark, sf_dir).select("doc_id")
     return (
         docs.join(labels, "doc_id", "left")
