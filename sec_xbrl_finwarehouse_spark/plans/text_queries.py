@@ -746,6 +746,103 @@ FROM labeled
 """
 
 
+# ---- end-to-end corpus build (quality x dedup x lang x split) --------------
+
+def q_doc_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus selection a data pipeline ships, as ONE
+    DataFrame: per document its detected language, train/test split,
+    token count, near-dup cluster representative, and a ``selected``
+    flag = passes the quality filter AND is its cluster's keep-best
+    member. Composes four existing operators by doc_id equi-joins --
+    every constituent is itself oracle-checked, and this query checks
+    the COMPOSITION (join alignment, flag conjunction) end-to-end.
+
+    Scale: all four inputs and the joins key on doc_id, so one
+    hash-partitioning serves the whole assembly; the only non-projection
+    constituents are the dedup pipeline (LSH-bounded) and the component
+    labeling (pair-graph-sized). At 100 TB each constituent would be a
+    materialized mart and this becomes a co-partitioned mart join."""
+    quality = q_doc_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    dedup = q_doc_dedup_keep_best(spark, sf_dir).select(
+        "doc_id", "cluster_rep", "n_tokens", F.col("keep").alias("dedup_keep")
+    )
+    lang = q_doc_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    split = q_doc_train_test_split(spark, sf_dir)
+    return (
+        quality.join(dedup, "doc_id")
+        .join(lang, "doc_id")
+        .join(split, "doc_id")
+        .select(
+            "doc_id", "pred_lang", "split", "n_tokens", "cluster_rep",
+            (F.col("quality_keep") & F.col("dedup_keep")).alias("selected"),
+        )
+    )
+
+
+DOC_CORPUS_BUILD_SQL = f"""{_DOC_CLUSTERS_CTES},
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+         len(list_filter(string_split_regex(lower(trim(d.text)), ' +'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+dedup AS (
+  SELECT doc_id, cluster_rep, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                            ORDER BY n_tokens DESC, doc_id ASC) = 1 AS dedup_keep
+  FROM labeled
+),
+qt AS (
+  SELECT doc_id, text, trim(text) AS t,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         (len(w) >= 10 AND len(w) <= 100000
+          AND (len(list_filter(w, x -> list_contains({EN_STOPWORDS!r}, x)))
+               / greatest(len(w), 1))::double > 0.0
+          AND (length(regexp_replace(lower(t), '[a-z0-9 ]', '', 'g'))
+               / greatest(length(t), 1))::double < 0.3) AS quality_keep
+  FROM qt
+),
+lang AS (
+  SELECT doc_id,
+         CASE
+           WHEN length(regexp_replace(text, '[^\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) > 0 THEN 'zh'
+           WHEN greatest(ve, vf, vd, vs) = 0 THEN 'und'
+           WHEN ve = greatest(ve, vf, vd, vs) THEN 'en'
+           WHEN vf = greatest(ve, vf, vd, vs) THEN 'fr'
+           WHEN vd = greatest(ve, vf, vd, vs) THEN 'de'
+           ELSE 'es'
+         END AS pred_lang
+  FROM (
+    SELECT doc_id, text,
+           {_lang_vote_sql('en')} AS ve,
+           {_lang_vote_sql('fr')} AS vf,
+           {_lang_vote_sql('de')} AS vd,
+           {_lang_vote_sql('es')} AS vs
+    FROM qt
+  )
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN {TRAIN_HEX!r} THEN 'train' ELSE 'test' END AS split
+  FROM documents
+)
+SELECT q.doc_id, l.pred_lang, s.split, d.n_tokens, d.cluster_rep,
+       (q.quality_keep AND d.dedup_keep) AS selected
+FROM qual q
+JOIN dedup d USING (doc_id)
+JOIN lang l USING (doc_id)
+JOIN spl s USING (doc_id)
+"""
+
+
 # ---- SimHash (fingerprint; portable hash -> full SQL oracle) ---------------
 
 SIMHASH_BITS = 60
@@ -971,6 +1068,7 @@ QUERIES = {
     "doc_simhash_neardup": q_doc_simhash_neardup,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_dedup_keep_best": q_doc_dedup_keep_best,
+    "doc_corpus_build": q_doc_corpus_build,
 }
 
 ORACLES = {
@@ -988,4 +1086,5 @@ ORACLES = {
     "doc_simhash_neardup": DOC_SIMHASH_NEARDUP_SQL,
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
     "doc_dedup_keep_best": DOC_DEDUP_KEEP_BEST_SQL,
+    "doc_corpus_build": DOC_CORPUS_BUILD_SQL,
 }

@@ -254,3 +254,28 @@ def test_keep_best_prefers_longest_in_cluster(spark, tmp_path):
     assert got[1] == (0, True)    # longest member kept
     assert got[2] == (2, True)    # singleton keeps itself
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_corpus_build_selection_conjunction(spark, tmp_path):
+    """selected = quality_keep AND dedup_keep: a high-quality near-dup
+    that loses keep-best is excluded; a low-quality singleton is
+    excluded; the kept cluster member with good quality is selected."""
+    import shutil
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    base = ["the", "a", "of", "is", "and"] * 4 + [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(base),                        # doc 0: near-dup loser (shorter)
+        " ".join(base + ["ex1", "ex2"]),       # doc 1: near-dup winner
+        "short",                               # doc 2: fails quality (<10 tokens)
+        " ".join(["the", "cat", "sat"] * 10),  # doc 3: quality singleton
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(spark, texts).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    got = {r["doc_id"]: r["selected"]
+           for r in tq.q_doc_corpus_build(spark, str(sf)).collect()}
+    assert got == {0: False, 1: True, 2: False, 3: True}
+    shutil.rmtree(sf, ignore_errors=True)
