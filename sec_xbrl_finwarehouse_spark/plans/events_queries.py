@@ -485,6 +485,44 @@ LEFT JOIN p USING (user_id)
 """
 
 
+# ---- cohort retention ------------------------------------------------------
+
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen day, counted
+    on each later active day as a day offset. THE standard product
+    analytics rollup (cohort x offset -> distinct actives).
+
+    Two aggregations: first-seen day per user (map-side combinable min
+    on the user_id shuffle), then distinct (user, day) activity joined
+    back -- the join and both aggs key on user_id first, so one
+    partitioning carries the pipeline until the final small
+    (cohort_day, day_offset) rollup, whose output is bounded by
+    days x days regardless of corpus size."""
+    e = _events(spark, sf_dir).select("user_id", F.to_date("ts").alias("day"))
+    cohort = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = e.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+EVENT_RETENTION_SQL = """
+WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+SELECT c.cohort_day,
+       date_diff('day', c.cohort_day, e.day) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM e JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # ---- exact percentiles (linear interpolation) ------------------------------
 
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -553,6 +591,7 @@ QUERIES = {
     "event_percentiles": q_event_percentiles,
     "event_cube": q_event_cube,
     "event_funnel": q_event_funnel,
+    "event_retention": q_event_retention,
 }
 
 ORACLES = {
@@ -567,4 +606,5 @@ ORACLES = {
     "event_topk_per_user": EVENT_TOPK_PER_USER_SQL,
     "event_distinct_users": EVENT_DISTINCT_USERS_SQL,
     "event_funnel": EVENT_FUNNEL_SQL,
+    "event_retention": EVENT_RETENTION_SQL,
 }

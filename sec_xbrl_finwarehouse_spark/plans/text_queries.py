@@ -746,6 +746,53 @@ FROM labeled
 """
 
 
+# ---- n-gram document frequency (vocabulary building) -----------------------
+
+TOP_NGRAMS = 100
+
+
+def q_doc_ngram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_NGRAMS} 3-gram shingles by document frequency -- the
+    corpus-wide vocabulary statistic (tokenizer training, stopword-list
+    induction, boilerplate detection all start here).
+
+    One explode + one count aggregation (map-side combinable; shingles
+    are distinct per doc so the count IS document frequency), then a
+    deterministic top-k (df DESC, ngram ASC) that Spark executes as
+    TakeOrderedAndProject -- per-partition heaps, no global sort. At
+    100 TB the agg shuffles (ngram, partial-count) pairs only; the
+    bounded top-k never materializes the full vocabulary on one node."""
+    ex = _doc_shingles_exploded(spark, sf_dir)
+    return (
+        ex.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("ngram").asc())
+        .limit(TOP_NGRAMS)
+    )
+
+
+DOC_NGRAM_DF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {SHINGLE_K} THEN []::varchar[]
+              ELSE list_distinct([array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')
+                                  for i in range(1, len(w) - {SHINGLE_K - 2})])
+         END AS shingles
+  FROM tok
+)
+SELECT ngram, count(*) AS df
+FROM (SELECT unnest(shingles) AS ngram FROM sh)
+GROUP BY 1
+ORDER BY df DESC, ngram ASC
+LIMIT {TOP_NGRAMS}
+"""
+
+
 # ---- end-to-end corpus build (quality x dedup x lang x split) --------------
 
 def q_doc_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1069,6 +1116,7 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_dedup_keep_best": q_doc_dedup_keep_best,
     "doc_corpus_build": q_doc_corpus_build,
+    "doc_ngram_df": q_doc_ngram_df,
 }
 
 ORACLES = {
@@ -1087,4 +1135,5 @@ ORACLES = {
     "doc_stratified_sample": DOC_STRATIFIED_SAMPLE_SQL,
     "doc_dedup_keep_best": DOC_DEDUP_KEEP_BEST_SQL,
     "doc_corpus_build": DOC_CORPUS_BUILD_SQL,
+    "doc_ngram_df": DOC_NGRAM_DF_SQL,
 }

@@ -200,3 +200,35 @@ def test_funnel_ordering_constraint(spark, tmp_path):
     df.coalesce(1).write.parquet(str(sf / "events.parquet"))
     got = {r["user_id"]: r["stage"] for r in q_event_funnel(spark, str(sf)).collect()}
     assert got == {1: 3, 2: 1, 3: 2, 4: 0, 5: 2}
+
+
+def test_retention_cohort_offsets(spark, tmp_path):
+    """Users cohorted by first-seen day; repeat activity counts at its
+    day offset; multiple events on one day count once."""
+    import datetime as dtm
+
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import q_event_retention
+
+    def day(d, h=0):
+        return dtm.datetime(2024, 1, d, h, 0, 0)
+
+    rows = [
+        (1, 1, "view", day(1), 1.0), (2, 1, "view", day(1, 5), 1.0),  # same day twice
+        (3, 1, "click", day(3), 1.0),                                 # offset 2
+        (4, 2, "view", day(1), 1.0),                                  # same cohort
+        (5, 2, "view", day(2), 1.0),                                  # offset 1
+        (6, 3, "view", day(2), 1.0),                                  # later cohort
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    got = {(str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+           for r in q_event_retention(spark, str(sf)).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,  # users 1,2 day-0 (dup same-day collapsed)
+        ("2024-01-01", 1): 1,  # user 2
+        ("2024-01-01", 2): 1,  # user 1
+        ("2024-01-02", 0): 1,  # user 3
+    }
