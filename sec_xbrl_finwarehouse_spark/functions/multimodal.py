@@ -6,13 +6,18 @@ multimodal training data (payload bytes stay columnar in Parquet;
 Spark never interprets them until an explicit decode/transform step).
 
 All per-byte work runs as Arrow-batched ``mapInPandas`` (vectorized
-numpy over each record batch -- never per-row Python). The actual
-codec calls (PIL/librosa/ffmpeg) are NOT available in this container,
-so the decode kernels are deterministic fakes clearly marked below;
-the Spark-side plumbing -- schemas, UDF signatures, batch iteration,
-partition behavior, frame explode -- is real and unit-tested, and a
-real codec drops into ``_decode_rgb_stats`` / ``_pcm_from_bytes``
-without touching any plan.
+numpy over each record batch -- never per-row Python). Codec support
+is stdlib-only by necessity (no PIL/librosa/ffmpeg in this container)
+and REAL where the stdlib suffices:
+
+* PNG (8-bit gray/gray+a/RGB/RGBA, non-interlaced): full decode --
+  chunk walk, zlib IDAT inflate, scanline unfilter (all five filter
+  types) -- in :func:`decode_png`.
+* WAV (RIFF PCM 8/16-bit): full decode in :func:`decode_wav`.
+* Everything else (JPEG, MP3, video containers) falls back to the
+  clearly-marked deterministic byte-stat fakes so the plans stay
+  runnable; a real codec drops into ``_decode_rgb_stats`` /
+  ``_pcm_from_bytes`` without touching any plan.
 
 Scale notes (100 TB of media): payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row count) governs task
@@ -67,22 +72,131 @@ AUDIO_FEATURES_SCHEMA = (
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode, stdlib + numpy only: chunk walk, concatenated
+    IDAT zlib inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth
+    per the PNG spec), returning an (h, w, channels) uint8 array.
+    Supports 8-bit depth, non-interlaced, color types 0/2/4/6 -- the
+    shapes training corpora actually store; anything else raises with
+    the offending parameter named."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = channels = None
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        pos += 8
+        data = payload[pos:pos + ln]
+        pos += ln + 4  # chunk + CRC
+        if typ == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color_type}")
+            channels = _PNG_CHANNELS[color_type]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    at = 0
+    for y in range(h):
+        ftype = raw[at]
+        line = np.frombuffer(raw, np.uint8, stride, at + 1).copy()
+        at += stride + 1
+        if ftype == 1:      # Sub: prefix-sum per pixel lane (mod-256 wrap)
+            lanes = line.reshape(-1, bpp)
+            np.add.accumulate(lanes, axis=0, dtype=np.uint8, out=lanes)
+        elif ftype == 2:    # Up
+            line += prev
+        elif ftype == 3:    # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (int(line[x]) + (int(left) + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:    # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        img[y] = line
+        prev = line
+    return img.reshape(h, w, channels)
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV decode, stdlib + numpy only: RIFF chunk walk, PCM 8/16
+    bit -> float64 in [-1, 1), shaped (n_frames, n_channels); returns
+    (samples, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, ln = struct.unpack("<4sI", payload[pos:pos + 8])
+        pos += 8
+        chunk = payload[pos:pos + ln]
+        pos += ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            data = chunk
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    _audio_fmt, n_ch, sr, _rate, _align, bits = fmt
+    if bits == 16:
+        a = np.frombuffer(data[: len(data) - len(data) % 2], "<i2")
+        a = a.astype(np.float64) / 32768.0
+    elif bits == 8:
+        a = (np.frombuffer(data, "u1").astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    usable = len(a) - len(a) % max(n_ch, 1)
+    return a[:usable].reshape(-1, n_ch), sr
+
+
 def _decode_rgb_stats(payload: bytes) -> tuple[float, float]:
-    """STUB DECODER (deterministic fake). A real implementation calls
-    ``PIL.Image.open(io.BytesIO(payload))`` and reduces the pixel
-    array; the container has no image codecs, so the payload bytes
-    themselves stand in for the pixel buffer. Signature and reduction
-    are exactly what the real kernel uses."""
-    a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    """Pixel mean/std. REAL decode for PNG payloads (:func:`decode_png`);
+    other formats fall back to the deterministic byte-stat fake (the
+    container has no JPEG codec), clearly a stand-in."""
+    if payload[:8] == _PNG_MAGIC:
+        a = decode_png(payload).astype(np.float64)
+    else:
+        a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     if a.size == 0:
         return 0.0, 0.0
     return float(a.mean()), float(a.std())
 
 
 def _pcm_from_bytes(payload: bytes) -> np.ndarray:
-    """STUB PCM DECODER (deterministic fake): interpret payload as
-    little-endian int16 PCM. A real implementation would route through
-    soundfile/librosa based on ``meta.format``."""
+    """Mono-folded PCM samples. REAL decode for RIFF/WAV payloads
+    (:func:`decode_wav`, channel-averaged, scaled back to int16 range so
+    rms/peak units are stable); raw-int16 fallback otherwise."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, _sr = decode_wav(payload)
+        return samples.mean(axis=1) * 32768.0
     usable = len(payload) - (len(payload) % 2)
     return np.frombuffer(payload[:usable], dtype="<i2").astype(np.float64)
 
@@ -167,16 +281,32 @@ def sample_frames(media: DataFrame, every_n: int = 4, chunk_bytes: int = 1024) -
     return pruned.mapInPandas(kernel, FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id long, width int, height int, channels int, pixels binary"
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize -- requires a real codec; the plumbing (signature,
-    schema, pruning) is in place but the kernel refuses to fake pixel
-    resampling."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "resize_images needs an image codec (PIL) which is not "
-            "available in this environment; image_features/sample_frames "
-            "demonstrate the identical mapInPandas plumbing."
-        ) from exc
-    raise NotImplementedError("real codec path not wired yet")
+    """REAL image resize for PNG payloads: :func:`decode_png` + numpy
+    nearest-neighbor index resample, emitting raw interleaved uint8
+    pixel buffers with their dims -- the tensor-ready layout a training
+    loader consumes directly (no re-encode; raw pixels compress fine
+    under parquet's own codec). Arrow-batched ``mapInPandas``; payload
+    bytes for non-PNG formats raise ValueError naming the format gap
+    rather than faking resampled pixels."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_png(payload)
+                h, w = img.shape[:2]
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                out = img[ys][:, xs]
+                rows.append((mid, width, height, img.shape[2], out.tobytes()))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels", "pixels"],
+            )
+
+    pruned = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return pruned.mapInPandas(kernel, RESIZED_SCHEMA)
