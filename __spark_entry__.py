@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_latest_wins": sq.q_upsert_latest_wins,        # S5
         # full pipeline (entry points A/B/C, SURVEY §3)
         "statements_annual": sq.q_statements_annual,
+        "statements_annual_v2": sq.q_statements_annual_v2,
+        "statements_annual_v1": sq.q_statements_annual_v1,
         "ratios_annual": sq.q_ratios_annual,
         "company_profile": sq.q_company_profile,              # J3
         "ratios_lookup": sq.q_ratios_lookup,                  # O1

@@ -9,7 +9,7 @@ spelled explicitly.
 
 from __future__ import annotations
 
-from .plans.star_facts import companies_cte_sql, facts_cte_sql
+from .plans.star_facts import companies_cte_sql, facts_cte_sql, filings_cte_sql
 from .plans.star_queries import (
     COALESCE_CANDS,
     EXISTING_PRED,
@@ -23,6 +23,7 @@ from .plans.star_queries import (
 )
 from .schemas import (
     FLOW_TAGS,
+    REVENUE_CANDIDATES_V2,
     REVENUE_CANDIDATES_V3,
     STATEMENT_TAG_COLUMNS,
     STOCK_TAGS,
@@ -207,6 +208,67 @@ def statements_annual_sql() -> str:
     return f"{facts_cte_sql()},{_statements_body()}\nSELECT * FROM statements"
 
 
+def _statements_v1v2_body(version: str) -> str:
+    """CTE chain for the v1/v2 path: borrow fiscal_year from the filings
+    dimension (J1), keep FY filings only, W2 dedup preferring 10-K then
+    latest filed, NO capex sign fix. v2 coalesces its candidate order
+    (build_statements_annual_v2.py:5-10); v1 takes the single
+    ``Revenues`` tag (build_statements_annual.py:5-15)."""
+    tag_cols = ",\n         ".join(
+        f"max(CASE WHEN tag = '{t}' THEN value END) AS \"{t}\""
+        for t in tuple(FLOW_TAGS) + tuple(STOCK_TAGS)
+    )
+    if version == "v1":
+        rev = '"Revenues"'
+    else:
+        rev = ", ".join(f'"{t}"' for t in REVENUE_CANDIDATES_V2)
+    c = {k: f'"{v}"' for k, v in STATEMENT_TAG_COLUMNS.items()}
+    return f"""
+joined AS (
+  SELECT f.cik, fl.fiscal_year, f.tag, f.value, f.filed, f.form
+  FROM facts f JOIN filings fl ON f.filing_accession_no = fl.accession_no
+  WHERE fl.fiscal_year IS NOT NULL AND fl.fiscal_period = 'FY'
+    AND f.unit = 'USD'
+),
+dedup AS (
+  SELECT cik, fiscal_year, tag, value FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY cik, fiscal_year, tag
+      ORDER BY CASE WHEN form = '10-K' THEN 0 ELSE 1 END,
+               filed DESC NULLS LAST, value DESC
+    ) AS rn FROM joined) WHERE rn = 1
+),
+wide AS (
+  SELECT cik, fiscal_year,
+         {tag_cols}
+  FROM dedup GROUP BY cik, fiscal_year
+),
+statements AS (
+  SELECT cik, fiscal_year,
+         coalesce({rev}) AS revenues,
+         {c["gross_profit"]} AS gross_profit,
+         {c["operating_income"]} AS operating_income,
+         {c["net_income"]} AS net_income,
+         {c["total_assets"]} AS total_assets,
+         {c["total_liabilities"]} AS total_liabilities,
+         {c["total_equity"]} AS total_equity,
+         {c["operating_cash_flow"]} AS operating_cash_flow,
+         {c["capex"]} AS capex,
+         {c["operating_cash_flow"]} - {c["capex"]} AS free_cash_flow
+  FROM wide
+)"""
+
+
+def statements_annual_v2_sql() -> str:
+    return (f"{facts_cte_sql()},\n{filings_cte_sql()},"
+            f"{_statements_v1v2_body('v2')}\nSELECT * FROM statements")
+
+
+def statements_annual_v1_sql() -> str:
+    return (f"{facts_cte_sql()},\n{filings_cte_sql()},"
+            f"{_statements_v1v2_body('v1')}\nSELECT * FROM statements")
+
+
 def _safe_div(a: str, b: str) -> str:
     return f"CASE WHEN {a} IS NULL OR {b} IS NULL OR {b} = 0 THEN NULL ELSE {a} / {b} END"
 
@@ -275,6 +337,8 @@ def build_reference_oracles() -> dict[str, str]:
         "insert_if_absent": insert_if_absent_sql(),
         "upsert_latest_wins": upsert_latest_wins_sql(),
         "statements_annual": statements_annual_sql(),
+        "statements_annual_v2": statements_annual_v2_sql(),
+        "statements_annual_v1": statements_annual_v1_sql(),
         "ratios_annual": ratios_annual_sql(),
         "company_profile": company_profile_sql(),
         "ratios_lookup": ratios_lookup_sql(),

@@ -152,6 +152,29 @@ def synthetic_facts(lineitem: DataFrame, entity_partitions: int | None = None) -
     )
 
 
+# Filings dimension for the v1/v2 statements path (J1): one row per
+# accession; fiscal_period 'Q2' noise exercises the FY filter
+# (build_statements_annual.py:28-50 / _v2.py:33-57 borrow fiscal_year
+# from filings and keep only FY rows).
+FILINGS_PERIOD = "CASE WHEN l_orderkey % 11 = 0 THEN 'Q2' ELSE 'FY' END"
+
+
+def synthetic_filings(lineitem: DataFrame) -> DataFrame:
+    """lineitem -> filings dimension (accession_no, fiscal_year,
+    fiscal_period), aligned with ``synthetic_facts``'s accession spelling
+    so the v1/v2 join resolves every fact."""
+    return lineitem.select(
+        F.expr(BASE_COLS["accn"]).alias("accession_no"),
+        F.expr(BASE_COLS["y"]).alias("fiscal_year"),
+        F.expr(FILINGS_PERIOD).alias("fiscal_period"),
+    )
+
+
+def filings_cte_sql() -> str:
+    return (f"filings AS (SELECT accn AS accession_no, y AS fiscal_year,\n"
+            f"         {FILINGS_PERIOD} AS fiscal_period FROM base)")
+
+
 def star_companies(supplier: DataFrame) -> DataFrame:
     """Companies dimension analog from supplier (cik aligned with
     synthetic_facts; ticker = upper(name) like seed_companies.py:18)."""

@@ -19,7 +19,7 @@ from ..operators.pivot import pivot_first
 from ..operators.upsert import insert_if_absent, upsert_latest_wins
 from ..plans.api_queries import company_profile, company_ratios, screener
 from ..plans.ratios import compute_ratios
-from ..plans.star_facts import star_companies, synthetic_facts
+from ..plans.star_facts import star_companies, synthetic_facts, synthetic_filings
 from ..plans.statements import build_statements
 from ..sources.tables import parallelize_scan, table_path
 
@@ -211,6 +211,30 @@ def q_statements_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "lineitem"), entity_partitions=default_parallelism()
     )
     return build_statements(facts, version="v3")
+
+
+def q_statements_annual_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 statements path end-to-end (build_statements_annual_v2.py):
+    fiscal_year borrowed from the filings dimension via a broadcast J1
+    join, FY filings only, W2 dedup preferring 10-K then latest filed,
+    v2 revenue-candidate order, no capex sign fix. Driver-checks the
+    J1/W2 machinery the same way v3 checks the argmax path."""
+    from ..session import default_parallelism
+
+    li = _read(spark, sf_dir, "lineitem")
+    facts = synthetic_facts(li, entity_partitions=default_parallelism())
+    return build_statements(facts, version="v2", filings=synthetic_filings(li))
+
+
+def q_statements_annual_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v1 statements path (build_statements_annual.py): same J1/W2
+    machinery as v2 but revenues from the single ``Revenues`` tag -- the
+    reference's earliest builder, kept selectable for parity."""
+    from ..session import default_parallelism
+
+    li = _read(spark, sf_dir, "lineitem")
+    facts = synthetic_facts(li, entity_partitions=default_parallelism())
+    return build_statements(facts, version="v1", filings=synthetic_filings(li))
 
 
 def q_ratios_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
