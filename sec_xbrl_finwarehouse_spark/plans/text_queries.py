@@ -468,8 +468,14 @@ def _doc_shingles_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
     slower at sf0.1 (the array-valued intermediate row defeats codegen).
     Short docs (< k tokens) contribute no rows -- explode of the empty
     array -- which downstream joins/aggs treat correctly."""
-    d = _documents(spark, sf_dir)
-    toks = d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    return shingles_exploded_of(_documents(spark, sf_dir))
+
+
+def shingles_exploded_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) frame -> distinct (doc_id, shingle) rows; the
+    DataFrame-input twin of :func:`_doc_shingles_exploded` used by the
+    incremental-dedup path, where the new batch is not a stored table."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     return toks.select(
         "doc_id", F.explode(_shingles(F.col("toks"))).alias("shingle")
     )
@@ -570,6 +576,40 @@ WHERE (len(list_intersect(a.shingles, b.shingles))::double
 
 # ---- MinHash + LSH near-dup (the scale path; same output contract) ---------
 
+def minhash_bands_of(ex: DataFrame) -> DataFrame:
+    """(doc_id, shingle) rows -> (doc_id, band, bh) LSH band keys.
+
+    Hash each shingle ONCE (xxhash64 -> pmod p), derive the
+    {MINHASH_HASHES} signature values as affine permutations of that
+    single hash (MINHASH_COEFFS), one groupBy(doc_id) with partial mins,
+    then explode to band keys. Shared by the batch dedup query and the
+    incremental-index path (plans/incremental_dedup.py) so stored and
+    freshly-computed signatures are always comparable."""
+    hashed = ex.select(
+        "doc_id",
+        F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)).alias("sh"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_PRIME))
+          .alias(f"h{i}")
+          for i, (a, b) in enumerate(MINHASH_COEFFS)]
+    )
+    n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(*[F.col(f"h{b * MINHASH_BAND_ROWS + r}")
+                                 for r in range(MINHASH_BAND_ROWS)]).alias("bh"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+
+
 def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: signatures -> banded buckets -> candidate
     pairs -> EXACT Jaccard verification on candidates only. Output
@@ -585,30 +625,7 @@ def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     down to candidates before the heavy aggregation). Everything is
     built-in expressions -- no Python in the hot path."""
     ex = _doc_shingles_exploded(spark, sf_dir)
-    hashed = ex.select(
-        "doc_id",
-        F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)).alias("sh"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_PRIME))
-          .alias(f"h{i}")
-          for i, (a, b) in enumerate(MINHASH_COEFFS)]
-    )
-    n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col(f"h{b * MINHASH_BAND_ROWS + r}")
-                                 for r in range(MINHASH_BAND_ROWS)]).alias("bh"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
-    bands = _persist_hot(bands)  # n_docs x 64 rows -- small even at scale
+    bands = _persist_hot(minhash_bands_of(ex))  # n_docs x 64 rows -- small even at scale
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
