@@ -810,6 +810,74 @@ LIMIT {TOP_NGRAMS}
 """
 
 
+# ---- per-doc TF-IDF top terms ----------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} TF-IDF terms per document -- the canonical
+    keyword-extraction / relevance primitive. tf = in-doc term count,
+    idf = ln(N/df) with df from the same aggregation chain, score
+    rounded to 6 places BEFORE ranking so the two engines' last-ulp
+    ``ln`` differences can neither flip ranks nor fail the value hash;
+    term ASC breaks exact ties.
+
+    Plan shape: tokenize -> (doc_id, tok) count agg -> tok-keyed df agg
+    joined back -> one per-doc top-k window. Both aggregations combine
+    map-side; the df side is vocabulary-sized (shuffles far less than
+    the token stream), and the corpus count joins in as a broadcast
+    scalar. At 100 TB the df table is the classic shared dimension --
+    computed once, reused by every batch."""
+    d = _documents(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("doc_id", F.col("tok").alias("term"), "tf", "df", "score",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+DOC_TFIDF_TOPK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+         round(tf.tf * ln(n.n::DOUBLE / dfreq.df), 6) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS term, tf, df, score, rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, tok ASC) AS rk
+  FROM scored
+)
+WHERE rk <= {TFIDF_TOPK}
+"""
+
+
 # ---- end-to-end corpus build (quality x dedup x lang x split) --------------
 
 def q_doc_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1134,6 +1202,7 @@ QUERIES = {
     "doc_dedup_keep_best": q_doc_dedup_keep_best,
     "doc_corpus_build": q_doc_corpus_build,
     "doc_ngram_df": q_doc_ngram_df,
+    "doc_tfidf_topk": q_doc_tfidf_topk,
 }
 
 ORACLES = {
@@ -1153,4 +1222,5 @@ ORACLES = {
     "doc_dedup_keep_best": DOC_DEDUP_KEEP_BEST_SQL,
     "doc_corpus_build": DOC_CORPUS_BUILD_SQL,
     "doc_ngram_df": DOC_NGRAM_DF_SQL,
+    "doc_tfidf_topk": DOC_TFIDF_TOPK_SQL,
 }
