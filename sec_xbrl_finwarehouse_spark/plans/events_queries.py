@@ -485,6 +485,58 @@ LEFT JOIN p USING (user_id)
 """
 
 
+# ---- daily anomaly detection (z-score) -------------------------------------
+
+ANOMALY_Z = 2.0
+
+
+def q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-total anomaly flags per event_type: z-score of each day's
+    total value against that type's own daily distribution, |z| >=
+    {ANOMALY_Z} flagged. The monitoring query every event pipeline runs.
+
+    One (type, day) aggregation, then mean/stddev as an unpartitioned-
+    frame window per type over the SMALL daily table (days x types rows
+    -- bounded regardless of corpus size, so the window is safe even
+    though it funnels per-type groups). Sample stddev on both engines;
+    z rounded to 6 places for cross-engine float stability; zero-
+    variance types yield NULL z and are never flagged."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("value").alias("total_value"))
+    )
+    w = Window.partitionBy("event_type")
+    mu = F.avg("total_value").over(w)
+    sd = F.stddev("total_value").over(w)
+    z = F.when(sd > 0, F.round((F.col("total_value") - mu) / sd, 6))
+    return daily.select(
+        "event_type", "day", "total_value",
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+EVENT_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS total_value
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, avg(total_value) AS mu, stddev_samp(total_value) AS sd
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.total_value,
+       CASE WHEN s.sd > 0
+            THEN round((d.total_value - s.mu) / s.sd, 6) END AS z,
+       coalesce(abs(CASE WHEN s.sd > 0
+                         THEN round((d.total_value - s.mu) / s.sd, 6) END)
+                >= {ANOMALY_Z}, false) AS is_anomaly
+FROM daily d JOIN stats s USING (event_type)
+"""
+
+
 # ---- cohort retention ------------------------------------------------------
 
 def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,6 +644,7 @@ QUERIES = {
     "event_cube": q_event_cube,
     "event_funnel": q_event_funnel,
     "event_retention": q_event_retention,
+    "event_anomaly": q_event_anomaly,
 }
 
 ORACLES = {
@@ -607,4 +660,5 @@ ORACLES = {
     "event_distinct_users": EVENT_DISTINCT_USERS_SQL,
     "event_funnel": EVENT_FUNNEL_SQL,
     "event_retention": EVENT_RETENTION_SQL,
+    "event_anomaly": EVENT_ANOMALY_SQL,
 }
