@@ -110,3 +110,38 @@ def test_exact_dedup_shuffles_hash_key_not_text(spark, qmap):
     expression, not the raw text."""
     plan = _optimized(qmap["doc_exact_dedup"](spark, SF_DIR))
     assert "xxhash64" in plan.lower()
+
+
+def test_ivf_assignment_has_no_window(spark, qmap):
+    """IVF cell assignment is a per-row array_sort over the broadcast
+    centroid array -- a refactor back to the crossJoin + row_number
+    window form (corpus x n_cells shuffle) must fail here. The only
+    windows allowed are the two-phase top-k's rank windows, which sit
+    ABOVE the probe join, never under the assignment."""
+    plan = _optimized(qmap["emb_ivf_ann_topk"](spark, SF_DIR))
+    # optimized plan text: Window nodes listing row_number over neighbor_id
+    # would mark the old assignment form
+    assert "windowspecdefinition(neighbor_id" not in plan, plan
+
+
+def test_simhash_neardup_filters_before_dedup(spark, qmap):
+    """The hamming cut must sit below the pair Deduplicate: banded
+    collisions are ~1000x the true-pair count on vocabulary-correlated
+    corpora, so deduping first shuffles the blowup. The optimized plan
+    must show the bit_count filter under the Deduplicate node."""
+    plan = _optimized(qmap["doc_simhash_neardup"](spark, SF_DIR))
+    join_line = next(
+        (ln for ln in plan.splitlines() if "Join Inner" in ln), ""
+    )
+    # with the filter written before the dedup, Catalyst folds the
+    # hamming predicate INTO the join condition itself -- the strongest
+    # placement (rows die at the probe, none reach the dedup)
+    assert "bit_count" in join_line, plan[:2000]
+
+
+def test_funnel_single_user_partitioning(spark, qmap):
+    """Every funnel aggregation/join keys on user_id -- no shuffle may
+    hash on anything but user_id."""
+    plan = _plan(qmap["event_funnel"](spark, SF_DIR))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert m.group(1).startswith("user_id"), m.group(0)
