@@ -193,3 +193,66 @@ def click_view_stream_join(clicks: DataFrame, views: DataFrame) -> DataFrame:
         & (F.col("view_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {BAND}")),
         "inner",
     ).select("user_id", "click_event_id", "click_ts", "view_event_id", "view_ts")
+
+
+FUNNEL_STATE = StructType([
+    StructField("stage", LongType()),
+    StructField("view_us", LongType()),
+    StructField("click_us", LongType()),
+])
+
+FUNNEL_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("stage", LongType()),
+])
+
+
+def _update_funnel(key, pdf_iter, state):
+    """Per-user funnel state machine (streaming twin of the batch
+    q_event_funnel): first view, first click at-or-after it, first
+    purchase at-or-after that -- stage only ever advances, carried in
+    executor state across micro-batches as epoch-micros longs."""
+    import pandas as pd
+
+    stage, v_us, c_us = state.get if state.exists else (0, None, None)
+    rows = []
+    for pdf in pdf_iter:
+        rows.append(pdf[["event_type", "ts"]])
+    if rows:
+        allr = pd.concat(rows).sort_values("ts")
+        for et, ts in zip(allr["event_type"], allr["ts"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if et == "view" and v_us is None:
+                v_us, stage = us, max(stage, 1)
+            elif (et == "click" and v_us is not None and c_us is None
+                  and us >= v_us):
+                c_us, stage = us, max(stage, 2)
+            elif (et == "purchase" and c_us is not None and stage < 3
+                  and us >= c_us):
+                stage = 3
+    state.update((stage, v_us, c_us))
+    yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user funnel stage via ``applyInPandasWithState``.
+
+    The batch spelling needs three corpus-wide aggregations; streaming
+    keeps THREE LONGS of state per user and upgrades them in place as
+    events arrive -- the state-machine shape any custom sequential
+    operator takes when window/session_window can't express it. Stages
+    are monotone under the >= semantics, so late events within the
+    processing order can only advance a user, never regress one; use
+    with outputMode('update'). Caveat (documented, inherent): events
+    must arrive per-user in event-time order across micro-batches for
+    exact batch parity -- a watermark-delayed reorder buffer is the
+    production hardening."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

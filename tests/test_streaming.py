@@ -172,3 +172,24 @@ def test_stream_stream_band_join_matches_batch(spark, tmp_path):
     )
     got = {(r["click_event_id"], r["view_event_id"]) for r in streamed.collect()}
     assert got == {(2, 1), (5, 4), (2, 7)}
+
+
+def test_funnel_stream_advances_across_batches(spark, tmp_path):
+    """Funnel state must carry across micro-batches: view in batch 0,
+    click in batch 1, purchase in batch 2 -> final stage 3; a user whose
+    click precedes their view stays at stage 1."""
+    from sec_xbrl_finwarehouse_spark.streaming.events_stream import funnel_stream
+
+    batches = [
+        [(1, 1, "view", 0.0, 1.0), (2, 2, "click", 0.0, 1.0)],
+        [(3, 1, "click", 10.0, 1.0), (4, 2, "view", 10.0, 1.0)],
+        [(5, 1, "purchase", 20.0, 1.0)],
+    ]
+    src = _write_batches(spark, tmp_path, batches)
+    out = _run_to_memory(spark, funnel_stream(stream_events(spark, src)),
+                         "funnel_stream", "update")
+    # update mode emits one row per user per touched batch; last wins
+    import pandas as pd
+    pdf = out.toPandas()
+    final = pdf.groupby("user_id")["stage"].max().to_dict()
+    assert final == {1: 3, 2: 1}
