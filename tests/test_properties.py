@@ -119,3 +119,66 @@ def test_pivot_degenerate_sizes(spark, n):
     long = _df(spark, rows)
     wide = pivot_first(long, ["k"], "tag", "v", TAGS)
     assert wide.count() == n
+
+
+# ---- r4 surface properties -------------------------------------------------
+
+words_strategy = st.lists(
+    st.lists(st.sampled_from([f"w{i}" for i in range(12)]),
+             min_size=0, max_size=25),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=words_strategy)
+def test_simhash_neardup_pairs_symmetric_and_verified(spark, docs, tmp_path_factory):
+    """For ANY token corpus: every reported pair is ordered (d1 < d2),
+    within the hamming bound, and hamming(a,b) is consistent with the
+    emitted fingerprints."""
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    tmp = tmp_path_factory.mktemp("sh")
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in tq.q_doc_simhash(spark, str(tmp)).collect()}
+    for r in tq.q_doc_simhash_neardup(spark, str(tmp)).collect():
+        assert r["d1"] < r["d2"]
+        assert r["hamming"] <= tq.SIMHASH_HAM_MAX
+        assert bin(sigs[r["d1"]] ^ sigs[r["d2"]]).count("1") == r["hamming"]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=words_strategy)
+def test_stratified_sample_is_subset_with_full_rank_cover(spark, docs,
+                                                          tmp_path_factory):
+    """For ANY documents table: the sample is a subset, ranks within each
+    language are exactly 1..min(K, stratum size), and rerunning yields
+    the identical draw."""
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    tmp = tmp_path_factory.mktemp("ss")
+    rows = [(i, " ".join(ws), ["en", "fr"][i % 2], "s", len(ws))
+            for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    got = tq.q_doc_stratified_sample(spark, str(tmp)).collect()
+    again = tq.q_doc_stratified_sample(spark, str(tmp)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["draw_rank"])
+    strata = {}
+    for _, _, lang, _, _ in rows:
+        strata[lang] = strata.get(lang, 0) + 1
+    for lang, ranks in by_lang.items():
+        expect = min(tq.STRATA_SAMPLE_K, strata[lang])
+        assert sorted(ranks) == list(range(1, expect + 1))
