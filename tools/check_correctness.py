@@ -105,6 +105,11 @@ def compare(name: str, spark_df, con) -> dict:
 
 def main() -> None:
     args = sys.argv[1:]
+    # --bare: use a default-config SparkSession (ANSI on, no engine confs)
+    # exactly like the driver's external verify harness, to catch any
+    # query that silently depends on get_spark's settings
+    bare = "--bare" in args
+    args = [a for a in args if a != "--bare"]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     wanted = args[1:] if args and os.path.isdir(args[0]) else args
 
@@ -112,7 +117,14 @@ def main() -> None:
     for t in STAR_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark("correctness-check")
+    if bare:
+        from pyspark.sql import SparkSession
+
+        spark = (SparkSession.builder.master("local[*]")
+                 .appName("correctness-check-bare")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+    else:
+        spark = get_spark("correctness-check")
     qmap = entrymod.queries()
     names = [n for n in qmap if not wanted or n in wanted]
     failures = 0
