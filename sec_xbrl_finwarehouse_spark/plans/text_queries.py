@@ -810,6 +810,85 @@ LIMIT {TOP_NGRAMS}
 """
 
 
+# ---- decontamination (train/test n-gram overlap) ---------------------------
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag TRAIN-split documents sharing at
+    least one {SHINGLE_K}-gram with ANY TEST-split document -- the
+    n-gram overlap check every serious pretraining pipeline runs against
+    held-out evaluation sets before training.
+
+    Plan shape: the deterministic md5 split (q_doc_train_test_split)
+    partitions the corpus; test-side shingles are the SMALL side (the
+    benchmark set), so the overlap join is shingle-keyed with the test
+    side broadcastable at real scale; a semi-join (left_semi) marks
+    contaminated train docs without materializing the pair blowup, and
+    the contaminated-shingle count per doc comes from one distinct-agg
+    over the matched shingles only."""
+    ex = _persist_hot(_doc_shingles_exploded(spark, sf_dir))
+    split = q_doc_train_test_split(spark, sf_dir)
+    sides = ex.join(split, "doc_id")
+    train = sides.filter(F.col("split") == "train").select("doc_id", "shingle")
+    test_sh = (
+        sides.filter(F.col("split") == "test")
+        .select("shingle").distinct()
+    )
+    hits = (
+        train.join(test_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_contaminated_shingles"))
+    )
+    return (
+        split.filter(F.col("split") == "train")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_shingles", F.lit(0))
+             .alias("n_contaminated_shingles"),
+            (F.coalesce("n_contaminated_shingles", F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+    )
+
+
+DOC_DECONTAMINATE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) < {SHINGLE_K} THEN []::varchar[]
+                     ELSE list_distinct([array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')
+                                         for i in range(1, len(w) - {SHINGLE_K - 2})])
+                END) AS shingle
+  FROM tok
+),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN {TRAIN_HEX!r} THEN 'train' ELSE 'test' END AS split
+  FROM documents
+),
+test_sh AS (
+  SELECT DISTINCT sh.shingle
+  FROM sh JOIN spl USING (doc_id) WHERE spl.split = 'test'
+),
+hits AS (
+  SELECT sh.doc_id, count(DISTINCT sh.shingle) AS n_contaminated_shingles
+  FROM sh JOIN spl USING (doc_id) JOIN test_sh USING (shingle)
+  WHERE spl.split = 'train'
+  GROUP BY 1
+)
+SELECT s.doc_id,
+       coalesce(h.n_contaminated_shingles, 0) AS n_contaminated_shingles,
+       coalesce(h.n_contaminated_shingles, 0) > 0 AS contaminated
+FROM spl s LEFT JOIN hits h USING (doc_id)
+WHERE s.split = 'train'
+"""
+
+
 # ---- per-doc TF-IDF top terms ----------------------------------------------
 
 TFIDF_TOPK = 3
@@ -1203,6 +1282,7 @@ QUERIES = {
     "doc_corpus_build": q_doc_corpus_build,
     "doc_ngram_df": q_doc_ngram_df,
     "doc_tfidf_topk": q_doc_tfidf_topk,
+    "doc_decontaminate": q_doc_decontaminate,
 }
 
 ORACLES = {
@@ -1223,4 +1303,5 @@ ORACLES = {
     "doc_corpus_build": DOC_CORPUS_BUILD_SQL,
     "doc_ngram_df": DOC_NGRAM_DF_SQL,
     "doc_tfidf_topk": DOC_TFIDF_TOPK_SQL,
+    "doc_decontaminate": DOC_DECONTAMINATE_SQL,
 }

@@ -279,3 +279,42 @@ def test_corpus_build_selection_conjunction(spark, tmp_path):
            for r in tq.q_doc_corpus_build(spark, str(sf)).collect()}
     assert got == {0: False, 1: True, 2: False, 3: True}
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_decontaminate_flags_cross_split_overlap(spark, tmp_path):
+    """A train doc sharing a 3-gram with a test doc is contaminated;
+    train docs with no test overlap are clean. Split membership comes
+    from the deterministic md5 rule, so the test discovers it first."""
+    import shutil
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    # find doc_ids landing in each split under the md5 rule
+    import hashlib
+
+    def split_of(i):
+        return "train" if hashlib.md5(str(i).encode()).hexdigest()[0] in tq.TRAIN_HEX else "test"
+
+    train_ids = [i for i in range(40) if split_of(i) == "train"]
+    test_ids = [i for i in range(40) if split_of(i) == "test"]
+    assert train_ids and test_ids
+
+    shared = "alpha beta gamma"
+    texts = {}
+    texts[test_ids[0]] = f"{shared} " + " ".join(f"t{i}" for i in range(10))
+    texts[train_ids[0]] = f"{shared} " + " ".join(f"u{i}" for i in range(10))  # contaminated
+    texts[train_ids[1]] = " ".join(f"v{i}" for i in range(13))                 # clean
+    rows = [(i, texts[i]) for i in sorted(texts)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs_ids(spark, rows).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    got = {r["doc_id"]: r["contaminated"]
+           for r in tq.q_doc_decontaminate(spark, str(sf)).collect()}
+    assert got[train_ids[0]] is True
+    assert got[train_ids[1]] is False
+    assert test_ids[0] not in got  # only train docs are reported
+
+
+def _docs_ids(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
