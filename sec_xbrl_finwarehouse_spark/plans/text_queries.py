@@ -810,6 +810,56 @@ LIMIT {TOP_NGRAMS}
 """
 
 
+# ---- sequence packing (context-window binning) ------------------------------
+
+PACK_WINDOW = 2048
+PACK_SHARDS = 16
+
+
+def q_doc_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing: assign documents to {PACK_WINDOW}-token
+    context windows by running token total WITHIN a shard -- the batching
+    step that turns a deduped corpus into fixed-length training rows.
+
+    Scale shape: a single global running total would need a one-partition
+    window (the classic scale wall), so packing is shard-local --
+    ``doc_id % {PACK_SHARDS}`` buckets, one cumulative-sum window per
+    shard, pack key = (shard, floor(preceding_tokens / window)). Shards
+    pack independently and in parallel exactly like a real pipeline's
+    per-worker packers; a doc straddling a boundary spills into its
+    starting pack (documented streaming-packer behavior -- the trainer
+    truncates or rolls the tail). Deterministic: shard and order are
+    pure functions of doc_id."""
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    sharded = d.withColumn("shard", F.col("doc_id") % PACK_SHARDS)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return sharded.select(
+        "doc_id", "shard", "n_tokens",
+        cum.alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_WINDOW)).alias("pack_id"),
+    )
+
+
+DOC_SEQ_PACKING_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                         x -> x <> ''))::BIGINT AS n_tokens,
+         doc_id % {PACK_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       sum(n_tokens) OVER w AS cum_tokens,
+       CAST(floor((sum(n_tokens) OVER w - n_tokens)
+                  / {PACK_WINDOW}) AS BIGINT) AS pack_id
+FROM d
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
 # ---- decontamination (train/test n-gram overlap) ---------------------------
 
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1283,6 +1333,7 @@ QUERIES = {
     "doc_ngram_df": q_doc_ngram_df,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_seq_packing": q_doc_seq_packing,
 }
 
 ORACLES = {
@@ -1304,4 +1355,5 @@ ORACLES = {
     "doc_ngram_df": DOC_NGRAM_DF_SQL,
     "doc_tfidf_topk": DOC_TFIDF_TOPK_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
+    "doc_seq_packing": DOC_SEQ_PACKING_SQL,
 }

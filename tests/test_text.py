@@ -318,3 +318,31 @@ def test_decontaminate_flags_cross_split_overlap(spark, tmp_path):
 
 def _docs_ids(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_seq_packing_invariants(spark, tmp_path):
+    """Packs fill in doc_id order per shard: pack_id is non-decreasing,
+    a pack's preceding-token start is below the window boundary, and
+    every doc lands in the shard doc_id % PACK_SHARDS."""
+    import shutil
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    rows = [(i, " ".join(f"w{j}" for j in range(100 + 37 * (i % 9))))
+            for i in range(50)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs_ids(spark, rows).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    out = sorted(tq.q_doc_seq_packing(spark, str(sf)).collect(),
+                 key=lambda r: (r["shard"], r["doc_id"]))
+    per_shard = {}
+    for r in out:
+        assert r["shard"] == r["doc_id"] % tq.PACK_SHARDS
+        start = r["cum_tokens"] - r["n_tokens"]
+        assert r["pack_id"] == start // tq.PACK_WINDOW
+        prev = per_shard.get(r["shard"])
+        if prev is not None:
+            assert r["pack_id"] >= prev["pack_id"]
+            assert r["cum_tokens"] == prev["cum_tokens"] + r["n_tokens"]
+        per_shard[r["shard"]] = r
