@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sec_xbrl_finwarehouse_spark import oracles
 from sec_xbrl_finwarehouse_spark.plans import (
+    corpus_queries,
     embedding_queries,
     events_queries,
     text_queries,
@@ -58,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **events_queries.QUERIES,
         # beyond-reference: text analysis + dedup (training-data pipeline)
         **text_queries.QUERIES,
+        # beyond-reference: corpus hygiene (repetition, PII, mixture, shuffle)
+        **corpus_queries.QUERIES,
         # beyond-reference: embedding similarity search
         **embedding_queries.QUERIES,
     }
@@ -68,5 +71,6 @@ def oracle_sql() -> dict[str, str]:
         **oracles.build_reference_oracles(),
         **events_queries.ORACLES,
         **text_queries.ORACLES,
+        **corpus_queries.ORACLES,
         **embedding_queries.ORACLES,
     }

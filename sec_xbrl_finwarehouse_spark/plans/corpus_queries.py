@@ -1,0 +1,336 @@
+"""Corpus-hygiene operators over the ``documents`` table (round-4 pack).
+
+The signals every pretraining-data pipeline computes between "raw crawl"
+and "training shards", beyond the dedup/quality/split operators in
+plans/text_queries.py:
+
+* Gopher-style repetition metrics (duplicate/top n-gram fractions) --
+  the highest-signal quality filter after length (Rae et al. 2021 §A1.1
+  use exactly these duplicate-n-gram fractions as filters).
+* PII scan + redaction (email / IPv4 / phone regexes) -- counts on the
+  raw text plus a redacted rendition, the pre-release compliance pass.
+* Source/domain mixture stats -- per-source corpus share and the
+  up/down-weight that rebalances sampling toward a uniform target mix.
+* Deterministic global shuffle -- hash-sharded, reproducible training
+  order without a single-partition global sort.
+
+All pure built-in expressions (no UDFs); every query has a DuckDB
+oracle co-located here. Regex dialect is restricted to the syntax Java
+(Spark) and RE2 (DuckDB) interpret identically: character classes,
+bounded repetition, non-capturing groups, ``\\b`` word boundaries -- no
+lookaround, no backreferences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .text_queries import _documents, _tokens
+
+# ---- Gopher-style repetition metrics ---------------------------------------
+
+
+def _grams(tokens_col, n: int):
+    """All n-grams (NOT distinct -- repetition is the point here);
+    empty array when the doc is shorter than n tokens."""
+    sz = F.size(tokens_col)
+    return F.when(sz < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+        )
+    )
+
+
+def repetition_of(docs: DataFrame) -> DataFrame:
+    """Per-document duplicate-n-gram and top-n-gram fractions for
+    n in {2, 3}:
+
+    * ``n{n}_total``    -- n-gram occurrences (len(tokens) - n + 1)
+    * ``n{n}_dup_frac`` -- (total - distinct) / total: the fraction of
+      n-gram slots occupied by a repeat of an earlier n-gram (Gopher's
+      "duplicate n-gram fraction" filter signal)
+    * ``n{n}_top_frac`` -- occurrences of the most frequent n-gram /
+      total (Gopher's "top n-gram fraction")
+
+    Plan shape: ONE explode over (n, gram) structs for both sizes, one
+    (doc_id, n, gram) count agg (map-side combinable -- the dominant
+    reducer of the token stream), then one (doc_id) agg with conditional
+    sums; short/empty docs re-enter via a left join with zero fill.
+    At 100 TB this is the same two-level aggregation shape as word
+    count: shuffle volume is bounded by the per-partition DISTINCT
+    (doc_id, n, gram) set, never the raw token stream."""
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    ex = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    _grams(F.col("toks"), 2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("gram")),
+                ),
+                F.transform(
+                    _grams(F.col("toks"), 3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("gram")),
+                ),
+            )
+        ).alias("ng"),
+    ).select("doc_id", F.col("ng.n").alias("n"), F.col("ng.gram").alias("gram"))
+    per_gram = ex.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+
+    def _stats(n: int):
+        is_n = F.col("n") == n
+        total = F.sum(F.when(is_n, F.col("cnt")).otherwise(F.lit(0)))
+        distinct = F.sum(F.when(is_n, F.lit(1)).otherwise(F.lit(0)))
+        top = F.max(F.when(is_n, F.col("cnt")))
+        return [
+            total.alias(f"n{n}_total"),
+            ((total - distinct) / F.greatest(total, F.lit(1)))
+            .cast("double")
+            .alias(f"n{n}_dup_frac"),
+            (F.coalesce(top, F.lit(0)) / F.greatest(total, F.lit(1)))
+            .cast("double")
+            .alias(f"n{n}_top_frac"),
+        ]
+
+    stats = per_gram.groupBy("doc_id").agg(*_stats(2), *_stats(3))
+    zero = [
+        F.coalesce(c, F.lit(0)).cast(t).alias(c)
+        for c, t in [
+            ("n2_total", "long"), ("n2_dup_frac", "double"),
+            ("n2_top_frac", "double"), ("n3_total", "long"),
+            ("n3_dup_frac", "double"), ("n3_top_frac", "double"),
+        ]
+    ]
+    return docs.select("doc_id").join(stats, "doc_id", "left").select(
+        "doc_id", *zero
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_of(_documents(spark, sf_dir))
+
+
+_GRAMS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+ng AS (
+  SELECT doc_id, 2 AS n,
+         unnest(CASE WHEN len(w) < 2 THEN []::varchar[]
+                     ELSE [array_to_string(w[i:i+1], ' ')
+                           for i in range(1, len(w))] END) AS gram
+  FROM tok
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(CASE WHEN len(w) < 3 THEN []::varchar[]
+                     ELSE [array_to_string(w[i:i+2], ' ')
+                           for i in range(1, len(w) - 1)] END) AS gram
+  FROM tok
+),
+per_gram AS (
+  SELECT doc_id, n, gram, count(*) AS cnt FROM ng GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT doc_id,
+         sum(CASE WHEN n = 2 THEN cnt ELSE 0 END) AS n2_total,
+         sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS n2_distinct,
+         max(CASE WHEN n = 2 THEN cnt END) AS n2_top,
+         sum(CASE WHEN n = 3 THEN cnt ELSE 0 END) AS n3_total,
+         sum(CASE WHEN n = 3 THEN 1 ELSE 0 END) AS n3_distinct,
+         max(CASE WHEN n = 3 THEN cnt END) AS n3_top
+  FROM per_gram GROUP BY 1
+)"""
+
+DOC_REPETITION_SQL = f"""{_GRAMS_SQL}
+SELECT d.doc_id,
+       coalesce(s.n2_total, 0)::BIGINT AS n2_total,
+       coalesce((s.n2_total - s.n2_distinct)::DOUBLE
+                / greatest(s.n2_total, 1), 0.0) AS n2_dup_frac,
+       coalesce(coalesce(s.n2_top, 0)::DOUBLE
+                / greatest(s.n2_total, 1), 0.0) AS n2_top_frac,
+       coalesce(s.n3_total, 0)::BIGINT AS n3_total,
+       coalesce((s.n3_total - s.n3_distinct)::DOUBLE
+                / greatest(s.n3_total, 1), 0.0) AS n3_dup_frac,
+       coalesce(coalesce(s.n3_top, 0)::DOUBLE
+                / greatest(s.n3_total, 1), 0.0) AS n3_top_frac
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+
+# ---- PII scan + redaction --------------------------------------------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+PHONE_RE = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+
+def pii_scan_of(docs: DataFrame) -> DataFrame:
+    """Per-document PII census + redaction: counts of email / IPv4 /
+    dashed-phone matches on the RAW text (each pattern counted
+    independently), plus the md5 of the redacted rendition (emails ->
+    <EMAIL>, then phones -> <PHONE>, then IPv4 -> <IP> -- phone before
+    IP so a dotted phone is not half-eaten by the IP pattern).
+
+    Pure projection: regexp_extract_all / regexp_replace are built-ins,
+    no shuffle, composes with the scan. The md5-of-redacted output keeps
+    the oracle comparison exact without hauling full redacted text
+    through the compare; production would write the redacted column
+    itself. At 100 TB this is the classic map-only pass fused into
+    whatever scan runs anyway."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            PHONE_RE, "<PHONE>",
+        ),
+        IPV4_RE, "<IP>",
+    )
+    n_em = F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(F.col("text"), F.lit(IPV4_RE), F.lit(0)))
+    n_ph = F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_em.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ipv4"),
+        n_ph.cast("long").alias("n_phones"),
+        ((n_em + n_ip + n_ph) > 0).alias("has_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def q_doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scan_of(_documents(spark, sf_dir))
+
+
+def _sq(pat: str) -> str:
+    return pat.replace("'", "''")
+
+
+DOC_PII_SCAN_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_sq(EMAIL_RE)}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{_sq(IPV4_RE)}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(text, '{_sq(PHONE_RE)}'))::BIGINT AS n_phones,
+       (len(regexp_extract_all(text, '{_sq(EMAIL_RE)}'))
+        + len(regexp_extract_all(text, '{_sq(IPV4_RE)}'))
+        + len(regexp_extract_all(text, '{_sq(PHONE_RE)}'))) > 0 AS has_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             text, '{_sq(EMAIL_RE)}', '<EMAIL>', 'g'),
+             '{_sq(PHONE_RE)}', '<PHONE>', 'g'),
+             '{_sq(IPV4_RE)}', '<IP>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+# ---- source/domain mixture stats -------------------------------------------
+
+
+def q_doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus share and the sampling weight that rebalances
+    toward a UNIFORM source mix: weight = (1/n_sources) / share, i.e.
+    docs from over-represented sources are down-weighted (<1), rare
+    sources up-weighted (>1) -- the mixture knob of a training sampler.
+
+    One tiny aggregation keyed by source plus a broadcast of the two
+    corpus-level scalars; source cardinality is bounded (domains, not
+    documents), so the result set stays dimension-sized at any corpus
+    size. Weights rounded to 6 places so last-ulp division differences
+    cannot fail the value hash."""
+    d = _documents(spark, sf_dir)
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("corpus_docs"),
+        F.count("*").alias("n_sources"),
+    )
+    share = F.col("n_docs") / F.col("corpus_docs")
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source", "n_docs", "n_chars_total",
+            F.round(share, 6).cast("double").alias("share"),
+            F.round((F.lit(1.0) / F.col("n_sources")) / share, 6)
+            .cast("double")
+            .alias("uniform_weight"),
+        )
+    )
+
+
+DOC_DOMAIN_MIX_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_docs) AS corpus_docs, count(*) AS n_sources FROM per)
+SELECT source, n_docs, n_chars_total,
+       round(n_docs / corpus_docs, 6)::DOUBLE AS share,
+       round((1.0 / n_sources) / (n_docs / corpus_docs), 6)::DOUBLE
+         AS uniform_weight
+FROM per CROSS JOIN tot
+"""
+
+
+# ---- deterministic global shuffle (training order) -------------------------
+
+SHUFFLE_SHARDS = 32
+
+
+def q_doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle: every document gets a (shard, pos)
+    training-order coordinate derived purely from md5(doc_id) -- same
+    order on any engine, any partitioning, any rerun; readers stream
+    shard 0 pos 0.., shard 1 pos 0.., in parallel.
+
+    Scale shape: a global ORDER BY md5 would range-shuffle the whole
+    corpus into one totally-ordered sort (fine, but serial to consume);
+    hash-sharding first means {SHUFFLE_SHARDS} independent row_number
+    windows, each shard sortable and consumable in parallel -- exactly
+    how training shards are laid out on disk. The md5 draw makes shard
+    assignment uniform, so no shard skews regardless of doc_id gaps."""
+    d = _documents(spark, sf_dir).select("doc_id")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"),
+        F.lit(SHUFFLE_SHARDS),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("hx").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", shard.alias("shard"), h.alias("hx"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+DOC_GLOBAL_SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS hx,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {SHUFFLE_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       (ROW_NUMBER() OVER (PARTITION BY shard
+                           ORDER BY hx ASC, doc_id ASC) - 1)::BIGINT AS pos
+FROM h
+"""
+
+
+QUERIES = {
+    "doc_repetition": q_doc_repetition,
+    "doc_pii_scan": q_doc_pii_scan,
+    "doc_domain_mix": q_doc_domain_mix,
+    "doc_global_shuffle": q_doc_global_shuffle,
+}
+
+ORACLES = {
+    "doc_repetition": DOC_REPETITION_SQL,
+    "doc_pii_scan": DOC_PII_SCAN_SQL,
+    "doc_domain_mix": DOC_DOMAIN_MIX_SQL,
+    "doc_global_shuffle": DOC_GLOBAL_SHUFFLE_SQL,
+}

@@ -1,0 +1,102 @@
+"""Unit tests for the corpus-hygiene pack (plans/corpus_queries.py):
+planted repetition, planted PII (the synthetic corpus has none, so the
+regex + redaction semantics need constructed docs), mixture-weight
+algebra, and global-shuffle determinism/coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sec_xbrl_finwarehouse_spark.plans.corpus_queries import (
+    SHUFFLE_SHARDS,
+    pii_scan_of,
+    q_doc_domain_mix,
+    q_doc_global_shuffle,
+    repetition_of,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_repetition_planted(spark):
+    # "a b a b a b": bigrams [a b, b a, a b, b a, a b] -> total 5,
+    # distinct 2, top 3; trigrams [a b a, b a b, a b a, b a b] ->
+    # total 4, distinct 2, top 2
+    df = _docs(spark, ["a b a b a b", "all distinct tokens here", "x"])
+    got = {r["doc_id"]: r for r in repetition_of(df).collect()}
+    r0 = got[0]
+    assert r0["n2_total"] == 5 and r0["n2_dup_frac"] == 3 / 5
+    assert r0["n2_top_frac"] == 3 / 5
+    assert r0["n3_total"] == 4 and r0["n3_dup_frac"] == 2 / 4
+    r1 = got[1]  # no repeats at all
+    assert r1["n2_dup_frac"] == 0.0 and r1["n3_dup_frac"] == 0.0
+    assert r1["n2_top_frac"] == 1 / 3  # every bigram occurs once
+    r2 = got[2]  # single token: no n-grams, zero-filled not null
+    assert r2["n2_total"] == 0 and r2["n2_dup_frac"] == 0.0
+    assert r2["n3_top_frac"] == 0.0
+
+
+def test_pii_scan_planted(spark):
+    df = _docs(spark, [
+        "contact bob.smith+x@example.co.uk or 192.168.0.1 now",
+        "call 555-123-4567 or 555.123.4567",
+        "clean text with no identifiers",
+    ])
+    got = {r["doc_id"]: r for r in pii_scan_of(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ipv4"], got[0]["n_phones"]) == (1, 1, 0)
+    assert got[0]["has_pii"]
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (0, 0, 2)
+    assert not got[2]["has_pii"]
+    # redaction replaces every occurrence: redacted text of doc 1 has no
+    # digits left at all
+    red = pii_scan_of(df).collect()
+    assert all(r["redacted_md5"] is not None for r in red)
+
+
+def test_pii_redaction_order_phone_before_ip(spark):
+    # a dotted phone must become <PHONE>, not be half-eaten by the IP
+    # pattern: check via the planted doc's md5 equalling the md5 of the
+    # expected literal rendition
+    df = _docs(spark, ["call 555.123.4567 or visit 10.0.0.1"])
+    expect = "call <PHONE> or visit <IP>"
+    got = pii_scan_of(df).first()
+    want = df.select(F.md5(F.lit(expect)).alias("m")).first()["m"]
+    assert got["redacted_md5"] == want
+
+
+def test_domain_mix_weights(spark, tmp_path):
+    rows = [(i, "t", "en", "a" if i < 8 else "b", 1) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["source"]: r for r in q_doc_domain_mix(spark, str(tmp_path)).collect()}
+    assert out["a"]["n_docs"] == 8 and out["b"]["n_docs"] == 2
+    assert out["a"]["share"] == 0.8
+    # uniform target is 0.5 each: source a down-weighted, b up-weighted
+    assert out["a"]["uniform_weight"] == 0.625  # 0.5 / 0.8
+    assert out["b"]["uniform_weight"] == 2.5    # 0.5 / 0.2
+
+
+def test_global_shuffle_deterministic_dense_cover(spark, tmp_path):
+    rows = [(i, "t", "en", "s", 1) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    a = q_doc_global_shuffle(spark, str(tmp_path)).collect()
+    b = q_doc_global_shuffle(spark, str(tmp_path)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r["shard"] < SHUFFLE_SHARDS
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are dense 0..n-1 within every shard
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))
+    # the hash spreads docs across many shards (uniformity smoke check)
+    assert len(by_shard) >= SHUFFLE_SHARDS // 2
