@@ -145,3 +145,34 @@ def test_funnel_single_user_partitioning(spark, qmap):
     plan = _plan(qmap["event_funnel"](spark, SF_DIR))
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
         assert m.group(1).startswith("user_id"), m.group(0)
+
+
+def test_pii_scan_is_map_only(spark, qmap):
+    """PII scan/redaction is a pure projection: the only exchange is the
+    small-file scan spreader, the operator itself adds none."""
+    plan = _plan(qmap["doc_pii_scan"](spark, SF_DIR))
+    assert _n_exchanges(plan) <= 1, plan
+
+
+def test_int8_quantize_is_map_only(spark, qmap):
+    """int8 quantization fuses into the scan -- per-row higher-order
+    functions only, no shuffle beyond the scan spreader."""
+    plan = _plan(qmap["emb_int8_quantize"](spark, SF_DIR))
+    assert _n_exchanges(plan) <= 1, plan
+
+
+def test_global_shuffle_shards_not_global_sort(spark, qmap):
+    """The training-order shuffle is per-shard windows (hash exchange on
+    shard), never a rangepartitioning global sort of the corpus."""
+    plan = _plan(qmap["doc_global_shuffle"](spark, SF_DIR))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_repetition_two_level_agg(spark, qmap):
+    """Repetition metrics are the word-count shape: per-(doc,n,gram)
+    partial agg then per-doc agg -- bounded exchanges, and the corpus
+    re-entry join for empty docs is a broadcast, not a shuffle join."""
+    plan = _plan(qmap["doc_repetition"](spark, SF_DIR))
+    assert _n_exchanges(plan) <= 3, plan
+    assert "SortMergeJoin" not in plan, plan
