@@ -88,7 +88,11 @@ FACT_BRANCHES: tuple[FactBranch, ...] = (
 
 # --- Spark-side builders ---------------------------------------------------
 
-def synthetic_facts(lineitem: DataFrame, entity_partitions: int | None = None) -> DataFrame:
+def synthetic_facts(
+    lineitem: DataFrame,
+    entity_partitions: int | None = None,
+    tags: tuple[str, ...] | None = None,
+) -> DataFrame:
     """lineitem -> FACTS_SCHEMA-shaped long table, single scan.
 
     One parquet scan; each row emits its matching tag branches via
@@ -106,6 +110,18 @@ def synthetic_facts(lineitem: DataFrame, entity_partitions: int | None = None) -
     The same idiom at 100 TB: bucket facts by entity at INGEST and
     every mart rebuild is exchange-free with no runtime repartition
     at all.
+
+    ``tags``: when set, emit only the branches whose tag is in the set
+    -- manual computed-column pushdown. Catalyst prunes unused PIVOT
+    aggregates fine, but it cannot drop elements of the
+    ``explode(array(...))``, so a query that consumes a tag subset
+    (e.g. the screener needs 8 of 12) would otherwise still generate,
+    filter, and partially aggregate every branch's rows. The DuckDB
+    oracle's UNION-ALL spelling gets this pruning from its optimizer
+    for free; this parameter is the Spark-side equivalent. Output is
+    identical as long as the caller's final projection touches only
+    columns derived from ``tags`` (the pivot emits all-NULL columns
+    for missing tags, which the pruned projections never read).
     """
     # explicit projection documents what the exchange actually carries;
     # Catalyst's ColumnPruning reaches the same scan/shuffle schema (6
@@ -127,6 +143,7 @@ def synthetic_facts(lineitem: DataFrame, entity_partitions: int | None = None) -
             ).cast("double").alias("value"),
         )
         for b in FACT_BRANCHES
+        if tags is None or b.tag in tags
     ]
     exploded = (
         base.select(

@@ -255,9 +255,37 @@ def q_ratios_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           PROFILE_TICKER, limit=10)
 
 
+# tag subset feeding the screener's output/filter columns (roe,
+# fcf_margin, net_margin): the 4 revenue candidates + net income, OCF,
+# capex, equity. GrossProfit / OperatingIncomeLoss / Assets /
+# Liabilities feed only ratios the screener never reads, so their
+# branches are pruned at the facts builder (see synthetic_facts(tags=)).
+SCREENER_TAGS: tuple[str, ...] = (
+    "RevenueFromContractWithCustomerExcludingAssessedTax",
+    "SalesRevenueNet",
+    "Revenues",
+    "TotalRevenues",
+    "NetIncomeLoss",
+    "NetCashProvidedByUsedInOperatingActivities",
+    "PaymentsToAcquirePropertyPlantAndEquipment",
+    "StockholdersEquity",
+)
+
+
 def q_screener(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /screener analog (api.py:63-105): dynamic filters + broadcast
-    join + NULLS LAST top-k."""
+    join + NULLS LAST top-k. The facts builder emits only the 8 tags the
+    screener's columns derive from -- Spark-side branch pruning matching
+    what DuckDB's optimizer does to the oracle's UNION ALL (the output
+    is identical; the pruned tags feed only unread ratio columns)."""
+    from ..session import default_parallelism
+
     companies = star_companies(_read(spark, sf_dir, "supplier"))
-    return screener(q_ratios_annual(spark, sf_dir), companies,
+    facts = synthetic_facts(
+        _read(spark, sf_dir, "lineitem"),
+        entity_partitions=default_parallelism(),
+        tags=SCREENER_TAGS,
+    )
+    ratios = compute_ratios(build_statements(facts, version="v3"))
+    return screener(ratios, companies,
                     min_roe=SCREENER_MIN_ROE, limit=SCREENER_LIMIT)
