@@ -32,6 +32,17 @@ from pyspark.sql import functions as F
 
 CC_MAX_ITERS = 20
 
+# iteration shuffle width is sized to the EDGE SET, not the session
+# default: the near-dup graph is orders of magnitude smaller than the
+# corpus that produced it, and running every Hash-Min round at
+# corpus-width (32+ tasks per join/agg/checkpoint on a few hundred
+# edges) made the iteration loop cost ~2x the LSH pipeline itself at
+# sf0.1. One edge count at the persist boundary picks
+# ceil(edges / EDGES_PER_PARTITION) partitions -- a handful of rounds
+# on 1 task locally, and at 1e9 edges the same formula yields ~1000
+# partitions, which is exactly how you'd size it on a cluster.
+EDGES_PER_PARTITION = 1_000_000
+
 
 def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """(a, b) undirected edge pairs -> (node_id, rep) component labels.
@@ -42,13 +53,24 @@ def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Data
     themselves.
     """
     ca, cb = pairs.columns
-    edges = (
+    edges_raw = (
         pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
         .unionByName(
             pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst"))
         )
         .persist()
     )
+    # materialize the edge set once (the first iteration would have
+    # forced it anyway) and size the iteration width from its row count;
+    # localCheckpoint the width-repartitioned edges so every iteration
+    # reads them at that width instead of re-shuffling from the cache
+    n_edges = edges_raw.count()
+    width = max(1, min(
+        edges_raw.sparkSession.sparkContext.defaultParallelism,
+        (n_edges + EDGES_PER_PARTITION - 1) // EDGES_PER_PARTITION,
+    ))
+    edges = edges_raw.repartition(width, "dst").localCheckpoint(eager=True)
+    edges_raw.unpersist()
     labels = (
         edges.select(F.col("src").alias("node_id"))
         .distinct()
@@ -74,5 +96,4 @@ def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Data
         if cur == prev_sum:
             break
         prev_sum = cur
-    edges.unpersist()
     return labels
