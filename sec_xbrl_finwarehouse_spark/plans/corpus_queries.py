@@ -321,8 +321,98 @@ FROM h
 """
 
 
+# ---- unigram LM cross-entropy (CCNet-style quality proxy) ------------------
+
+
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram language
+    model -- the CCNet-style "perplexity bucket" quality signal without
+    an external LM: common-token documents score low (head of the corpus
+    distribution), rare-token soup scores high.
+
+    xent = -sum_tok tf * ln(cnt_tok / N) / n_tokens, where cnt comes
+    from the corpus term-frequency table and N is total corpus tokens.
+
+    Determinism across engines: per-term contributions are quantized to
+    integer micro-nats (floor(x * 1e6 + 0.5) -- floor is identical in
+    both engines, see the int8 quantizer) BEFORE summing, so the per-doc
+    sum is an order-independent BIGINT sum; a raw double sum would
+    depend on each engine's aggregation order. ln() itself can differ by
+    1 ulp between libms, which flips a micro-nat only when a term sits
+    within ~1e-16 relative of a quantization boundary -- negligible, and
+    flagged by the oracle if it ever lands.
+
+    Scale shape: tokenize -> (doc_id, tok) tf agg -> vocabulary-sized df
+    table joined back by token (the classic shared dimension -- at real
+    scale computed once and reused), corpus total broadcast, one final
+    doc_id agg of integer partials. Same two-level aggregation skeleton
+    as TF-IDF; everything map-side combinable."""
+    d = _documents(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    cnt = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = cnt.agg(F.sum("cnt").alias("n_corpus"))
+    term_unats = F.floor(
+        F.col("tf") * F.log(F.col("cnt") / F.col("n_corpus")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = (
+        tf.join(cnt, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (-F.sum(term_unats)).alias("neg_unats"),
+        )
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("neg_unats") / F.lit(1e6) / F.col("n_tokens"), 6)
+        .alias("xent"),
+    )
+    # docs with zero tokens re-enter with NULL score (nothing to model)
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "xent",
+        )
+    )
+
+
+DOC_UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+cnt AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT sum(cnt) AS n_corpus FROM cnt),
+per_doc AS (
+  -- BIGINT casts: DuckDB sum(BIGINT) is HUGEINT, which pandas would
+  -- surface as float/object and type-mismatch Spark's int64
+  SELECT tf.doc_id,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(-sum(CAST(floor(tf.tf * ln(cnt.cnt / tot.n_corpus) * 1e6 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS neg_unats
+  FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       round(p.neg_unats / 1e6 / p.n_tokens, 6) AS xent
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_repetition": q_doc_repetition,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_pii_scan": q_doc_pii_scan,
     "doc_domain_mix": q_doc_domain_mix,
     "doc_global_shuffle": q_doc_global_shuffle,
@@ -333,4 +423,5 @@ ORACLES = {
     "doc_pii_scan": DOC_PII_SCAN_SQL,
     "doc_domain_mix": DOC_DOMAIN_MIX_SQL,
     "doc_global_shuffle": DOC_GLOBAL_SHUFFLE_SQL,
+    "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
 }

@@ -631,8 +631,63 @@ GROUP BY CUBE (event_type, day)
 """
 
 
+# ---- event-type transition mining (markov / clickstream analysis) ----------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix of the event stream: for each
+    (event_type -> next event_type) step within a user's time-ordered
+    sequence, the step count and its share of all steps -- the
+    clickstream/markov primitive behind "what do users do after X".
+
+    Plan shape: one shuffle on user_id for the lead() window (sequence
+    derivation is inherently per-user and the per-user partition is
+    bounded), then a (from, to) count agg whose key space is
+    |event_types|^2 -- tiny, map-side combinable, and the total for the
+    share is a broadcast scalar. Deterministic: the sequence order is
+    (ts, event_id), total within ties."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    steps = (
+        e.select("user_id", "event_type", F.lead("event_type").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
+    ).agg(F.count("*").alias("n_steps"))
+    total = counts.agg(F.sum("n_steps").alias("total_steps"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "from_type", "to_type", "n_steps",
+            F.round(F.col("n_steps") / F.col("total_steps"), 6).alias("share"),
+        )
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n_steps
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_steps) AS total_steps FROM counts)
+SELECT from_type, to_type, n_steps,
+       round(n_steps / total_steps, 6) AS share
+FROM counts CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "event_window_agg": q_event_window_agg,
+    "event_transitions": q_event_transitions,
     "event_sessionize": q_event_sessionize,
     "event_asof_join": q_event_asof_join,
     "event_rollup": q_event_rollup,
@@ -648,6 +703,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_transitions": EVENT_TRANSITIONS_SQL,
     "event_interval_join": EVENT_INTERVAL_JOIN_SQL,
     "event_percentiles": EVENT_PERCENTILES_SQL,
     "event_cube": EVENT_CUBE_SQL,

@@ -100,3 +100,27 @@ def test_global_shuffle_deterministic_dense_cover(spark, tmp_path):
         assert sorted(ps) == list(range(len(ps)))
     # the hash spreads docs across many shards (uniformity smoke check)
     assert len(by_shard) >= SHUFFLE_SHARDS // 2
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark, tmp_path):
+    from sec_xbrl_finwarehouse_spark.plans.corpus_queries import (
+        q_doc_unigram_logprob,
+    )
+
+    # doc 0/1 share the common vocabulary; doc 2 is rare-token soup;
+    # doc 3 is empty (NULL score, zero tokens)
+    rows = [
+        (0, "the cat sat on the mat", "en", "s", 1),
+        (1, "the cat sat on the mat", "en", "s", 1),
+        (2, "zyx qwv unique singleton tokens", "en", "s", 1),
+        (3, "", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in q_doc_unigram_logprob(spark, str(tmp_path)).collect()}
+    assert got[0]["xent"] == got[1]["xent"]          # identical docs, same score
+    assert got[2]["xent"] > got[0]["xent"]           # rare tokens -> higher xent
+    assert got[3]["n_tokens"] == 0 and got[3]["xent"] is None
+    assert got[0]["n_tokens"] == 6

@@ -232,3 +232,28 @@ def test_retention_cohort_offsets(spark, tmp_path):
         ("2024-01-01", 2): 1,  # user 1
         ("2024-01-02", 0): 1,  # user 3
     }
+
+
+def test_transitions_counts_and_share(spark, tmp_path):
+    """Per-user ordered steps only: transitions never cross users, share
+    sums to 1 over the emitted matrix."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        q_event_transitions,
+    )
+
+    rows = [
+        # user 1: view -> click -> view  (steps: v->c, c->v)
+        (1, 1, "view", 0.0, 1.0), (2, 1, "click", 1.0, 1.0), (3, 1, "view", 2.0, 1.0),
+        # user 2: view -> click          (step: v->c)
+        (4, 2, "view", 0.0, 1.0), (5, 2, "click", 3.0, 1.0),
+        # user 3: single event, no step
+        (6, 3, "purchase", 0.0, 1.0),
+    ]
+    df = _events(spark, rows)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    out = q_event_transitions(spark, str(sf)).collect()
+    got = {(r["from_type"], r["to_type"]): r["n_steps"] for r in out}
+    assert got == {("view", "click"): 2, ("click", "view"): 1}
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-9
