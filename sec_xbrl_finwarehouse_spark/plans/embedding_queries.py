@@ -725,6 +725,191 @@ def q_emb_ivf_index_probe(
     return _topk_per_query(scored)
 
 
+# ---- product quantization ANN (ADC search over PQ codes) -------------------
+
+PQ_M = 8          # subspaces; EMB_DIM must divide evenly
+EMB_DIM = 64
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def q_emb_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) -- the FAISS-PQ layout that makes billion-vector search fit in
+    memory: each corpus vector is stored as {PQ_M} one-byte codes (its
+    nearest per-subspace centroid), and a query scans CODES, not floats.
+
+    * Codebook: the per-label centroids (same coarse statistics the IVF
+      query uses) sliced into {PQ_M} subspaces -- deterministic, no
+      k-means iterations, so the whole query is exactly
+      oracle-reproducible. Entries are sorted by label; a code is the
+      POSITION in that order.
+    * Encode: per corpus vector and subspace, argmin_{{c}} of the rounded
+      subspace sqdist (label-order tie-break) -- a pure projection over
+      the broadcast codebook, same shape as the IVF cell assignment.
+    * Search: each query precomputes its lookup table lut[m][c] =
+      sqdist(query subvector m, codebook entry c); the approximate
+      distance to a corpus vector is sum_m lut[m][code_m] -- {PQ_M}
+      array lookups per candidate, NO float math over the corpus.
+
+    Determinism: lut entries are quantized to integer micro-units
+    (floor(x * 1e6 + 0.5), identical in both engines) so the ADC sum is
+    an order-independent BIGINT sum; rank order is (adist ASC,
+    neighbor_id ASC) on the quantized value.
+
+    Scale: the corpus is touched once to encode (at 100 TB the codes
+    table is the stored mart -- 32x smaller than float32 vectors at
+    D={EMB_DIM}, M={PQ_M}) and once per query batch to sum lookups; the
+    codebook and per-query LUTs are broadcast. Two-phase top-k as
+    everywhere else -- no per-query funnel."""
+    e = _embeddings(spark, sf_dir)
+    cbooks_one_row = F.broadcast(
+        _centroids(e).groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("c_label", "centroid"))
+            ).alias("cbooks")
+        )
+    )
+
+    def _sub(col, m):
+        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+
+    def _codes(emb_col):
+        # per subspace: index (position in label-sorted codebook) of the
+        # nearest sub-centroid; two-arg transform lambda receives the
+        # 0-based element index
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: F.array_sort(
+                F.transform(
+                    F.col("cbooks"),
+                    lambda c, i: F.struct(
+                        F.round(_sqdist(_sub(emb_col, m), _sub(c["centroid"], m)), 6)
+                        .alias("sq"),
+                        i.alias("idx"),
+                    ),
+                )
+            )[0]["idx"],
+        )
+
+    def _lut(qemb_col):
+        # lut[m][c] in integer micro-units: floor(x*1e6 + 0.5) is the
+        # cross-engine-stable rounding (see the int8 quantizer)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: F.transform(
+                F.col("cbooks"),
+                lambda c: F.floor(
+                    _sqdist(_sub(qemb_col, m), _sub(c["centroid"], m)) * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+        )
+
+    encoded = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .select(F.col("vec_id").alias("neighbor_id"), "emb")
+        .crossJoin(cbooks_one_row)
+        .select("neighbor_id", _codes(F.col("emb")).alias("codes"))
+    )
+    queries = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+        .crossJoin(cbooks_one_row)
+        .select("query_id", _lut(F.col("qemb")).alias("lut"))
+    )
+    adist_e6 = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"),
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = encoded.crossJoin(F.broadcast(queries)).select(
+        "query_id", "neighbor_id",
+        F.round(adist_e6 / F.lit(1e6), 6).alias("adist"),
+    )
+    # two-phase top-k by (adist ASC, neighbor_id ASC): local rank within
+    # (query, input partition), prune past k, then global rank
+    local = scored.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("query_id", "pid").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        local.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= TOPK)
+        .drop("pid", "lrk")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "adist")
+    )
+
+
+_DUCK_SUB_SQDIST_E6 = (
+    "CAST(floor(list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+    " for i in range(1, len({a}) + 1)]) * 1e6 + 0.5) AS BIGINT)"
+)
+
+EMB_PQ_ANN_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+dim AS (
+  SELECT label, pos, avg(v) AS c
+  FROM (SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+  FROM dim GROUP BY label
+),
+cb AS (
+  -- label-sorted codebook entries; code = 0-based position
+  SELECT m.m, cent.c_label, cent.centroid,
+         ROW_NUMBER() OVER (PARTITION BY m.m ORDER BY cent.c_label ASC) - 1 AS idx,
+         cent.centroid[m.m * {PQ_SUB} + 1 : (m.m + 1) * {PQ_SUB}] AS subcent
+  FROM cent CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+),
+codes AS (
+  SELECT neighbor_id, m, idx FROM (
+    SELECT e.vec_id AS neighbor_id, cb.m, cb.idx,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, cb.m
+             ORDER BY round(list_sum([
+                        (e.emb[cb.m * {PQ_SUB} + i] - cb.subcent[i])
+                        * (e.emb[cb.m * {PQ_SUB} + i] - cb.subcent[i])
+                        for i in range(1, {PQ_SUB} + 1)]), 6) ASC,
+                      cb.c_label ASC) AS rk
+    FROM e CROSS JOIN cb WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT e.vec_id AS query_id, cb.m, cb.idx,
+         {_DUCK_SUB_SQDIST_E6.format(
+             a=f'e.emb[cb.m * {PQ_SUB} + 1 : (cb.m + 1) * {PQ_SUB}]',
+             b='cb.subcent')} AS v_e6
+  FROM e CROSS JOIN cb WHERE e.vec_id < {N_QUERIES}
+),
+adist AS (
+  SELECT l.query_id, c.neighbor_id,
+         round(CAST(sum(l.v_e6) AS BIGINT) / 1e6, 6) AS adist
+  FROM codes c JOIN lut l ON l.m = c.m AND l.idx = c.idx
+  GROUP BY 1, 2
+)
+SELECT query_id, rank, neighbor_id, adist
+FROM (
+  SELECT query_id, neighbor_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist ASC, neighbor_id ASC) AS rank
+  FROM adist
+)
+WHERE rank <= {TOPK}
+"""
+
+
 # ---- int8 symmetric quantization (storage/serving compression) ------------
 
 
@@ -828,6 +1013,7 @@ QUERIES = {
     "emb_lsh_neardup": q_emb_lsh_neardup,
     "emb_dedup_clusters": q_emb_dedup_clusters,
     "emb_int8_quantize": q_emb_int8_quantize,
+    "emb_pq_ann_topk": q_emb_pq_ann_topk,
 }
 
 ORACLES = {
@@ -839,4 +1025,5 @@ ORACLES = {
     "emb_lsh_neardup": EMB_LSH_NEARDUP_SQL,
     "emb_dedup_clusters": EMB_DEDUP_CLUSTERS_SQL,
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
+    "emb_pq_ann_topk": EMB_PQ_ANN_TOPK_SQL,
 }

@@ -145,3 +145,27 @@ def test_lsh_neardup_finds_planted_pairs(spark, tmp_path):
         a, b = arr[r["v1"]], arr[r["v2"]]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert cos == pytest.approx(r["cosine"], abs=1e-5) and cos >= eq.NEARDUP_COS - 1e-6
+
+
+def test_pq_ann_shape_and_order(spark):
+    """PQ/ADC output contract: TOPK rows per query, ranks dense 1..k,
+    adist non-decreasing in rank, rerun-stable."""
+    from sec_xbrl_finwarehouse_spark.plans.embedding_queries import (
+        N_QUERIES,
+        TOPK,
+        q_emb_pq_ann_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_emb_pq_ann_topk(spark, sf).collect()
+    assert len(out) == N_QUERIES * TOPK
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["adist"]))
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, TOPK + 1))
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists)
+    again = q_emb_pq_ann_topk(spark, sf).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
