@@ -77,13 +77,17 @@ BENCH_QUERIES = [
     "event_sessionize",
     "event_asof_join",
     "event_interval_join",
+    "event_transitions",
     "doc_quality",
+    "doc_repetition",
+    "doc_unigram_logprob",
     "doc_minhash_lsh_dedup",
     "doc_dedup_clusters",
     "doc_dedup_keep_best",
     "emb_ann_topk",
     "emb_ivf_ann_topk",
     "emb_lsh_ann_topk",
+    "emb_pq_ann_topk",
 ]
 
 
