@@ -11,11 +11,14 @@ ratio must FALL as data grows (fixed cost amortizes); a query whose
 ratio grows instead is genuinely slow and gets flagged.
 
 Amplification: 10 key-shifted copies of lineitem/orders/supplier/events/
-embeddings (copy 0 unshifted, so point lookups like the profile ticker
-still resolve; join keys shift consistently so join cardinalities scale
-linearly). documents/part/nation/region/customer copy through unchanged
--- amplifying documents with identical text would manufacture a
-quadratic near-dup blowup that says nothing about job floors.
+embeddings/documents (copy 0 unshifted, so point lookups like the
+profile ticker still resolve; join keys shift consistently so join
+cardinalities scale linearly). Document copies get a per-copy marker
+token prepended, which keeps the per-doc/aggregation corpus queries
+honest at 10x -- but cross-copy texts remain ~identical, so the
+NEAR-DUP queries (jaccard/minhash/simhash/clusters) must NOT run on the
+amplified corpus: they would measure a manufactured quadratic blowup,
+not a job floor. part/nation/region/customer copy through unchanged.
 
 Usage: python tools/scale_proof.py [out_dir] [query ...]
 Writes out_dir (default /tmp/sf1_scaleproof) once and reuses it.
@@ -45,8 +48,9 @@ SHIFTS = {  # table -> {column: stride}; strides exceed any source key
     "supplier": {"s_suppkey": 1_000_000},
     "events": {"user_id": 1_000_000},
     "embeddings": {"vec_id": 1_000_000},
+    "documents": {"doc_id": 1_000_000},
 }
-COPY_THROUGH = ("documents", "part", "nation", "region", "customer")
+COPY_THROUGH = ("part", "nation", "region", "customer")
 N_FILES = 8  # multi-file layout: scans parallelize without repartition
 
 QUERIES = [
@@ -58,6 +62,11 @@ QUERIES = [
     # previously perf-weak: confirm the ratio trend at 10x
     "statements_annual", "ratios_annual", "screener",
     "window_dedup_latest", "pivot_wide",
+    # r4 additions (documents now amplified with per-copy markers;
+    # near-dup queries deliberately absent -- see module docstring)
+    "doc_repetition", "doc_unigram_logprob", "doc_pii_scan",
+    "doc_global_shuffle", "emb_int8_quantize", "emb_pq_ann_topk",
+    "event_transitions",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
@@ -90,6 +99,13 @@ def build(spark, out_dir: str) -> None:
                 # copy 0 keeps originals so point lookups still hit
                 c = c.withColumn(
                     "s_name", F.concat(F.col("s_name"), F.lit(f"_C{i}"))
+                )
+            if name == "documents" and i > 0:
+                # per-copy marker token: keeps per-doc stats distinct
+                # across copies (near-dup queries stay EXCLUDED -- see
+                # module docstring)
+                c = c.withColumn(
+                    "text", F.concat(F.lit(f"copy{i} "), F.col("text"))
                 )
             parts.append(c)
         out = parts[0]
