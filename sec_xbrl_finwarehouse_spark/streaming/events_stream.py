@@ -157,6 +157,32 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream x static-dimension enrichment join + per-dimension rollup:
+    each event decorated with its user's dimension row (tier), then a
+    watermarked windowed count/sum per (window, tier) -- the canonical
+    "enrich the firehose with a small reference table" pattern.
+
+    The dimension side is a BATCH DataFrame: Spark plans a stream-static
+    join where the static side is broadcast to every executor and the
+    stream is probed per micro-batch -- no state store at all (unlike
+    stream-stream joins), no watermark needed on the dim, and the dim
+    re-resolves per batch so slowly-changing reference data is picked up
+    on restart. Left join keeps events whose user is missing from the
+    dimension (tier NULL -> 'unknown'), the same null-tolerant shape as
+    the batch broadcast joins in plans/api_queries.py."""
+    enriched = events.join(F.broadcast(dim), "user_id", "left").withColumn(
+        "tier", F.coalesce("tier", F.lit("unknown"))
+    )
+    return (
+        enriched.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("bucket_start"), "tier",
+                "n_events", "total_value")
+    )
+
+
 BAND = "5 minutes"
 
 

@@ -193,3 +193,35 @@ def test_funnel_stream_advances_across_batches(spark, tmp_path):
     pdf = out.toPandas()
     final = pdf.groupby("user_id")["stage"].max().to_dict()
     assert final == {1: 3, 2: 1}
+
+
+def test_enrich_stream_matches_batch(spark, tmp_path):
+    """Stream x static-dim enrichment rollup equals the batch plan,
+    including unknown-tier events (user missing from the dim)."""
+    from sec_xbrl_finwarehouse_spark.streaming.events_stream import enrich_stream
+
+    src = _write_batches(spark, tmp_path, BATCHES)
+    dim_users = [r["user_id"] for r in
+                 spark.read.parquet(src).select("user_id").distinct().collect()]
+    # leave one user out of the dimension -> exercises the 'unknown' path
+    dim = spark.createDataFrame(
+        [(u, "gold" if u % 2 == 0 else "free") for u in sorted(dim_users)[:-1]],
+        "user_id long, tier string",
+    )
+    streamed = _run_to_memory(
+        spark, enrich_stream(stream_events(spark, src), dim), "enrich_stream",
+        "complete",
+    )
+    batch_df = spark.read.parquet(src)
+    expected = (
+        batch_df.join(F.broadcast(dim), "user_id", "left")
+        .withColumn("tier", F.coalesce("tier", F.lit("unknown")))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("bucket_start"), "tier",
+                "n_events", "total_value")
+    )
+    got = {tuple(r) for r in streamed.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want and len(want) > 0
+    assert any(r[1] == "unknown" for r in want)
