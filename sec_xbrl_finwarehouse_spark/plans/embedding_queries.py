@@ -725,6 +725,46 @@ def q_emb_ivf_index_probe(
     return _topk_per_query(scored)
 
 
+# ---- cross-modal semantic dedup (documents x embedding clusters) -----------
+
+
+def q_doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: documents whose EMBEDDINGS
+    cluster together (LSH cosine pairs -> Hash-Min components, keyed by
+    doc_id == vec_id) are near-duplicates in meaning even when their
+    n-gram overlap is low; within each semantic cluster the longest
+    document survives (doc_id tie-break). Documents without an embedding
+    pass through as singletons (keep = true) -- at real scale the
+    embedding table typically trails the corpus.
+
+    This is the cross-modal composition the text-side pipeline can't do:
+    lexical MinHash (doc_minhash_lsh_dedup) catches copy-edits, this
+    catches paraphrases -- production pipelines run both. All three
+    constituents (LSH pairs, components, token counts) are themselves
+    oracle-checked; this checks their doc_id-keyed composition. One
+    extra shuffle on cluster_rep over the cluster-member subset only
+    (clusters are tiny; singletons never enter the window)."""
+    from .text_queries import _documents, _tokens
+
+    clusters = q_emb_dedup_clusters(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cluster_rep"
+    )
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    j = docs.join(clusters, "doc_id", "left").withColumn(
+        "cluster_rep", F.coalesce("cluster_rep", "doc_id")
+    )
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "cluster_rep", "n_tokens",
+                (F.col("rk") == 1).alias("keep"))
+    )
+
+
 # ---- product quantization ANN (ADC search over PQ codes) -------------------
 
 PQ_M = 8          # subspaces; EMB_DIM must divide evenly
@@ -1004,6 +1044,23 @@ FROM qd
 """
 
 
+_EMB_CLUSTERS_CTES = EMB_DEDUP_CLUSTERS_SQL[:EMB_DEDUP_CLUSTERS_SQL.rindex("SELECT v.vec_id")].rstrip()
+
+DOC_SEMANTIC_DEDUP_SQL = _EMB_CLUSTERS_CTES + """,
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+         len(list_filter(string_split_regex(lower(trim(d.text)), ' +'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents d LEFT JOIN comp c ON c.vec_id = d.doc_id
+)
+SELECT doc_id, cluster_rep, n_tokens,
+       ROW_NUMBER() OVER (PARTITION BY cluster_rep
+                          ORDER BY n_tokens DESC, doc_id ASC) = 1 AS keep
+FROM labeled
+"""
+
+
 QUERIES = {
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ivf_ann_topk": q_emb_ivf_ann_topk,
@@ -1014,6 +1071,7 @@ QUERIES = {
     "emb_dedup_clusters": q_emb_dedup_clusters,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_pq_ann_topk": q_emb_pq_ann_topk,
+    "doc_semantic_dedup": q_doc_semantic_dedup,
 }
 
 ORACLES = {
@@ -1026,4 +1084,5 @@ ORACLES = {
     "emb_dedup_clusters": EMB_DEDUP_CLUSTERS_SQL,
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "emb_pq_ann_topk": EMB_PQ_ANN_TOPK_SQL,
+    "doc_semantic_dedup": DOC_SEMANTIC_DEDUP_SQL,
 }
