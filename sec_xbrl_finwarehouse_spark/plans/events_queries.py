@@ -631,6 +631,61 @@ GROUP BY CUBE (event_type, day)
 """
 
 
+# ---- sliding event-time window ---------------------------------------------
+
+
+def q_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window advancing every 30 minutes, per event_type:
+    count, value sum, distinct users. Each event contributes to exactly
+    2 overlapping windows -- ``F.window(ts, '1 hour', '30 minutes')`` is
+    the same operator Structured Streaming uses with a watermark, and
+    Spark expands the row into its window memberships before one hash
+    aggregation (map-side combinable; distinct-user state is per
+    (window, type) group).
+
+    The DuckDB oracle expands the membership explicitly: a window START
+    for every 30-min boundary in [floor30(ts) - 30min, floor30(ts)] --
+    the relational spelling of the same expansion."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type", "n_events", "total_value", "n_users",
+        )
+    )
+
+
+EVENT_SLIDING_WINDOW_SQL = """
+WITH expanded AS (
+  SELECT t.bucket_start, e.event_type, e.user_id, e.value
+  FROM events e
+  CROSS JOIN LATERAL (
+    SELECT unnest([
+      date_trunc('hour', e.ts)
+        + CASE WHEN extract(minute FROM e.ts) >= 30
+               THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+        - INTERVAL 30 MINUTE,
+      date_trunc('hour', e.ts)
+        + CASE WHEN extract(minute FROM e.ts) >= 30
+               THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END
+    ]) AS bucket_start
+  ) t
+)
+SELECT bucket_start, event_type,
+       count(*) AS n_events,
+       sum(value) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
 # ---- event-type transition mining (markov / clickstream analysis) ----------
 
 
@@ -688,6 +743,7 @@ FROM counts CROSS JOIN tot
 QUERIES = {
     "event_window_agg": q_event_window_agg,
     "event_transitions": q_event_transitions,
+    "event_sliding_window": q_event_sliding_window,
     "event_sessionize": q_event_sessionize,
     "event_asof_join": q_event_asof_join,
     "event_rollup": q_event_rollup,
@@ -704,6 +760,7 @@ QUERIES = {
 
 ORACLES = {
     "event_transitions": EVENT_TRANSITIONS_SQL,
+    "event_sliding_window": EVENT_SLIDING_WINDOW_SQL,
     "event_interval_join": EVENT_INTERVAL_JOIN_SQL,
     "event_percentiles": EVENT_PERCENTILES_SQL,
     "event_cube": EVENT_CUBE_SQL,
