@@ -193,3 +193,54 @@ def _parquet_num_rows(part_path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(part_path).metadata.num_rows
+
+
+def table_bytes(path: str) -> int:
+    """On-disk bytes of a stored table (driver-side directory walk)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Small-files compaction: rewrite a stored table into
+    ``ceil(table_bytes / target_file_bytes)`` files via write-then-swap;
+    returns the new file count.
+
+    Streaming appends (``append_if_absent``) and frequent small-batch
+    ingests accumulate many tiny part files; at scale each file costs a
+    namenode/listing entry, a scan task, and a parquet footer read, so
+    periodic compaction to ~128 MB files is routine table maintenance
+    (the OPTIMIZE of Delta/Iceberg, expressed on plain parquet). Sizing
+    comes from the actual on-disk bytes -- a pure metadata read, no job.
+    Data content is unchanged (same rows, no dedup or ordering
+    guarantee); the swap keeps readers on the old version until the
+    compacted one is fully published."""
+    n_files = max(1, -(-table_bytes(path) // target_file_bytes))
+    df = spark.read.parquet(path)
+    # localCheckpoint pins the input rows BEFORE the swap invalidates
+    # the file list the plan points at (self-overwrite trap)
+    compacted = df.repartition(n_files).localCheckpoint(eager=True)
+    write_replace(compacted, path)
+    return n_files
+
+
+def read_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union batches written over time with
+    DIFFERENT (additive) schemas into the superset schema, missing
+    columns NULL-filled.
+
+    ``mergeSchema`` makes the parquet source reconcile footers across
+    all inputs instead of trusting the first file -- the standard knob
+    for long-lived ingest directories where new columns appear in later
+    batches. Reconciliation is footer-metadata-only (no data job); reads
+    of old files project the absent columns as NULL at scan time. Column
+    REMOVALS and type changes are not handled here -- those are breaking
+    changes a real pipeline routes through a table format with schema
+    enforcement."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -121,3 +121,34 @@ def test_append_if_absent_dedups_within_batch(spark, tmp_path):
         spark, path, _mk(spark, [(1, "a"), (1, "a"), (2, "b")]), ["k"]
     )
     assert spark.read.parquet(path).count() == 2
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    from sec_xbrl_finwarehouse_spark.sinks import compact
+
+    path = str(tmp_path / "t.parquet")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(24).write.parquet(path)
+    import glob
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 24
+    n = compact(spark, path, target_file_bytes=1 << 30)  # everything -> 1 file
+    after = glob.glob(f"{path}/*.parquet")
+    assert n == 1 and len(after) == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_read_evolving_merges_additive_schemas(spark, tmp_path):
+    from sec_xbrl_finwarehouse_spark.sinks import read_evolving
+
+    p1 = str(tmp_path / "b1.parquet")
+    p2 = str(tmp_path / "b2.parquet")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p2)
+    got = read_evolving(spark, p1, p2).orderBy("id").collect()
+    assert [r["id"] for r in got] == [1, 2]
+    assert got[0]["score"] is None and got[1]["score"] == 9.5
