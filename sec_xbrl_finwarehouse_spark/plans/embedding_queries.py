@@ -725,6 +725,73 @@ def q_emb_ivf_index_probe(
     return _topk_per_query(scored)
 
 
+# ---- hard-negative mining (contrastive-training pairs) ---------------------
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-{TOPK} most-similar corpus vectors with a DIFFERENT
+    label -- the semantically-close-but-wrong examples that make
+    contrastive/triplet losses actually learn (random negatives are too
+    easy; these sit near the decision boundary).
+
+    Same scan/broadcast/two-phase-top-k shape as the brute-force ANN
+    baseline with one extra predicate (label inequality) applied before
+    ranking -- the corpus is scanned once, never shuffled, and the label
+    filter composes into the scored projection. At real scale the
+    mining runs per training batch against an ANN index (the IVF/PQ
+    queries here) instead of the exact scan; the exact form is the
+    oracle-checked contract both share."""
+    e = _embeddings(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "emb",
+        F.col("label").alias("neighbor_label"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_label") != F.col("qlabel"))
+        .select(
+            "query_id", "neighbor_id", "neighbor_label",
+            F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+        )
+    )
+    ranked = _topk_per_query(scored)
+    # re-attach the label (pruned by the shared top-k helper's output
+    # contract) via a second tiny join on the 50-row result
+    labels = corpus.select("neighbor_id", "neighbor_label")
+    return ranked.join(F.broadcast(labels), "neighbor_id").select(
+        "query_id", "rank", "neighbor_id", "neighbor_label", "cosine"
+    )
+
+
+EMB_HARD_NEGATIVES_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb, label AS qlabel
+      FROM e WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, emb, label AS neighbor_label
+      FROM e WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, c.neighbor_label,
+         {_DUCK_COS.format(a='q.qemb', b='c.emb')} AS cosine
+  FROM c CROSS JOIN q
+  WHERE c.neighbor_label <> q.qlabel
+)
+SELECT query_id, rank, neighbor_id, neighbor_label, cosine
+FROM (
+  SELECT query_id, neighbor_id, neighbor_label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
 # ---- cross-modal semantic dedup (documents x embedding clusters) -----------
 
 
@@ -1072,6 +1139,7 @@ QUERIES = {
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_pq_ann_topk": q_emb_pq_ann_topk,
     "doc_semantic_dedup": q_doc_semantic_dedup,
+    "emb_hard_negatives": q_emb_hard_negatives,
 }
 
 ORACLES = {
@@ -1085,4 +1153,5 @@ ORACLES = {
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "emb_pq_ann_topk": EMB_PQ_ANN_TOPK_SQL,
     "doc_semantic_dedup": DOC_SEMANTIC_DEDUP_SQL,
+    "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
 }
