@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "emb_ivf_ann_topk",
     "emb_lsh_ann_topk",
     "emb_pq_ann_topk",
+    "emb_hard_negatives",
+    "doc_semantic_dedup",
+    "event_sliding_window",
 ]
 
 
