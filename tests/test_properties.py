@@ -182,3 +182,51 @@ def test_stratified_sample_is_subset_with_full_rank_cover(spark, docs,
     for lang, ranks in by_lang.items():
         expect = min(tq.STRATA_SAMPLE_K, strata[lang])
         assert sorted(ranks) == list(range(1, expect + 1))
+
+
+texts_strategy = st.lists(
+    st.text(alphabet="ab @.-123xyz", max_size=30), max_size=8
+)
+
+
+@given(texts=texts_strategy)
+@_SETTINGS
+def test_repetition_fractions_bounded(spark, texts):
+    """Repetition metrics are total functions into sane ranges for ANY
+    text (empty, whitespace, punctuation soup): totals >= 0, fractions
+    in [0, 1], dup_frac == 0 whenever every n-gram is unique, and
+    top_frac >= 1/total when any n-gram exists."""
+    from sec_xbrl_finwarehouse_spark.plans.corpus_queries import repetition_of
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = repetition_of(df).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        for n in (2, 3):
+            total = r[f"n{n}_total"]
+            dup = r[f"n{n}_dup_frac"]
+            top = r[f"n{n}_top_frac"]
+            assert total >= 0
+            assert 0.0 <= dup <= 1.0 and 0.0 <= top <= 1.0
+            if total > 0:
+                assert top >= 1.0 / total - 1e-12
+            else:
+                assert dup == 0.0 and top == 0.0
+
+
+@given(texts=texts_strategy)
+@_SETTINGS
+def test_pii_scan_total_and_consistent(spark, texts):
+    """PII scan never errors on arbitrary text; has_pii is exactly
+    (sum of counts > 0); counts are non-negative."""
+    from sec_xbrl_finwarehouse_spark.plans.corpus_queries import pii_scan_of
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in pii_scan_of(df).collect():
+        counts = (r["n_emails"], r["n_ipv4"], r["n_phones"])
+        assert all(c >= 0 for c in counts)
+        assert r["has_pii"] == (sum(counts) > 0)
