@@ -725,6 +725,142 @@ def q_emb_ivf_index_probe(
     return _topk_per_query(scored)
 
 
+# ---- k-means Lloyd iterations (iterative algorithm, oracle-paired) ---------
+
+KMEANS_ITERS = 2
+
+
+def q_emb_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KMEANS_ITERS} Lloyd iterations of k-means over the embedding
+    corpus, seeded from the label centroids: per surviving cluster the
+    member count after the final assignment and the centroid shift of
+    the last iteration (the convergence measure a training loop
+    monitors).
+
+    Iterative DataFrame algorithms are usually where engines give up on
+    exact cross-engine checks; here every iteration stays bit-identical
+    on both engines by construction: centroid components are rounded to
+    6 places when REBUILT (so the 1e-16 relative drift of each engine's
+    per-dimension avg() summation order is absorbed before it can feed
+    the next iteration), assignments rank by round(sqdist, 6) with the
+    cluster-id tie-break, and the final shift is computed from two
+    rounded centroids.
+
+    Scale shape per iteration (the canonical distributed k-means): the
+    corpus is SCANNED once for assignment (broadcast centroid-array
+    argmin -- a pure projection, same idiom as the IVF quantizer) and
+    once for the recompute, whose shuffle carries only (cluster, dim)
+    partial averages -- centroid-count x dimension rows, never the
+    corpus. Driver holds nothing; iterations chain lazily and the fixed
+    iteration count keeps the plan finite (a convergence-driven loop
+    would localCheckpoint per round like operators/connected_components).
+    """
+    e = _embeddings(spark, sf_dir).select("vec_id", "emb", "label")
+
+    def rebuild_centroids(assigned: DataFrame) -> DataFrame:
+        """(vec_id, cid) + corpus -> (cid, centroid) with per-dim
+        round(avg, 6); the rounding is the cross-engine determinism
+        anchor, not cosmetics."""
+        dims = assigned.join(e.select("vec_id", "emb"), "vec_id").select(
+            "cid", F.posexplode("emb").alias("pos", "v")
+        )
+        return (
+            dims.groupBy("cid", "pos").agg(F.round(F.avg("v"), 6).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("centroid")
+            )
+        )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        one_row = F.broadcast(
+            cents.groupBy().agg(
+                F.collect_list(F.struct("cid", "centroid")).alias("cents")
+            )
+        )
+        scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(_sqdist(F.col("emb"), c["centroid"]), 6).alias("sq"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return (
+            e.select("vec_id", "emb")
+            .crossJoin(one_row)
+            .select("vec_id", F.array_sort(scored)[0]["cid"].alias("cid"))
+        )
+
+    c_prev = rebuild_centroids(
+        e.select("vec_id", F.col("label").alias("cid"))
+    )
+    for _ in range(KMEANS_ITERS - 1):
+        c_prev = rebuild_centroids(assign(c_prev))
+    a_last = assign(c_prev)
+    c_last = rebuild_centroids(a_last)
+    counts = a_last.groupBy("cid").agg(F.count("*").alias("n_members"))
+    shift = F.round(
+        _sqdist(F.col("prev_centroid"), F.col("centroid")), 6
+    ).alias("shift")
+    return (
+        c_prev.withColumnRenamed("centroid", "prev_centroid")
+        .join(c_last, "cid")
+        .join(counts, "cid")
+        .select("cid", "n_members", shift)
+    )
+
+
+_DUCK_KM_ASSIGN = """
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_sum([(e.emb[i] - c.centroid[i])
+                                      * (e.emb[i] - c.centroid[i])
+                                      for i in range(1, len(e.emb) + 1)]), 6)
+                        ASC, c.cid ASC) AS rk
+    FROM e CROSS JOIN {cents} c
+  ) WHERE rk = 1
+"""
+
+EMB_KMEANS_ITER_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+d0 AS (
+  SELECT label AS cid, pos, round(avg(v), 6) AS c
+  FROM (SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e)
+  GROUP BY 1, 2
+),
+c0 AS (SELECT cid, list(c ORDER BY pos) AS centroid FROM d0 GROUP BY cid),
+a1 AS ({_DUCK_KM_ASSIGN.format(cents='c0')}),
+d1 AS (
+  SELECT a1.cid, t.pos, round(avg(t.v), 6) AS c
+  FROM e JOIN a1 USING (vec_id)
+  CROSS JOIN LATERAL (SELECT generate_subscripts(e.emb, 1) AS pos,
+                             unnest(e.emb) AS v) t
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cid, list(c ORDER BY pos) AS centroid FROM d1 GROUP BY cid),
+a2 AS ({_DUCK_KM_ASSIGN.format(cents='c1')}),
+d2 AS (
+  SELECT a2.cid, t.pos, round(avg(t.v), 6) AS c
+  FROM e JOIN a2 USING (vec_id)
+  CROSS JOIN LATERAL (SELECT generate_subscripts(e.emb, 1) AS pos,
+                             unnest(e.emb) AS v) t
+  GROUP BY 1, 2
+),
+c2 AS (SELECT cid, list(c ORDER BY pos) AS centroid FROM d2 GROUP BY cid),
+counts AS (SELECT cid, count(*) AS n_members FROM a2 GROUP BY cid)
+SELECT c1.cid, counts.n_members,
+       round(list_sum([(c1.centroid[i] - c2.centroid[i])
+                       * (c1.centroid[i] - c2.centroid[i])
+                       for i in range(1, len(c1.centroid) + 1)]), 6) AS shift
+FROM c1 JOIN c2 USING (cid) JOIN counts USING (cid)
+"""
+
+
 # ---- hard-negative mining (contrastive-training pairs) ---------------------
 
 
@@ -1140,6 +1276,7 @@ QUERIES = {
     "emb_pq_ann_topk": q_emb_pq_ann_topk,
     "doc_semantic_dedup": q_doc_semantic_dedup,
     "emb_hard_negatives": q_emb_hard_negatives,
+    "emb_kmeans_iter": q_emb_kmeans_iter,
 }
 
 ORACLES = {
@@ -1154,4 +1291,5 @@ ORACLES = {
     "emb_pq_ann_topk": EMB_PQ_ANN_TOPK_SQL,
     "doc_semantic_dedup": DOC_SEMANTIC_DEDUP_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
+    "emb_kmeans_iter": EMB_KMEANS_ITER_SQL,
 }
