@@ -321,6 +321,69 @@ FROM h
 """
 
 
+# ---- corpus length histogram ------------------------------------------------
+
+HIST_BUCKET_TOKENS = 20
+HIST_MAX_BUCKET = 19
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the corpus: fixed {HIST_BUCKET_TOKENS}-token
+    buckets (top bucket open-ended), with doc count, token mass, and the
+    bucket's share of corpus tokens -- the length-distribution report
+    that drives truncation limits, packing-window choices, and
+    short-doc filters.
+
+    One projection + one bounded-key aggregation (at most
+    {HIST_MAX_BUCKET} + 1 groups regardless of corpus size, fully
+    map-side combinable) + a broadcast total -- the cheapest possible
+    corpus-wide report shape."""
+    d = _documents(spark, sf_dir).select(
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    bucket = F.least(
+        F.floor(F.col("n_tokens") / HIST_BUCKET_TOKENS),
+        F.lit(HIST_MAX_BUCKET).cast("long"),
+    )
+    per = d.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("token_mass"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    total = per.agg(F.sum("token_mass").alias("corpus_tokens"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "bucket", "n_docs", "token_mass", "min_tokens", "max_tokens",
+            F.round(F.col("token_mass") / F.col("corpus_tokens"), 6)
+            .alias("token_share"),
+        )
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = f"""
+WITH d AS (
+  SELECT len(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+),
+per AS (
+  SELECT least(CAST(floor(n_tokens / {HIST_BUCKET_TOKENS}) AS BIGINT),
+               {HIST_MAX_BUCKET}) AS bucket,
+         count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS token_mass,
+         min(n_tokens) AS min_tokens,
+         max(n_tokens) AS max_tokens
+  FROM d GROUP BY 1
+),
+tot AS (SELECT CAST(sum(token_mass) AS BIGINT) AS corpus_tokens FROM per)
+SELECT bucket, n_docs, token_mass, min_tokens, max_tokens,
+       round(token_mass / corpus_tokens, 6) AS token_share
+FROM per CROSS JOIN tot
+"""
+
+
 # ---- unigram LM cross-entropy (CCNet-style quality proxy) ------------------
 
 
@@ -413,6 +476,7 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 QUERIES = {
     "doc_repetition": q_doc_repetition,
     "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_length_histogram": q_doc_length_histogram,
     "doc_pii_scan": q_doc_pii_scan,
     "doc_domain_mix": q_doc_domain_mix,
     "doc_global_shuffle": q_doc_global_shuffle,
@@ -424,4 +488,5 @@ ORACLES = {
     "doc_domain_mix": DOC_DOMAIN_MIX_SQL,
     "doc_global_shuffle": DOC_GLOBAL_SHUFFLE_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
+    "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
 }
