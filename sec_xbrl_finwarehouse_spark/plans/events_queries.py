@@ -651,7 +651,12 @@ def q_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum("value").alias("total_value"),
+            # round 6: each event lands in 2 overlapping groups, so the
+            # per-group float-sum ORDER differs between engines often
+            # enough to surface (caught as a hash near-miss at sf0.01:
+            # 179.6 vs 179.60000000000002); integer-cent data would not
+            # need this, arbitrary doubles do
+            F.round(F.sum("value"), 6).alias("total_value"),
             F.count_distinct("user_id").alias("n_users"),
         )
         .select(
@@ -679,7 +684,7 @@ WITH expanded AS (
 )
 SELECT bucket_start, event_type,
        count(*) AS n_events,
-       sum(value) AS total_value,
+       round(sum(value), 6) AS total_value,
        count(DISTINCT user_id) AS n_users
 FROM expanded
 GROUP BY 1, 2
