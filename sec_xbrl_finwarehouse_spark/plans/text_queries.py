@@ -534,6 +534,69 @@ def _jaccard_from_exploded(ex: DataFrame, pairs: DataFrame | None) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where one document's shingle set is >= {CONTAINMENT_THRESHOLD}
+    CONTAINED in the other: containment(A in B) = |A ∩ B| / |A|. This
+    catches subset-duplication -- a short doc quoted inside a long one,
+    boilerplate wrapping real content -- which symmetric Jaccard
+    misses (|A|=20 inside |B|=200 has J ~= 0.1 but containment 1.0).
+    MinHash bands under-sample these pairs for the same reason, so a
+    real dedup pipeline runs BOTH detectors.
+
+    Same intersection machinery as the Jaccard pairs (shingle equi-join,
+    per-pair co-occurrence count, sizes joined back); only the final
+    similarity expression differs. Emits both directions' containment
+    plus Jaccard for triage, filtered on max(containment)."""
+    ex = _doc_shingles_exploded(spark, sf_dir)
+    j = _jaccard_from_exploded(ex, None)
+    c1 = (F.col("n_inter") / F.col("n1")).cast("double")
+    c2 = (F.col("n_inter") / F.col("n2")).cast("double")
+    return (
+        j.withColumn("containment_1_in_2", F.round(c1, 6))
+        .withColumn("containment_2_in_1", F.round(c2, 6))
+        .filter(
+            F.greatest("containment_1_in_2", "containment_2_in_1")
+            >= CONTAINMENT_THRESHOLD
+        )
+        .select("d1", "d2", "containment_1_in_2", "containment_2_in_1",
+                "jaccard")
+    )
+
+
+DOC_CONTAINMENT_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {SHINGLE_K} THEN []::varchar[]
+              ELSE list_distinct([array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')
+                                  for i in range(1, len(w) - {SHINGLE_K - 2})])
+         END AS shingles
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+         len(a.shingles) AS n1, len(b.shingles) AS n2
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+)
+SELECT d1, d2,
+       round(n_inter::DOUBLE / n1, 6) AS containment_1_in_2,
+       round(n_inter::DOUBLE / n2, 6) AS containment_2_in_1,
+       (n_inter::DOUBLE / (n1 + n2 - n_inter)) AS jaccard
+FROM pairs
+WHERE greatest(round(n_inter::DOUBLE / n1, 6),
+               round(n_inter::DOUBLE / n2, 6)) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with k-shingle Jaccard >= 0.5, via explode -> equi-join
     on shingle -> per-pair intersection count. No cross join: candidate
@@ -1323,6 +1386,7 @@ QUERIES = {
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_containment_pairs": q_doc_containment_pairs,
     "doc_minhash_lsh_dedup": q_doc_minhash_lsh_dedup,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
@@ -1345,6 +1409,7 @@ ORACLES = {
     "doc_lang_id": DOC_LANG_ID_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
+    "doc_containment_pairs": DOC_CONTAINMENT_PAIRS_SQL,
     "doc_minhash_lsh_dedup": DOC_MINHASH_LSH_SQL,
     "doc_dedup_clusters": DOC_DEDUP_CLUSTERS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
