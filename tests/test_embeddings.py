@@ -169,3 +169,37 @@ def test_pq_ann_shape_and_order(spark):
         assert dists == sorted(dists)
     again = q_emb_pq_ann_topk(spark, sf).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_hard_negatives_never_share_label(spark):
+    from sec_xbrl_finwarehouse_spark.plans.embedding_queries import (
+        _embeddings,
+        q_emb_hard_negatives,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in _embeddings(spark, sf).select("vec_id", "label").collect()
+    }
+    out = q_emb_hard_negatives(spark, sf).collect()
+    assert len(out) > 0
+    for r in out:
+        assert labels[r["query_id"]] != r["neighbor_label"]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+
+
+def test_kmeans_iter_partition_and_nonneg_shift(spark):
+    from sec_xbrl_finwarehouse_spark.plans.embedding_queries import (
+        _embeddings,
+        q_emb_kmeans_iter,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    n_vecs = _embeddings(spark, sf).count()
+    out = q_emb_kmeans_iter(spark, sf).collect()
+    # final assignment partitions the corpus across surviving clusters
+    assert sum(r["n_members"] for r in out) == n_vecs
+    assert all(r["shift"] >= 0.0 for r in out)
+    assert len({r["cid"] for r in out}) == len(out)  # one row per cluster

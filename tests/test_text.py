@@ -346,3 +346,31 @@ def test_seq_packing_invariants(spark, tmp_path):
             assert r["pack_id"] >= prev["pack_id"]
             assert r["cum_tokens"] == prev["cum_tokens"] + r["n_tokens"]
         per_shard[r["shard"]] = r
+
+
+def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
+    """A short doc fully contained in a long one must surface with
+    containment 1.0 even though its Jaccard is far below the near-dup
+    threshold; unrelated docs must not pair."""
+    import shutil
+
+    from sec_xbrl_finwarehouse_spark.plans.text_queries import (
+        q_doc_containment_pairs,
+    )
+
+    short = " ".join(f"w{i}" for i in range(10))
+    long_ = " ".join(f"w{i}" for i in range(60))   # contains all of short
+    other = " ".join(f"z{i}" for i in range(30))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(spark, [short, long_, other]).coalesce(1).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = q_doc_containment_pairs(spark, str(sf)).collect()
+    pairs = {(r["d1"], r["d2"]): r for r in out}
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    assert r["containment_1_in_2"] == 1.0
+    assert r["jaccard"] < 0.5  # the MinHash/Jaccard path would miss it
+    assert all(2 not in p for p in pairs)
+    shutil.rmtree(sf, ignore_errors=True)
