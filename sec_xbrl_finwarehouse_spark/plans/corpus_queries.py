@@ -9,6 +9,10 @@ plans/text_queries.py:
   use exactly these duplicate-n-gram fractions as filters).
 * PII scan + redaction (email / IPv4 / phone regexes) -- counts on the
   raw text plus a redacted rendition, the pre-release compliance pass.
+* Unigram-LM cross-entropy -- the CCNet-style perplexity-bucket quality
+  proxy from the corpus's own term distribution (no external model).
+* Token-length histogram -- the bounded-key distribution report behind
+  truncation/packing-window choices.
 * Source/domain mixture stats -- per-source corpus share and the
   up/down-weight that rebalances sampling toward a uniform target mix.
 * Deterministic global shuffle -- hash-sharded, reproducible training
