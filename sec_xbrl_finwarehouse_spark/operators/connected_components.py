@@ -63,7 +63,14 @@ def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Data
     # materialize the edge set once (the first iteration would have
     # forced it anyway) and size the iteration width from its row count;
     # localCheckpoint the width-repartitioned edges so every iteration
-    # reads them at that width instead of re-shuffling from the cache
+    # reads them at that width instead of re-shuffling from the cache.
+    # Lifecycle: checkpoint blocks (edges + each superseded labels
+    # round) have no public release API from PySpark; they are freed by
+    # ContextCleaner once the Python references die when this function
+    # returns. The blocks are pair-graph-sized (edges x ~3 rounds), not
+    # corpus-sized -- on a production cluster the same loop would
+    # checkpoint() to reliable storage with
+    # spark.cleaner.referenceTracking doing the same reclamation.
     n_edges = edges_raw.count()
     width = max(1, min(
         edges_raw.sparkSession.sparkContext.defaultParallelism,

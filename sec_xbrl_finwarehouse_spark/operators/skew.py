@@ -49,20 +49,27 @@ def salted_join(
     preserved (each left row joins its key's matches exactly once,
     inside its own salt bucket).
 
-    The salt is derived from a hash of the large side's whole row
-    (``xxhash64(*columns)``) -- deterministic across retries (a failed
-    task re-derives the same salts, unlike ``rand()``), and uniform even
-    when the hot key's rows are near-identical, because any differing
-    column perturbs the hash. ``how`` may be ``inner`` or ``left``
-    (right/full would need the salt on the other side's null-extension
-    and are not supported here).
+    The salt is derived from a hash of the large side's whole row PLUS
+    a per-partition row index (``monotonically_increasing_id``):
+    deterministic across task retries (a re-executed task replays the
+    same partition and re-derives the same ids, unlike ``rand()``), and
+    uniform even when the hot key's rows are EXACT duplicates -- the
+    common skew shape in pre-dedup logs, where a row-content hash alone
+    would send every duplicate to one salt bucket and silently defeat
+    the operator. ``how`` may be ``inner`` or ``left`` (right/full
+    would need the salt on the other side's null-extension and are not
+    supported here).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     on = list(on)
     salted_large = large.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]),
-                         F.lit(n_salts))
+        SALT_COL,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in large.columns],
+                       F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ),
     )
     replicated_small = small.withColumn(
         SALT_COL,

@@ -267,7 +267,10 @@ def q_doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_DOMAIN_MIX_SQL = """
 WITH per AS (
-  SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars_total
+  -- BIGINT cast: DuckDB sum(BIGINT) is HUGEINT -> float64 in pandas,
+  -- which would type-mismatch Spark's int64 under the driver's compare
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_total
   FROM documents GROUP BY 1
 ),
 tot AS (SELECT sum(n_docs) AS corpus_docs, count(*) AS n_sources FROM per)

@@ -489,7 +489,10 @@ def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_DEDUP_CLUSTERS_SQL = f"""{_LSH_BUCKET_CTES.replace("WITH e AS", "WITH RECURSIVE e AS", 1)},
+# Shared CTE prefix ending in ``comp(vec_id, cluster_rep)`` -- consumed
+# by both the clusters oracle and the cross-modal semantic-dedup oracle
+# so the component spelling cannot drift between them.
+_EMB_CLUSTERS_CTES = f"""{_LSH_BUCKET_CTES.replace("WITH e AS", "WITH RECURSIVE e AS", 1)},
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
@@ -508,7 +511,9 @@ walk AS (
   UNION
   SELECT w.vec_id, ed.b FROM walk w JOIN edges ed ON ed.a = w.reach
 ),
-comp AS (SELECT vec_id, min(reach) AS cluster_rep FROM walk GROUP BY vec_id)
+comp AS (SELECT vec_id, min(reach) AS cluster_rep FROM walk GROUP BY vec_id)"""
+
+EMB_DEDUP_CLUSTERS_SQL = f"""{_EMB_CLUSTERS_CTES}
 SELECT v.vec_id,
        coalesce(c.cluster_rep, v.vec_id) AS cluster_rep,
        coalesce(c.cluster_rep, v.vec_id) = v.vec_id AS keep
@@ -898,9 +903,11 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = _topk_per_query(scored)
     # re-attach the label (pruned by the shared top-k helper's output
-    # contract) via a second tiny join on the 50-row result
+    # contract): broadcast the RANKED side -- it is TOPK x N_QUERIES
+    # rows by construction, while the label map is corpus-sized and must
+    # never ship as a broadcast
     labels = corpus.select("neighbor_id", "neighbor_label")
-    return ranked.join(F.broadcast(labels), "neighbor_id").select(
+    return labels.join(F.broadcast(ranked), "neighbor_id").select(
         "query_id", "rank", "neighbor_id", "neighbor_label", "cosine"
     )
 
@@ -1246,8 +1253,6 @@ SELECT vec_id,
 FROM qd
 """
 
-
-_EMB_CLUSTERS_CTES = EMB_DEDUP_CLUSTERS_SQL[:EMB_DEDUP_CLUSTERS_SQL.rindex("SELECT v.vec_id")].rstrip()
 
 DOC_SEMANTIC_DEDUP_SQL = _EMB_CLUSTERS_CTES + """,
 labeled AS (

@@ -36,16 +36,26 @@ def test_salted_left_keeps_unmatched(spark):
     assert any(r["k"] == 99 and r["tag"] is None for r in got)
 
 
-def test_hot_key_spreads_over_salts(spark):
-    large, _ = _sides(spark)
+def test_hot_key_spreads_over_salts_even_for_exact_duplicates(spark):
+    # EXACT duplicate rows (pre-dedup logs -- the common skew shape): a
+    # row-content hash alone would put all of them in ONE bucket; the
+    # per-partition row index in the salt must spread them anyway
+    dup_rows = [(1, 0)] * 5000
+    large = spark.createDataFrame(dup_rows, "k long, payload long")
     salted = large.withColumn(
         SALT_COL,
-        F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(8)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in large.columns],
+                       F.monotonically_increasing_id()),
+            F.lit(8),
+        ),
     )
-    n_buckets = (
-        salted.filter(F.col("k") == 1).select(SALT_COL).distinct().count()
-    )
-    assert n_buckets == 8  # 5k near-identical hot rows cover every bucket
+    n_buckets = salted.select(SALT_COL).distinct().count()
+    assert n_buckets == 8
+    # and the join over pure duplicates still matches the plain join
+    small = spark.createDataFrame([(1, "hot")], "k long, tag string")
+    got = salted_join(large, small, ["k"], n_salts=8).count()
+    assert got == 5000
 
 
 def test_salt_is_a_join_key_in_the_plan(spark):
