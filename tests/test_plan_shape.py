@@ -176,3 +176,23 @@ def test_repetition_two_level_agg(spark, qmap):
     plan = _plan(qmap["doc_repetition"](spark, SF_DIR))
     assert _n_exchanges(plan) <= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pq_ann_no_query_funnel(spark, qmap):
+    """PQ/ADC ranking is two-phase like every top-k here: at most one
+    bare query_id-keyed exchange (the tiny global phase), never a
+    full-candidate funnel into n_queries partitions."""
+    plan = _plan(qmap["emb_pq_ann_topk"](spark, SF_DIR))
+    assert len(re.findall(r"hashpartitioning\(query_id#\d+, \d+\)", plan)) <= 1, plan
+
+
+def test_hard_negatives_broadcasts_ranked_not_corpus(spark, qmap):
+    """The label re-attach join must broadcast the TOPK x N_QUERIES
+    ranked side -- a broadcast of the corpus-sized label map is the
+    at-scale OOM this guard pins down. The ranked subplan contains the
+    rank filter, so the BroadcastExchange must sit above a plan
+    containing row_number, and no SortMergeJoin may appear."""
+    plan = _plan(qmap["emb_hard_negatives"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    bidx = plan.find("BroadcastExchange")
+    assert bidx != -1 and "row_number" in plan[bidx:], plan[:2000]
