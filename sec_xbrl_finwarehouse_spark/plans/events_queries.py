@@ -691,6 +691,67 @@ GROUP BY 1, 2
 """
 
 
+# ---- DAU / WAU rolling actives ---------------------------------------------
+
+WAU_DAYS = 7
+
+
+def q_event_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + trailing-{WAU_DAYS}-day actives (WAU) +
+    stickiness (DAU/WAU) per day -- the engagement triple every product
+    dashboard ships.
+
+    Exact rolling distinct cannot ride an ordinary window frame (state
+    is a SET, not an aggregate), so the scale-correct spelling expands
+    each (user, day) membership into the {WAU_DAYS} trailing report days
+    it supports -- first dedup to distinct (user, day) (the big
+    reduction, map-side combinable), THEN explode x{WAU_DAYS} on the
+    already-small distinct set, then one count_distinct per report day.
+    Days with zero activity simply have no row, and report days drawing
+    on partial leading windows are emitted as-is (standard dashboard
+    semantics). At 100 TB the expansion is bounded by distinct
+    (user, day) x {WAU_DAYS}, orders of magnitude below the event
+    stream."""
+    e = _events(spark, sf_dir)
+    user_days = (
+        e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    )
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    expanded = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), WAU_DAYS - 1))
+        ).alias("report_day"),
+    )
+    wau = expanded.groupBy("report_day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["report_day"])
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+EVENT_DAU_WAU_SQL = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM user_days GROUP BY 1),
+expanded AS (
+  SELECT user_id, day + CAST(o.o AS INTEGER) AS report_day
+  FROM user_days
+  CROSS JOIN (SELECT unnest(range(0, {WAU_DAYS})) AS o) o
+),
+wau AS (SELECT report_day, count(DISTINCT user_id) AS wau
+        FROM expanded GROUP BY 1)
+SELECT d.day, d.dau, w.wau, round(d.dau / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w ON w.report_day = d.day
+"""
+
+
 # ---- event-type transition mining (markov / clickstream analysis) ----------
 
 
@@ -748,6 +809,7 @@ FROM counts CROSS JOIN tot
 QUERIES = {
     "event_window_agg": q_event_window_agg,
     "event_transitions": q_event_transitions,
+    "event_dau_wau": q_event_dau_wau,
     "event_sliding_window": q_event_sliding_window,
     "event_sessionize": q_event_sessionize,
     "event_asof_join": q_event_asof_join,
@@ -765,6 +827,7 @@ QUERIES = {
 
 ORACLES = {
     "event_transitions": EVENT_TRANSITIONS_SQL,
+    "event_dau_wau": EVENT_DAU_WAU_SQL,
     "event_sliding_window": EVENT_SLIDING_WINDOW_SQL,
     "event_interval_join": EVENT_INTERVAL_JOIN_SQL,
     "event_percentiles": EVENT_PERCENTILES_SQL,

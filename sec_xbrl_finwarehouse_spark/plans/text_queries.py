@@ -534,6 +534,78 @@ def _jaccard_from_exploded(ex: DataFrame, pairs: DataFrame | None) -> DataFrame:
     )
 
 
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct shingles whose FIRST appearance (min doc_id over the whole
+    corpus) is this document -- the dedup-aware curation signal that
+    separates fresh content from recombinations of already-seen text
+    (novelty ~1 = new material, ~0 = remix of earlier documents).
+
+    Plan shape: the distinct (doc_id, shingle) set feeds a shingle-keyed
+    min(doc_id) aggregation (vocabulary-sized output, map-side
+    combinable -- the same shared dimension the TF-IDF df table is),
+    joined back by shingle, then one per-doc count agg. Short docs
+    (< k tokens) re-enter with n_shingles 0 and NULL novelty."""
+    ex = _persist_hot(_doc_shingles_exploded(spark, sf_dir))
+    first = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        ex.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                  .otherwise(0)).alias("n_novel"),
+        )
+    )
+    d = _documents(spark, sf_dir).select("doc_id")
+    # novelty FIRST in the select list: it must bind the raw (nullable)
+    # join outputs, and Spark's lateral column alias resolution would
+    # otherwise rebind it to the zero-coalesced aliases of the same
+    # names -- turning a short doc's NULL novelty into 0/0 = NaN (the
+    # [[spark-lateral-column-alias-trap]] seen in emb_int8_quantize)
+    return (
+        d.join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n_novel") / F.col("n_shingles")).cast("double")
+            .alias("novelty"),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+    )
+
+
+DOC_NGRAM_NOVELTY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) < {SHINGLE_K} THEN []::varchar[]
+                     ELSE list_distinct([array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')
+                                         for i in range(1, len(w) - {SHINGLE_K - 2})])
+                END) AS shingle
+  FROM tok
+),
+first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+per AS (
+  SELECT sh.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM sh JOIN first f USING (shingle)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_novel, 0) AS n_novel,
+       (p.n_novel::DOUBLE / p.n_shingles) AS novelty
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 CONTAINMENT_THRESHOLD = 0.8
 
 
@@ -1387,6 +1459,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
     "doc_containment_pairs": q_doc_containment_pairs,
+    "doc_ngram_novelty": q_doc_ngram_novelty,
     "doc_minhash_lsh_dedup": q_doc_minhash_lsh_dedup,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
@@ -1410,6 +1483,7 @@ ORACLES = {
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "doc_jaccard_pairs": DOC_JACCARD_PAIRS_SQL,
     "doc_containment_pairs": DOC_CONTAINMENT_PAIRS_SQL,
+    "doc_ngram_novelty": DOC_NGRAM_NOVELTY_SQL,
     "doc_minhash_lsh_dedup": DOC_MINHASH_LSH_SQL,
     "doc_dedup_clusters": DOC_DEDUP_CLUSTERS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,

@@ -374,3 +374,24 @@ def test_containment_catches_subset_jaccard_misses(spark, tmp_path):
     assert r["jaccard"] < 0.5  # the MinHash/Jaccard path would miss it
     assert all(2 not in p for p in pairs)
     shutil.rmtree(sf, ignore_errors=True)
+
+
+def test_ngram_novelty_first_doc_wins_and_short_doc_null(spark, tmp_path):
+    """Doc 0 introduces its shingles (novelty 1.0); an identical later
+    doc has novelty 0.0; a short doc has no shingles and NULL novelty."""
+    import shutil
+
+    from sec_xbrl_finwarehouse_spark.plans.text_queries import (
+        q_doc_ngram_novelty,
+    )
+
+    base = " ".join(f"w{i}" for i in range(20))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    _docs(spark, [base, base, "too short"]).coalesce(1).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    got = {r["doc_id"]: r for r in q_doc_ngram_novelty(spark, str(sf)).collect()}
+    assert got[0]["novelty"] == 1.0
+    assert got[1]["novelty"] == 0.0 and got[1]["n_shingles"] == 18
+    assert got[2]["n_shingles"] == 0 and got[2]["novelty"] is None
