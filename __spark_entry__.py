@@ -35,7 +35,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's correctness gate covers the first 50
+    # entries in dict order per round.  Packs that were outside that window
+    # in r4 (embeddings, corpus hygiene, text tail) are listed FIRST so they
+    # get driver-verified rows in CORRECTNESS_r5; the entries rotated out
+    # (last events + star/parity queries) all carry green r4 driver rows.
     return {
+        # beyond-reference: embedding similarity search (unverified in r4)
+        **embedding_queries.QUERIES,
+        # beyond-reference: corpus hygiene (unverified in r4)
+        **corpus_queries.QUERIES,
+        # beyond-reference: text analysis + dedup (tail unverified in r4)
+        **text_queries.QUERIES,
+        # beyond-reference: event-time analytics (SURVEY §2.9 / §7.1-7)
+        **events_queries.QUERIES,
         # SURVEY §2 reference-parity operators (FIXTURES.md §C mapping)
         "window_dedup_latest": sq.q_window_dedup_latest,      # W1
         "window_dedup_priority": sq.q_window_dedup_priority,  # W2
@@ -55,14 +68,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "company_profile": sq.q_company_profile,              # J3
         "ratios_lookup": sq.q_ratios_lookup,                  # O1
         "screener": sq.q_screener,                            # P6 + J2 + O2
-        # beyond-reference: event-time analytics (SURVEY §2.9 / §7.1-7)
-        **events_queries.QUERIES,
-        # beyond-reference: text analysis + dedup (training-data pipeline)
-        **text_queries.QUERIES,
-        # beyond-reference: corpus hygiene (repetition, PII, mixture, shuffle)
-        **corpus_queries.QUERIES,
-        # beyond-reference: embedding similarity search
-        **embedding_queries.QUERIES,
     }
 
 
