@@ -62,11 +62,12 @@ MEDIA_SCHEMA = StructType([
 
 IMAGE_FEATURES_SCHEMA = (
     "media_id long, n_bytes long, mean_byte double, std_byte double, "
-    "content_sha int, width int, height int"
+    "content_sha int, width int, height int, codec string, decoded_real boolean"
 )
 
 AUDIO_FEATURES_SCHEMA = (
-    "media_id long, n_samples long, rms double, peak double, sample_rate int"
+    "media_id long, n_samples long, rms double, peak double, sample_rate int, "
+    "codec string, decoded_real boolean"
 )
 
 FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
@@ -177,28 +178,37 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return a[:usable].reshape(-1, n_ch), sr
 
 
-def _decode_rgb_stats(payload: bytes) -> tuple[float, float]:
-    """Pixel mean/std. REAL decode for PNG payloads (:func:`decode_png`);
-    other formats fall back to the deterministic byte-stat fake (the
-    container has no JPEG codec), clearly a stand-in."""
+def _decode_rgb_stats(payload: bytes) -> tuple[float, float, str, bool]:
+    """Pixel (mean, std, codec, decoded_real). REAL decode for PNG
+    payloads (:func:`decode_png`); other formats fall back to the
+    deterministic byte-stat fake (the container has no JPEG codec).
+    ``decoded_real`` marks which path ran so downstream filters can
+    exclude fake-decoded rows."""
     if payload[:8] == _PNG_MAGIC:
         a = decode_png(payload).astype(np.float64)
+        codec, real = "png", True
     else:
         a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        codec, real = "byte-stat-fake", False
     if a.size == 0:
-        return 0.0, 0.0
-    return float(a.mean()), float(a.std())
+        return 0.0, 0.0, codec, real
+    return float(a.mean()), float(a.std()), codec, real
 
 
-def _pcm_from_bytes(payload: bytes) -> np.ndarray:
-    """Mono-folded PCM samples. REAL decode for RIFF/WAV payloads
-    (:func:`decode_wav`, channel-averaged, scaled back to int16 range so
-    rms/peak units are stable); raw-int16 fallback otherwise."""
+def _pcm_from_bytes(payload: bytes) -> tuple[np.ndarray, str, bool]:
+    """(mono-folded PCM samples, codec, decoded_real). REAL decode for
+    RIFF/WAV payloads (:func:`decode_wav`, channel-averaged, scaled back
+    to int16 range so rms/peak units are stable); raw-int16 fake
+    otherwise, flagged ``decoded_real=False``."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _sr = decode_wav(payload)
-        return samples.mean(axis=1) * 32768.0
+        return samples.mean(axis=1) * 32768.0, "wav-pcm", True
     usable = len(payload) - (len(payload) % 2)
-    return np.frombuffer(payload[:usable], dtype="<i2").astype(np.float64)
+    return (
+        np.frombuffer(payload[:usable], dtype="<i2").astype(np.float64),
+        "raw-int16-fake",
+        False,
+    )
 
 
 def image_features(media: DataFrame) -> DataFrame:
@@ -223,6 +233,8 @@ def image_features(media: DataFrame) -> DataFrame:
                 ],
                 "width": pdf["width"],
                 "height": pdf["height"],
+                "codec": [s[2] for s in stats],
+                "decoded_real": [s[3] for s in stats],
             })
 
     pruned = media.filter(F.col("kind") == "image").select(
@@ -241,15 +253,19 @@ def audio_features(media: DataFrame) -> DataFrame:
             for mid, payload, sr in zip(
                 pdf["media_id"], pdf["payload"], pdf["sample_rate"]
             ):
-                pcm = _pcm_from_bytes(payload)
+                pcm, codec, real = _pcm_from_bytes(payload)
                 rows.append((
                     mid, len(pcm),
                     float(np.sqrt((pcm ** 2).mean())) if pcm.size else 0.0,
                     float(np.abs(pcm).max()) if pcm.size else 0.0,
-                    sr,
+                    sr, codec, real,
                 ))
             yield pd.DataFrame(
-                rows, columns=["media_id", "n_samples", "rms", "peak", "sample_rate"]
+                rows,
+                columns=[
+                    "media_id", "n_samples", "rms", "peak", "sample_rate",
+                    "codec", "decoded_real",
+                ],
             )
 
     pruned = media.filter(F.col("kind") == "audio").select(
