@@ -38,9 +38,11 @@ CC_MAX_ITERS = 20
 # corpus-width (32+ tasks per join/agg/checkpoint on a few hundred
 # edges) made the iteration loop cost ~2x the LSH pipeline itself at
 # sf0.1. One edge count at the persist boundary picks
-# ceil(edges / EDGES_PER_PARTITION) partitions -- a handful of rounds
-# on 1 task locally, and at 1e9 edges the same formula yields ~1000
-# partitions, which is exactly how you'd size it on a cluster.
+# min(defaultParallelism, ceil(edges / EDGES_PER_PARTITION)) partitions
+# -- a handful of rounds on 1 task locally; on a cluster the width
+# grows with the edge set but is capped at the session's core count
+# (more tasks than cores only adds scheduling overhead for an
+# iteration this cheap).
 EDGES_PER_PARTITION = 1_000_000
 
 

@@ -50,18 +50,25 @@ def salted_join(
     inside its own salt bucket).
 
     The salt is derived from a hash of the large side's whole row PLUS
-    a per-partition row index (``monotonically_increasing_id``):
-    deterministic across task retries (a re-executed task replays the
-    same partition and re-derives the same ids, unlike ``rand()``), and
-    uniform even when the hot key's rows are EXACT duplicates -- the
-    common skew shape in pre-dedup logs, where a row-content hash alone
-    would send every duplicate to one salt bucket and silently defeat
-    the operator. ``how`` may be ``inner`` or ``left`` (right/full
-    would need the salt on the other side's null-extension and are not
-    supported here).
+    a per-partition row index (``monotonically_increasing_id``), so it
+    stays uniform even when the hot key's rows are EXACT duplicates --
+    the common skew shape in pre-dedup logs, where a row-content hash
+    alone would send every duplicate to one salt bucket and silently
+    defeat the operator. The ids (and hence the salt values) are only
+    stable for a fixed upstream partition layout; correctness does NOT
+    depend on salt determinism -- the join output is salt-invariant, a
+    recompute with different salts yields the same rows. ``how`` may be
+    ``inner`` or ``left`` (right/full would need the salt on the other
+    side's null-extension and are not supported here).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    for side, df in (("large", large), ("small", small)):
+        if SALT_COL in df.columns:
+            raise ValueError(
+                f"salted_join: {side} side already has a {SALT_COL!r} column; "
+                "rename it before salting (it would be overwritten and dropped)"
+            )
     on = list(on)
     salted_large = large.withColumn(
         SALT_COL,
