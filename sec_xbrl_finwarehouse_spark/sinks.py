@@ -10,12 +10,18 @@ upsert (db/schema.sql:11,22,61; v3.py:175). Spark file tables have no
 in-place conflict resolution, so each write mode here maps onto the
 idiom that actually scales on an object store / distributed FS:
 
-* ``write_replace``  -- full-table write-then-swap: the new version is
-  written to a temp directory, then atomically renamed over the old one.
-  Readers never observe a half-written table, and a query that READS the
-  table it is rebuilding (the self-overwrite trap Spark errors on or,
-  worse, truncates with) is safe because the scan's file list points at
-  the old directory until the swap.
+* ``write_replace``  -- full-table write + manifest-pointer commit: the
+  new version is written to its own immutable directory under the table
+  root, then published by atomically replacing the ``_CURRENT`` pointer
+  file. Readers resolve the pointer once at read time and scan ONE
+  version directory, so a reader overlapping a publish sees the old
+  version or the new one, never a half-swapped mix -- and because the
+  previous version's files are retained until the NEXT publish, a
+  reader that resolved just before the swap still finds every file it
+  listed (the window a bare directory-rename swap leaves open). A query
+  that READS the table it is rebuilding (the self-overwrite trap Spark
+  errors on or, worse, truncates with) is safe for the same reason: the
+  scan's file list points at the old version directory throughout.
 * ``upsert`` (S5) -- ON CONFLICT DO UPDATE: merge incoming over stored
   with :func:`~.operators.upsert.upsert_latest_wins`, preserving
   ``created_at`` for keys that already existed and refreshing
@@ -25,11 +31,13 @@ idiom that actually scales on an object store / distributed FS:
   shuffle is one exchange on the PK. Partition the stored table on a
   key prefix so the rewrite touches only affected partitions.
 * ``append_if_absent`` (S6) -- ON CONFLICT DO NOTHING: anti-join
-  incoming against stored keys, then commit ONLY the new rows as new
-  files moved in from a staging directory. The stored data is never
-  rewritten -- the append-only fast path (ingest_facts.py:119-143) --
-  and re-running the same batch is a byte-identical no-op (second run
-  appends zero rows, leaving even timestamps untouched).
+  incoming against stored keys, then commit ONLY the new rows: a new
+  version directory hard-links every existing part-file (zero data
+  copy) plus the staged new files, and the pointer swap publishes both
+  together. Existing data is never rewritten -- the append-only fast
+  path (ingest_facts.py:119-143) -- and re-running the same batch is a
+  byte-identical no-op (zero fresh rows publishes no new version,
+  leaving even timestamps untouched).
 
 Audit columns (F12): ``created_at`` is assigned once when a key first
 enters the table; ``updated_at`` refreshes whenever an upsert overwrites
@@ -37,10 +45,12 @@ the key. Both are ``current_timestamp()`` -- evaluated once per query,
 so every row of a batch gets the same timestamp, like the reference's
 single-transaction ``now()``.
 
-Local-FS renames here are ``os.rename`` (atomic on POSIX). On HDFS the
-same protocol uses ``FileSystem.rename``; on S3 you'd point the swap at
-a manifest/table-format commit instead -- the sink's contract (stage,
-validate, atomically publish) is unchanged.
+Pointer replacement is ``os.replace`` (atomic on POSIX); version
+directories are immutable once published. This is the minimal form of
+the manifest commit every table format (Delta/Iceberg/Hudi) performs --
+on S3 the same pointer lives in a conditional-PUT object or a catalog
+entry; the sink's contract (stage, validate, atomically publish,
+retain the prior version for in-flight readers) is unchanged.
 """
 
 from __future__ import annotations
@@ -60,11 +70,74 @@ UPDATED_AT = "updated_at"
 _AUDIT_COLS = (CREATED_AT, UPDATED_AT)
 
 
+_POINTER = "_CURRENT"
+
+
+def current_data_dir(path: str) -> str | None:
+    """Resolve the manifest pointer to the active version directory.
+
+    Returns None if the table does not exist. A pre-manifest flat
+    parquet directory (no ``_CURRENT`` inside) resolves to itself, so
+    tables written by older versions of this sink stay readable.
+    """
+    pointer = os.path.join(path, _POINTER)
+    if os.path.exists(pointer):
+        with open(pointer, encoding="ascii") as f:
+            version = f.read().strip()
+        return os.path.join(path, version)
+    if os.path.exists(path):
+        return path  # legacy flat layout
+    return None
+
+
+def _publish_version(path: str, version_dir: str) -> None:
+    """Atomically repoint ``_CURRENT`` at ``version_dir`` (already moved
+    inside ``path``), then prune all versions older than the one just
+    superseded. Keeping current + previous means a reader that resolved
+    the pointer an instant before the swap still finds every file it is
+    scanning; ``vacuum`` reclaims the previous version once no readers
+    can be in flight."""
+    version = os.path.basename(version_dir)
+    prev = None
+    pointer = os.path.join(path, _POINTER)
+    if os.path.exists(pointer):
+        with open(pointer, encoding="ascii") as f:
+            prev = f.read().strip()
+    tmp_pointer = os.path.join(path, f".{_POINTER}.{uuid.uuid4().hex}")
+    with open(tmp_pointer, "w", encoding="ascii") as f:
+        f.write(version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_pointer, pointer)  # THE commit point (atomic on POSIX)
+    for name in os.listdir(path):
+        if name.startswith("v_") and name not in (version, prev):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def vacuum(path: str) -> int:
+    """Drop every retained version except the current one; returns the
+    number of directories removed. Run when no readers are in flight
+    (the table-format VACUUM contract)."""
+    cur = current_data_dir(path)
+    if cur is None or cur == path:
+        return 0
+    keep = os.path.basename(cur)
+    removed = 0
+    for name in os.listdir(path):
+        if name.startswith("v_") and name != keep:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            removed += 1
+    return removed
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame | None:
-    """Stored table or None if it does not exist yet."""
-    if not os.path.exists(path):
+    """Stored table or None if it does not exist yet. The pointer is
+    resolved HERE, once -- the returned frame is pinned to one immutable
+    version directory, unaffected by concurrent publishes."""
+    data_dir = current_data_dir(path)
+    if data_dir is None:
         return None
-    return spark.read.parquet(path)
+    return spark.read.parquet(data_dir)
 
 
 def with_audit_cols(df: DataFrame) -> DataFrame:
@@ -79,30 +152,41 @@ def _data_cols(df: DataFrame) -> list[str]:
 
 
 def write_replace(df: DataFrame, path: str) -> None:
-    """Write-then-swap full-table publish (atomic on POSIX/HDFS).
+    """Full-table publish via manifest-pointer commit.
 
-    Staging/old directories are siblings of ``path`` (same parent, so
-    same filesystem -- a cross-device rename would raise EXDEV and break
-    atomicity). If the swap-in of the new version fails after the old
-    version was already renamed away, the old version is renamed BACK
-    before re-raising, so a failed publish never leaves the table
-    missing: readers see either the old or the new version, never a gap.
+    The frame is written to a staging sibling (same filesystem, so the
+    move into the table root cannot cross devices), moved in as an
+    immutable ``v_<hex>`` version directory, and published by atomically
+    replacing the ``_CURRENT`` pointer. A failure before the pointer
+    swap leaves the previous version live and intact -- a failed publish
+    never leaves the table missing or half-written. Readers overlapping
+    the publish see the old version or the new one, never a mix; the
+    superseded version's files are retained until the next publish (or
+    :func:`vacuum`) so in-flight scans keep resolving.
     """
     tmp = f"{path}.__staging__{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
-    old = f"{path}.__old__{uuid.uuid4().hex}"
-    moved_old = False
+    legacy_flat = os.path.exists(path) and not os.path.exists(
+        os.path.join(path, _POINTER)
+    )
+    version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
     try:
-        if os.path.exists(path):
-            os.rename(path, old)
-            moved_old = True
-        os.rename(tmp, path)
+        if legacy_flat:
+            # one-time migration: tuck the flat files into a version dir
+            # so the pre-swap layout stays readable as "previous"
+            legacy_v = os.path.join(path, f"v_legacy_{uuid.uuid4().hex}")
+            os.mkdir(legacy_v)
+            for name in os.listdir(path):
+                if not name.startswith(("v_", ".")):
+                    os.rename(os.path.join(path, name), os.path.join(legacy_v, name))
+            _publish_version(path, legacy_v)
+        os.makedirs(path, exist_ok=True)
+        os.rename(tmp, version_dir)
+        _publish_version(path, version_dir)
     except OSError:
-        if moved_old and not os.path.exists(path):
-            os.rename(old, path)
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(version_dir, ignore_errors=True)
         raise
-    shutil.rmtree(old, ignore_errors=True)
 
 
 def upsert(
@@ -156,10 +240,14 @@ def append_if_absent(
     Only rows whose key is absent from the stored table are committed,
     as NEW files -- existing data is never rewritten (the append-only
     fast path of ingest_facts.py:119-143). The fresh rows are staged to
-    a side directory and their part-files moved in afterwards, so the
-    job never writes into a directory it is scanning. Returns the number
-    of part-files committed (0 => the batch was a pure duplicate and the
-    table is byte-identical, the S6 idempotence contract).
+    a side directory; the commit hard-links every current part-file
+    (zero data copy, same filesystem) plus the staged new files into a
+    new version directory and swaps the pointer, so the append is
+    atomic too: overlapping readers see the table with or without the
+    whole batch, never a partial batch. Returns the number of new
+    part-files committed (0 => the batch was a pure duplicate, no new
+    version is published, and the table is byte-identical -- the S6
+    idempotence contract).
     """
     existing = read_table(spark, path)
     fresh = incoming.dropDuplicates(list(keys))
@@ -173,19 +261,31 @@ def append_if_absent(
     )
     staging = f"{path}.__staging__{uuid.uuid4().hex}"
     fresh.write.mode("overwrite").parquet(staging)
-    moved = 0
     try:
-        for name in os.listdir(staging):
-            if not name.startswith("part-") or name.endswith(".crc"):
-                continue
-            staged = os.path.join(staging, name)
-            if _parquet_num_rows(staged) == 0:
-                continue  # Spark emits empty part files for empty frames
-            os.rename(staged, os.path.join(path, f"append-{uuid.uuid4().hex}-{name}"))
-            moved += 1
+        new_parts = [
+            name
+            for name in os.listdir(staging)
+            if name.startswith("part-")
+            and not name.endswith(".crc")
+            and _parquet_num_rows(os.path.join(staging, name)) > 0
+        ]
+        if not new_parts:
+            return 0  # pure duplicate: publish nothing
+        cur = current_data_dir(path)
+        version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
+        os.mkdir(version_dir)
+        for name in os.listdir(cur):
+            if name.endswith(".parquet") and not name.startswith("."):
+                os.link(os.path.join(cur, name), os.path.join(version_dir, name))
+        for name in new_parts:
+            os.rename(
+                os.path.join(staging, name),
+                os.path.join(version_dir, f"append-{uuid.uuid4().hex}-{name}"),
+            )
+        _publish_version(path, version_dir)
+        return len(new_parts)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-    return moved
 
 
 def _parquet_num_rows(part_path: str) -> int:
@@ -196,9 +296,13 @@ def _parquet_num_rows(part_path: str) -> int:
 
 
 def table_bytes(path: str) -> int:
-    """On-disk bytes of a stored table (driver-side directory walk)."""
+    """On-disk bytes of the CURRENT version of a stored table
+    (driver-side directory walk; retained prior versions not counted)."""
+    data_dir = current_data_dir(path)
+    if data_dir is None:
+        return 0
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, _dirs, files in os.walk(data_dir):
         for f in files:
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
@@ -222,11 +326,12 @@ def compact(
     guarantee); the swap keeps readers on the old version until the
     compacted one is fully published."""
     n_files = max(1, -(-table_bytes(path) // target_file_bytes))
-    df = spark.read.parquet(path)
-    # localCheckpoint pins the input rows BEFORE the swap invalidates
-    # the file list the plan points at (self-overwrite trap)
-    compacted = df.repartition(n_files).localCheckpoint(eager=True)
-    write_replace(compacted, path)
+    df = read_table(spark, path)
+    # no checkpoint needed: the scan is pinned to the current version
+    # directory, which write_replace retains (as "previous") through and
+    # beyond the pointer swap -- the staging write reads the old files,
+    # and they outlive the publish.
+    write_replace(df.repartition(n_files), path)
     return n_files
 
 

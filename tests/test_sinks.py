@@ -14,7 +14,7 @@ from sec_xbrl_finwarehouse_spark import sinks
 def _rows(spark, df_path):
     return {
         tuple(r) for r in
-        spark.read.parquet(df_path)
+        sinks.read_table(spark, df_path)
         .select("k", "v").orderBy("k").collect()
     }
 
@@ -38,7 +38,7 @@ def test_write_replace_self_overwrite_safe(spark, tmp_path):
     must not hit Spark's cannot-overwrite-input-path trap."""
     path = str(tmp_path / "t")
     sinks.write_replace(_mk(spark, [(1, "a"), (2, "b")]), path)
-    derived = spark.read.parquet(path).withColumn("v", F.upper("v"))
+    derived = sinks.read_table(spark, path).withColumn("v", F.upper("v"))
     sinks.write_replace(derived, path)
     assert _rows(spark, path) == {(1, "A"), (2, "B")}
 
@@ -55,11 +55,11 @@ def test_upsert_audit_semantics(spark, tmp_path):
     upserted keys (db/schema.sql:61, build_statements_annual_v3.py:175)."""
     path = str(tmp_path / "t")
     sinks.upsert(spark, path, _mk(spark, [(1, "a"), (2, "b")]), ["k"])
-    first = {r["k"]: r for r in spark.read.parquet(path).collect()}
+    first = {r["k"]: r for r in sinks.read_table(spark, path).collect()}
     assert all(r[sinks.CREATED_AT] == r[sinks.UPDATED_AT] for r in first.values())
 
     sinks.upsert(spark, path, _mk(spark, [(2, "B2")]), ["k"])
-    second = {r["k"]: r for r in spark.read.parquet(path).collect()}
+    second = {r["k"]: r for r in sinks.read_table(spark, path).collect()}
     # untouched key: both stamps unchanged
     assert second[1][sinks.CREATED_AT] == first[1][sinks.CREATED_AT]
     assert second[1][sinks.UPDATED_AT] == first[1][sinks.UPDATED_AT]
@@ -80,7 +80,7 @@ def test_upsert_reingest_idempotent(spark, tmp_path):
     twice = _rows(spark, path)
     assert once == twice == set(batch)
     # exactly one row per key (the merge never duplicates)
-    assert spark.read.parquet(path).count() == 3
+    assert sinks.read_table(spark, path).count() == 3
 
 
 def test_append_if_absent_skips_existing_keys(spark, tmp_path):
@@ -103,14 +103,14 @@ def test_append_if_absent_pure_duplicate_is_noop(spark, tmp_path):
     files_before = sorted(os.listdir(path))
     stamps_before = {
         r["k"]: (r[sinks.CREATED_AT], r[sinks.UPDATED_AT])
-        for r in spark.read.parquet(path).collect()
+        for r in sinks.read_table(spark, path).collect()
     }
     n = sinks.append_if_absent(spark, path, batch, ["k"])
     assert n == 0
     assert sorted(os.listdir(path)) == files_before
     stamps_after = {
         r["k"]: (r[sinks.CREATED_AT], r[sinks.UPDATED_AT])
-        for r in spark.read.parquet(path).collect()
+        for r in sinks.read_table(spark, path).collect()
     }
     assert stamps_after == stamps_before
 
@@ -120,7 +120,7 @@ def test_append_if_absent_dedups_within_batch(spark, tmp_path):
     sinks.append_if_absent(
         spark, path, _mk(spark, [(1, "a"), (1, "a"), (2, "b")]), ["k"]
     )
-    assert spark.read.parquet(path).count() == 2
+    assert sinks.read_table(spark, path).count() == 2
 
 
 def test_compact_reduces_files_preserves_rows(spark, tmp_path):
@@ -128,16 +128,58 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
 
     path = str(tmp_path / "t.parquet")
     df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
-    df.repartition(24).write.parquet(path)
+    df.repartition(24).write.parquet(path)  # legacy flat layout on purpose
     import glob
     before = len(glob.glob(f"{path}/*.parquet"))
     assert before >= 24
     n = compact(spark, path, target_file_bytes=1 << 30)  # everything -> 1 file
-    after = glob.glob(f"{path}/*.parquet")
+    after = glob.glob(f"{sinks.current_data_dir(path)}/*.parquet")
     assert n == 1 and len(after) == 1
-    got = spark.read.parquet(path)
+    got = sinks.read_table(spark, path)
     assert got.count() == 10_000
     assert got.agg(F.sum("v")).first()[0] == df.agg(F.sum("v")).first()[0]
+
+
+def test_reader_across_publish_sees_old_version_intact(spark, tmp_path):
+    """A reader that resolved the manifest pointer BEFORE a publish must
+    keep scanning the complete old version (never a mixed or half-swapped
+    table) -- the VERDICT r4 item 7 contract. The previous version's
+    files are retained through the next publish, so the in-flight plan
+    still resolves every file it listed."""
+    path = str(tmp_path / "t")
+    sinks.write_replace(_mk(spark, [(1, "a"), (2, "b")]), path)
+    pinned = sinks.read_table(spark, path)  # resolves pointer now
+    sinks.write_replace(_mk(spark, [(3, "c")]), path)  # overlapping publish
+    # the pinned reader sees the complete OLD table...
+    assert {tuple(r) for r in pinned.select("k", "v").collect()} == {
+        (1, "a"), (2, "b"),
+    }
+    # ...and a fresh resolve sees the complete NEW one
+    assert _rows(spark, path) == {(3, "c")}
+
+
+def test_publish_retains_exactly_one_prior_version(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(4):
+        sinks.write_replace(_mk(spark, [(i, "x")]), path)
+    versions = [p for p in os.listdir(path) if p.startswith("v_")]
+    assert len(versions) == 2  # current + previous, older ones pruned
+    assert sinks.vacuum(path) == 1
+    assert [p for p in os.listdir(path) if p.startswith("v_")] == [
+        os.path.basename(sinks.current_data_dir(path))
+    ]
+    assert _rows(spark, path) == {(3, "x")}
+
+
+def test_append_publishes_atomically_via_new_version(spark, tmp_path):
+    """An append commits as a hard-linked new version + pointer swap: a
+    reader pinned to the pre-append version never sees a partial batch."""
+    path = str(tmp_path / "t")
+    sinks.append_if_absent(spark, path, _mk(spark, [(1, "a")]), ["k"])
+    pinned = sinks.read_table(spark, path)
+    sinks.append_if_absent(spark, path, _mk(spark, [(2, "b"), (3, "c")]), ["k"])
+    assert {r["k"] for r in pinned.collect()} == {1}       # old version
+    assert _rows(spark, path) == {(1, "a"), (2, "b"), (3, "c")}  # new
 
 
 def test_read_evolving_merges_additive_schemas(spark, tmp_path):
