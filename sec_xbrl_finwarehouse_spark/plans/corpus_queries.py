@@ -403,36 +403,49 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     xent = -sum_tok tf * ln(cnt_tok / N) / n_tokens, where cnt comes
     from the corpus term-frequency table and N is total corpus tokens.
 
-    Determinism across engines: per-term contributions are quantized to
-    integer micro-nats (floor(x * 1e6 + 0.5) -- floor is identical in
-    both engines, see the int8 quantizer) BEFORE summing, so the per-doc
-    sum is an order-independent BIGINT sum; a raw double sum would
-    depend on each engine's aggregation order. ln() itself can differ by
-    1 ulp between libms, which flips a micro-nat only when a term sits
-    within ~1e-16 relative of a quantization boundary -- negligible, and
-    flagged by the oracle if it ever lands.
+    Determinism across engines: the PER-TOKEN log-prob is quantized to
+    integer micro-nats (floor(ln(p) * 1e6 + 0.5) -- floor is identical
+    in both engines, see the int8 quantizer), and the per-doc total is
+    an order-independent BIGINT sum of those; a raw double sum would
+    depend on each engine's aggregation order. ln() itself can differ
+    by 1 ulp between libms, which flips a micro-nat only when a term
+    sits within ~1e-16 relative of a quantization boundary --
+    negligible, and flagged by the oracle if it ever lands.
 
-    Scale shape: tokenize -> (doc_id, tok) tf agg -> vocabulary-sized df
-    table joined back by token (the classic shared dimension -- at real
-    scale computed once and reused), corpus total broadcast, one final
-    doc_id agg of integer partials. Same two-level aggregation skeleton
-    as TF-IDF; everything map-side combinable."""
+    Scale shape (two passes over the tokenizer, zero wide exchanges of
+    token-level data): pass 1 aggregates the vocabulary-sized unigram
+    LM table -- counts by token, fully map-side combinable, plus the
+    corpus total as a single window sum over the vocabulary (one task
+    over a vocab-sized input, which must fit one executor anyway to be
+    broadcast). Pass 2 BROADCASTS that LM (Heaps' law keeps natural-
+    language vocabularies orders of magnitude smaller than the corpus)
+    onto the raw token stream and aggregates straight to doc_id --
+    quantizing per token occurrence means no intermediate (doc_id, tok)
+    tf table is ever built or shuffled, and because the scan is hash-
+    partitioned on doc_id the per-doc agg needs no exchange at all.
+    The earlier tf-level formulation (floor around tf*ln) forced a
+    (doc_id, tok) aggregation plus a token-keyed join of it -- two wide
+    shuffles of near-corpus-sized data this shape simply doesn't have.
+    At a vocabulary too large to broadcast (byte-level tokens at
+    extreme corpus breadth), swap the broadcast hint for a shuffle
+    join; semantics are unchanged."""
     d = _documents(spark, sf_dir)
     toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    cnt = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
-    total = cnt.agg(F.sum("cnt").alias("n_corpus"))
-    term_unats = F.floor(
-        F.col("tf") * F.log(F.col("cnt") / F.col("n_corpus")) * F.lit(1e6)
-        + F.lit(0.5)
-    ).cast("long")
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    lm = cnt.withColumn(
+        "n_corpus", F.sum("cnt").over(Window.partitionBy())
+    ).select(
+        "tok",
+        F.floor(
+            F.log(F.col("cnt") / F.col("n_corpus")) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("tok_unats"),
+    )
     per_doc = (
-        tf.join(cnt, "tok")
-        .crossJoin(F.broadcast(total))
+        toks.join(F.broadcast(lm), "tok")
         .groupBy("doc_id")
         .agg(
-            F.sum("tf").alias("n_tokens"),
-            (-F.sum(term_unats)).alias("neg_unats"),
+            F.count("*").alias("n_tokens"),
+            (-F.sum("tok_unats")).alias("neg_unats"),
         )
     )
     scored = per_doc.select(
@@ -460,17 +473,23 @@ WITH tok AS (
                             x -> x <> '')) AS tok
   FROM documents
 ),
-tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
-cnt AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
 tot AS (SELECT sum(cnt) AS n_corpus FROM cnt),
+lm AS (
+  -- per-token micro-nat quantization (floor AROUND the single-token
+  -- ln, tf multiplier outside -- must match the Spark spelling)
+  SELECT tok,
+         CAST(floor(ln(cnt.cnt / tot.n_corpus) * 1e6 + 0.5) AS BIGINT)
+           AS tok_unats
+  FROM cnt CROSS JOIN tot
+),
 per_doc AS (
   -- BIGINT casts: DuckDB sum(BIGINT) is HUGEINT, which pandas would
   -- surface as float/object and type-mismatch Spark's int64
-  SELECT tf.doc_id,
-         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
-         CAST(-sum(CAST(floor(tf.tf * ln(cnt.cnt / tot.n_corpus) * 1e6 + 0.5)
-                        AS BIGINT)) AS BIGINT) AS neg_unats
-  FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(-sum(lm.tok_unats) AS BIGINT) AS neg_unats
+  FROM tok JOIN lm USING (tok)
   GROUP BY 1
 )
 SELECT d.doc_id,
