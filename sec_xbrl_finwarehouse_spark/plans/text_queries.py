@@ -1371,9 +1371,17 @@ def q_doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # correlated corpora (common-token weight dominates the bit sums):
     # measured at sf0.1 the 4 bands produce ~32M colliding candidate
     # rows that reduce to 13 true pairs -- deduping first would shuffle
-    # all 32M, filtering first shuffles dozens. At 100 TB the same
-    # degenerate-bucket risk is handled by this ordering plus capping or
-    # salting pathologically hot (band, key) buckets.
+    # all 32M, filtering first shuffles dozens. Scale measured on a
+    # decorrelated amplified corpus (tools/scale_proof.py, per-copy
+    # Caesar-translated so only within-copy near-dup structure
+    # survives): 1.85x the DuckDB comparator at 10x and 1.19x at 20x,
+    # i.e. the banded join amortizes toward inversion as data grows.
+    # A recursive sub-banding refinement (split the complement 45 bits
+    # into 4 sub-bands, join on the ~27-bit compound key; still
+    # lossless by double pigeonhole) was measured and is SLOWER at
+    # these scales (16x fingerprint explode outweighs bucket savings);
+    # it becomes the right move only if a (band, key) bucket ever goes
+    # truly degenerate at 100 TB.
     return (
         left.join(right, ["band", "key"])
         .filter(F.col("d1") < F.col("d2"))

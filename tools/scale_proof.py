@@ -71,6 +71,47 @@ QUERIES = [
 
 PER_QUERY_CAP_SEC = 300.0
 
+# Near-dup queries get their OWN amplified corpus (VERDICT r4 item 2):
+# the marker-token amplification leaves cross-copy texts ~identical, so
+# running a near-dup query on it would measure a manufactured quadratic
+# clique blowup. Here each copy i>0 is passed through a per-copy
+# CAESAR-ROTATED character translation instead: within a copy every
+# document shifts identically, so the copy's internal near-dup structure
+# (token overlap, hamming distances) is preserved, while cross-copy
+# token hashes decorrelate completely -- candidate density scales ~10x
+# linearly, exactly like ten independent shards of a bigger corpus.
+NEARDUP_QUERIES = ["doc_simhash_neardup"]
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_DIGIT = "0123456789"
+
+
+def build_neardup(spark, out_dir: str, copies: int = COPIES) -> None:
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = [src]
+    for i in range(1, copies):
+        rot_a = _ALPHA[i:] + _ALPHA[:i]
+        rot_d = _DIGIT[i % 10:] + _DIGIT[: i % 10]
+        c = (
+            src.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            .withColumn(
+                "text",
+                F.translate(
+                    "text",
+                    _ALPHA + _ALPHA.upper() + _DIGIT,
+                    rot_a + rot_a.upper() + rot_d,
+                ),
+            )
+        )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
 
 def build(spark, out_dir: str) -> None:
     from pyspark.sql import functions as F
@@ -103,9 +144,13 @@ def build(spark, out_dir: str) -> None:
             if name == "documents" and i > 0:
                 # per-copy marker token: keeps per-doc stats distinct
                 # across copies (near-dup queries stay EXCLUDED -- see
-                # module docstring)
+                # module docstring). n_chars tracks the prepended marker
+                # so metadata stays consistent with the text.
+                marker = f"copy{i} "
                 c = c.withColumn(
-                    "text", F.concat(F.lit(f"copy{i} "), F.col("text"))
+                    "text", F.concat(F.lit(marker), F.col("text"))
+                ).withColumn(
+                    "n_chars", F.col("n_chars") + F.lit(len(marker))
                 )
             parts.append(c)
         out = parts[0]
@@ -147,7 +192,7 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{out_dir}/{t}.parquet/*.parquet'"
         )
 
-    def duck_time(sql: str) -> tuple[float, bool]:
+    def duck_time(sql: str, con) -> tuple[float, bool]:
         done = threading.Event()
 
         def watchdog():
@@ -173,26 +218,58 @@ def main() -> None:
             done.clear()
         return best, capped
 
-    results = {}
-    for name in names:
-        qmap[name](spark, out_dir).toPandas()  # warmup
+    def measure(name: str, data_dir: str, duck_con) -> dict:
+        qmap[name](spark, data_dir).toPandas()  # warmup
         spark.catalog.clearCache()
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            qmap[name](spark, out_dir).toPandas()
+            qmap[name](spark, data_dir).toPandas()
             best = min(best, time.time() - t0)
             spark.catalog.clearCache()
         d, capped = (
-            duck_time(oracles[name]) if name in oracles else (None, False)
+            duck_time(oracles[name], duck_con)
+            if name in oracles else (None, False)
         )
-        results[name] = {
+        return {
             "spark_sec": round(best, 3),
             "duckdb_sec": None if d is None else round(d, 3),
             "duckdb_capped": capped,
             "ratio": None if not d else round(best / d, 2),
         }
+
+    results = {}
+    for name in names:
+        results[name] = measure(name, out_dir, con)
         print(json.dumps({"query": name, **results[name]}), file=sys.stderr)
+
+    neardup_names = [
+        n for n in NEARDUP_QUERIES if n in qmap and (not only or n in only)
+    ]
+    if neardup_names:
+        # two amplification points (10x, 20x) so the ratio TREND is a
+        # measurement, not an extrapolation
+        for mult in (10, 20):
+            nd_dir = f"{out_dir}_neardup{'' if mult == 10 else mult}"
+            if not os.path.exists(f"{nd_dir}/documents.parquet"):
+                t0 = time.time()
+                build_neardup(spark, nd_dir, copies=mult)
+                print(f"built {nd_dir} in {time.time() - t0:.1f}s",
+                      file=sys.stderr)
+            nd_con = duckdb.connect()
+            nd_con.sql(f"SET threads TO {os.cpu_count()}")
+            nd_con.sql(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"'{nd_dir}/documents.parquet/*.parquet'"
+            )
+            for name in neardup_names:
+                key = name if mult == 10 else f"{name}@{mult}x"
+                results[key] = {
+                    **measure(name, nd_dir, nd_con),
+                    "corpus": f"neardup-decorrelated x{mult}",
+                }
+                print(json.dumps({"query": key, **results[key]}),
+                      file=sys.stderr)
 
     print(json.dumps({"sf": "sf0.1 x10 multi-file", "results": results}))
 
