@@ -188,20 +188,34 @@ def main() -> None:
                 ratio[name] = round(timings[name] / oracle[name], 2)
 
     total = round(sum(timings.values()), 3)
+    oracle_total = round(sum(oracle.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full per-query detail (oracle + ratios) on its own line for human
+    # and judge consumption ...
     print(json.dumps({
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "metric": "bench_detail",
         "oracle_same_run": {
             "metric": "duckdb_oracle_total",
-            "value": round(sum(oracle.values()), 3),
+            "value": oracle_total,
             "queries": oracle,
             "capped": capped,
             "cap_sec": ORACLE_CAP_SEC,
         },
         "spark_over_duckdb_ratio": ratio,
+    }))
+    # ... and the REQUIRED one-line contract LAST and COMPACT: the
+    # driver captures a bounded tail of stdout, and r4 showed a single
+    # jumbo line gets front-truncated into unparseable JSON
+    # (BENCH_r04.json "parsed": null). Keep this line lean so it always
+    # survives the tail window.
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "oracle_total_sec": oracle_total,
+        "ratio_total": round(total / oracle_total, 3) if oracle_total else None,
     }))
 
 
