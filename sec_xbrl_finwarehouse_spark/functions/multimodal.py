@@ -13,11 +13,17 @@ and REAL where the stdlib suffices:
 * PNG (8-bit gray/gray+a/RGB/RGBA, non-interlaced): full decode --
   chunk walk, zlib IDAT inflate, scanline unfilter (all five filter
   types) -- in :func:`decode_png`.
+* JPEG (baseline sequential DCT, 8-bit, any JFIF subsampling): full
+  decode -- Huffman scan, dequantize, vectorized IDCT, chroma
+  upsample, YCbCr->RGB -- in :mod:`.jpeg` (validated against the
+  JVM's ImageIO to mean |diff| < 0.5 intensity levels on real photos;
+  progressive JPEG raises and falls back to the fake, flagged).
 * WAV (RIFF PCM 8/16-bit): full decode in :func:`decode_wav`.
-* Everything else (JPEG, MP3, video containers) falls back to the
-  clearly-marked deterministic byte-stat fakes so the plans stay
-  runnable; a real codec drops into ``_decode_rgb_stats`` /
-  ``_pcm_from_bytes`` without touching any plan.
+* Everything else (progressive JPEG, MP3, video containers) falls back
+  to the clearly-marked deterministic byte-stat fakes so the plans
+  stay runnable (``decoded_real = false`` in the feature structs); a
+  real codec drops into ``_decode_rgb_stats`` / ``_pcm_from_bytes``
+  without touching any plan.
 
 Scale notes (100 TB of media): payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row count) governs task
@@ -178,18 +184,40 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return a[:usable].reshape(-1, n_ch), sr
 
 
+_JPEG_MAGIC = b"\xff\xd8"
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch to the real stdlib decoder for the payload's container
+    (PNG or baseline JPEG); raises ValueError naming the gap otherwise."""
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
+    if payload[:2] == _JPEG_MAGIC:
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unsupported image container (not PNG/JPEG)")
+
+
 def _decode_rgb_stats(payload: bytes) -> tuple[float, float, str, bool]:
-    """Pixel (mean, std, codec, decoded_real). REAL decode for PNG
-    payloads (:func:`decode_png`); other formats fall back to the
-    deterministic byte-stat fake (the container has no JPEG codec).
+    """Pixel (mean, std, codec, decoded_real). REAL decode for PNG and
+    baseline-JPEG payloads (:func:`decode_png`, :mod:`.jpeg`); other
+    formats -- and JPEG features the baseline decoder rejects, e.g.
+    progressive scans -- fall back to the deterministic byte-stat fake.
     ``decoded_real`` marks which path ran so downstream filters can
     exclude fake-decoded rows."""
+    a, codec, real = None, "byte-stat-fake", False
     if payload[:8] == _PNG_MAGIC:
         a = decode_png(payload).astype(np.float64)
         codec, real = "png", True
-    else:
+    elif payload[:2] == _JPEG_MAGIC:
+        try:
+            a = decode_image(payload).astype(np.float64)
+            codec, real = "jpeg", True
+        except Exception:
+            a = None  # malformed or progressive: byte-stat fallback
+    if a is None:
         a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
-        codec, real = "byte-stat-fake", False
     if a.size == 0:
         return 0.0, 0.0, codec, real
     return float(a.mean()), float(a.std()), codec, real
@@ -301,19 +329,20 @@ RESIZED_SCHEMA = "media_id long, width int, height int, channels int, pixels bin
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL image resize for PNG payloads: :func:`decode_png` + numpy
-    nearest-neighbor index resample, emitting raw interleaved uint8
-    pixel buffers with their dims -- the tensor-ready layout a training
-    loader consumes directly (no re-encode; raw pixels compress fine
-    under parquet's own codec). Arrow-batched ``mapInPandas``; payload
-    bytes for non-PNG formats raise ValueError naming the format gap
-    rather than faking resampled pixels."""
+    """REAL image resize for PNG and baseline-JPEG payloads:
+    :func:`decode_image` + numpy nearest-neighbor index resample,
+    emitting raw interleaved uint8 pixel buffers with their dims -- the
+    tensor-ready layout a training loader consumes directly (no
+    re-encode; raw pixels compress fine under parquet's own codec).
+    Arrow-batched ``mapInPandas``; payload bytes for unsupported
+    formats raise ValueError naming the format gap rather than faking
+    resampled pixels."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_png(payload)
+                img = decode_image(payload)
                 h, w = img.shape[:2]
                 ys = (np.arange(height) * h) // height
                 xs = (np.arange(width) * w) // width

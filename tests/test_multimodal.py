@@ -203,8 +203,8 @@ def test_audio_features_uses_real_wav_decode(spark):
     assert r["peak"] == pytest.approx(32763.7, abs=5)
 
 
-def test_resize_rejects_non_png(spark):
-    with pytest.raises(Exception, match="not a PNG"):
+def test_resize_rejects_unknown_container(spark):
+    with pytest.raises(Exception, match="unsupported image container"):
         resize_images(_media_df(spark), 8, 8).collect()
 
 
