@@ -182,6 +182,84 @@ def test_append_publishes_atomically_via_new_version(spark, tmp_path):
     assert _rows(spark, path) == {(1, "a"), (2, "b"), (3, "c")}  # new
 
 
+def _mkp(spark, rows):
+    """(k, v, part) rows for the partitioned-upsert tests."""
+    return spark.createDataFrame(
+        [{"k": k, "v": v, "part": p} for k, v, p in rows]
+    )
+
+
+def _pdirs(data_dir):
+    return sorted(n for n in os.listdir(data_dir) if n.startswith("part="))
+
+
+def _inodes(data_dir, pdir):
+    d = os.path.join(data_dir, pdir)
+    return {f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d) if f.endswith(".parquet")}
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    n = sinks.upsert_partitioned(
+        spark, path,
+        _mkp(spark, [(1, "a", 10), (2, "b", 10), (3, "c", 20), (4, "d", 30)]),
+        keys=["part", "k"], partition_col="part",
+    )
+    assert n == 3
+    v1 = sinks.current_data_dir(path)
+    assert _pdirs(v1) == ["part=10", "part=20", "part=30"]
+    inodes_before = {p: _inodes(v1, p) for p in _pdirs(v1)}
+
+    # second batch touches ONLY part=10 (update k=2, insert k=5)
+    n = sinks.upsert_partitioned(
+        spark, path, _mkp(spark, [(2, "B2", 10), (5, "e", 10)]),
+        keys=["part", "k"], partition_col="part",
+    )
+    assert n == 1
+    v2 = sinks.current_data_dir(path)
+    assert v2 != v1
+    got = {(r["k"], r["v"], r["part"])
+           for r in sinks.read_table(spark, path).collect()}
+    assert got == {(1, "a", 10), (2, "B2", 10), (5, "e", 10),
+                   (3, "c", 20), (4, "d", 30)}
+    # untouched partitions are the SAME inodes (hard links, no rewrite)
+    assert _inodes(v2, "part=20") == inodes_before["part=20"]
+    assert _inodes(v2, "part=30") == inodes_before["part=30"]
+    # the touched partition was rewritten (all-new files)
+    assert not (set(_inodes(v2, "part=10").values())
+                & set(inodes_before["part=10"].values()))
+
+
+def test_upsert_partitioned_new_partition_and_audit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.upsert_partitioned(
+        spark, path, _mkp(spark, [(1, "a", 10)]),
+        keys=["part", "k"], partition_col="part",
+    )
+    first = {r["k"]: r for r in sinks.read_table(spark, path).collect()}
+    n = sinks.upsert_partitioned(
+        spark, path, _mkp(spark, [(1, "A2", 10), (9, "z", 99)]),
+        keys=["part", "k"], partition_col="part",
+    )
+    assert n == 2  # part=10 rewritten, part=99 created
+    rows = {r["k"]: r for r in sinks.read_table(spark, path).collect()}
+    assert rows[1]["v"] == "A2" and rows[9]["part"] == 99
+    # created_at preserved across the overwrite of k=1
+    assert rows[1][sinks.CREATED_AT] == first[1][sinks.CREATED_AT]
+    assert rows[1][sinks.UPDATED_AT] >= first[1][sinks.UPDATED_AT]
+
+
+def test_upsert_partitioned_requires_partition_key(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="must be one of keys"):
+        sinks.upsert_partitioned(
+            spark, str(tmp_path / "t"), _mkp(spark, [(1, "a", 10)]),
+            keys=["k"], partition_col="part",
+        )
+
+
 def test_read_evolving_merges_additive_schemas(spark, tmp_path):
     from sec_xbrl_finwarehouse_spark.sinks import read_evolving
 
