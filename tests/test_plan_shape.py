@@ -196,3 +196,20 @@ def test_hard_negatives_broadcasts_ranked_not_corpus(spark, qmap):
     assert "SortMergeJoin" not in plan, plan
     bidx = plan.find("BroadcastExchange")
     assert bidx != -1 and "row_number" in plan[bidx:], plan[:2000]
+
+
+def test_unigram_logprob_broadcasts_lm_no_token_shuffle_join(spark, qmap):
+    """The r5 unigram plan joins the raw token stream to the
+    vocabulary-sized LM via BROADCAST; a refactor back to the tf-level
+    shuffle join (re-exchanging near-corpus-sized data by token) must
+    fail here: no SortMergeJoin anywhere, and the per-doc aggregation
+    keys on doc_id, reusing the scan's partitioning."""
+    plan = _plan(qmap["doc_unigram_logprob"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    # the only token-keyed exchange allowed is the one feeding the
+    # vocabulary aggregation itself (tok as the grouping key), never a
+    # join-input re-shuffle of (doc_id, tok) pairs
+    assert not re.search(
+        r"hashpartitioning\(tok#\d+, doc_id#\d+", plan
+    ), plan
