@@ -1457,7 +1457,134 @@ WHERE draw_rank <= {STRATA_SAMPLE_K}
 """
 
 
+# ---- paragraph-level (sub-document) dedup ---------------------------------
+
+PARA_TOKENS = 10
+
+
+def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PARAGRAPH dedup (the CCNet/Dolma sub-document pass):
+    boilerplate repeated across documents -- headers, footers, license
+    blocks, templated intros -- survives document-level dedup, so
+    production pipelines also dedup at paragraph granularity: every
+    distinct paragraph keeps its FIRST occurrence (min (doc_id, idx))
+    and every other copy is dropped; documents are reassembled from
+    their surviving paragraphs in original order.
+
+    The synthetic corpus has no paragraph breaks, so a "paragraph" is a
+    deterministic {PARA_TOKENS}-token window (the same fixed-window
+    convention both engines can spell exactly); on real data the
+    chunker swaps for split-on-blank-line without touching the dedup.
+
+    Scale shape: chunking is map-only array ops on the token array (no
+    explode-then-regroup); the keep decision groups chunks by
+    ``xxhash64(para)`` so the winner election shuffles 8-byte keys plus
+    one carried paragraph (min/max carried through the same agg as a
+    collision check, exactly like q_doc_exact_dedup: clean groups emit
+    directly, a colliding hash -- P ~ n^2/2^64 -- re-resolves by exact
+    text via a broadcast semi-join); reassembly groups the kept
+    paragraphs by doc_id. Two shuffles total, both map-side combinable,
+    nothing quadratic anywhere."""
+    d = _documents(spark, sf_dir)
+    arr = _tokens(F.col("text"))
+    n_paras = F.ceil(F.size(arr) / F.lit(PARA_TOKENS))
+    chunk_structs = F.when(F.size(arr) > 0, F.transform(
+        F.sequence(F.lit(0), (n_paras - 1).cast("int")),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.array_join(
+                F.slice(arr, i * PARA_TOKENS + 1, PARA_TOKENS), " "
+            ).alias("para"),
+        ),
+    )).otherwise(F.array().cast("array<struct<idx:int,para:string>>"))
+    chunks = (
+        d.select("doc_id", F.explode(chunk_structs).alias("c"))
+        .select("doc_id", F.col("c.idx").alias("idx"), F.col("c.para").alias("para"))
+    )
+    agg = chunks.groupBy(F.xxhash64("para").alias("hkey")).agg(
+        F.min(F.struct("doc_id", "idx")).alias("w"),
+        F.min("para").alias("mn"),
+        F.max("para").alias("mx"),
+    )
+    clean = agg.filter(F.col("mn") == F.col("mx")).select(
+        F.col("w.doc_id").alias("doc_id"), F.col("w.idx").alias("idx"),
+        F.col("mn").alias("para"),
+    )
+    collided_keys = agg.filter(F.col("mn") != F.col("mx")).select("hkey")
+    collided = (
+        chunks.withColumn("hkey", F.xxhash64("para"))
+        .join(F.broadcast(collided_keys), "hkey", "left_semi")
+        .groupBy("para")
+        .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"),
+                F.col("w.idx").alias("idx"), "para")
+    )
+    kept = clean.unionByName(collided)
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    return (
+        d.select("doc_id", n_paras.cast("long").alias("n_paras"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+DOC_PARAGRAPH_DEDUP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+idxed AS (
+  SELECT doc_id, l,
+         unnest(range(0, CAST(ceil(len(l) / {PARA_TOKENS}.0) AS BIGINT)))
+           AS idx
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, idx,
+         array_to_string(
+           l[idx * {PARA_TOKENS} + 1 : idx * {PARA_TOKENS} + {PARA_TOKENS}],
+           ' ') AS para
+  FROM idxed
+),
+kept AS (
+  SELECT doc_id, idx, para FROM (
+    SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, idx)
+              AS rn
+    FROM chunks
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(para, ' ' ORDER BY idx) AS text_dedup,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(a.text_dedup, '') AS text_dedup,
+       CAST(ceil(len(t.l) / {PARA_TOKENS}.0) AS BIGINT) AS n_paras,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
+    "doc_paragraph_dedup": q_doc_paragraph_dedup,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_bpe_token_count": q_doc_bpe_token_count,
     "doc_train_test_split": q_doc_train_test_split,
@@ -1482,6 +1609,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_paragraph_dedup": DOC_PARAGRAPH_DEDUP_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_bpe_token_count": DOC_BPE_TOKEN_COUNT_SQL,
     "doc_train_test_split": DOC_TRAIN_TEST_SPLIT_SQL,
