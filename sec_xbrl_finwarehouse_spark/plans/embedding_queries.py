@@ -1269,7 +1269,63 @@ FROM labeled
 """
 
 
+# ---- ANN recall evaluation -------------------------------------------------
+
+
+def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in eval harness for the approximate search paths: per-query
+    recall@{TOPK} of the LSH ANN against the exact brute-force top-k --
+    |approx intersect exact| / k. A production vector pipeline ships this
+    measurement next to the index (recall is THE quality knob LSH/IVF
+    trade against cost); here it doubles as a cross-engine-checked,
+    deterministic regression gate: tie-breaks in both rankers are
+    (cosine DESC, neighbor_id ASC), so the top-k SETS are exact and the
+    recall values reproduce bit-for-bit. On this ISOTROPIC synthetic
+    corpus the measured recall is low (~0.2 mean) -- random-hyperplane
+    LSH has little to exploit when cosines concentrate near 0 -- which
+    is precisely the honest signal this query exists to surface; on
+    clustered real embeddings the same measurement drives the
+    bands/planes trade-off.
+
+    Plan shape: both ranker subplans are the existing two-phase top-k
+    pipelines (no new scan patterns); the intersection joins two
+    (n_queries x k)-row results -- negligible over the ranking cost."""
+    exact = q_emb_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_emb_lsh_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(TOPK), 6)
+            .alias("recall"),
+        )
+    )
+
+
+EMB_ANN_RECALL_SQL = f"""
+SELECT q.query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n, 0) / {TOPK}.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM ({EMB_ANN_TOPK_SQL})) q
+LEFT JOIN (
+  SELECT a.query_id, count(*) AS n
+  FROM ({EMB_LSH_ANN_TOPK_SQL}) a
+  JOIN ({EMB_ANN_TOPK_SQL}) x
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY 1
+) h USING (query_id)
+"""
+
+
 QUERIES = {
+    "emb_ann_recall": q_emb_ann_recall,
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ivf_ann_topk": q_emb_ivf_ann_topk,
     "emb_cosine_neardup": q_emb_cosine_neardup,
@@ -1285,6 +1341,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "emb_ann_recall": EMB_ANN_RECALL_SQL,
     "emb_ann_topk": EMB_ANN_TOPK_SQL,
     "emb_ivf_ann_topk": EMB_IVF_ANN_TOPK_SQL,
     "emb_cosine_neardup": EMB_COSINE_NEARDUP_SQL,
