@@ -213,3 +213,23 @@ def test_unigram_logprob_broadcasts_lm_no_token_shuffle_join(spark, qmap):
     assert not re.search(
         r"hashpartitioning\(tok#\d+, doc_id#\d+", plan
     ), plan
+
+
+def test_paragraph_dedup_hash_keyed_no_quadratic(spark, qmap):
+    """Paragraph dedup must elect winners via the 8-byte xxhash64 key
+    (never group/shuffle keyed on raw paragraph text except in the
+    near-empty collision fallback) and contain nothing quadratic."""
+    plan = _plan(qmap["doc_paragraph_dedup"](spark, SF_DIR))
+    assert "xxhash64" in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_recall_reuses_two_phase_rankers(spark, qmap):
+    """The recall evaluation composes the existing two-phase top-k
+    subplans: no query-funnel exchange (bare query_id hashpartitioning
+    beyond the tiny global phases) and no full cross join outside the
+    broadcast-queries pattern."""
+    plan = _plan(qmap["emb_ann_recall"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # both rankers contribute at most one bare query_id exchange each
+    assert len(re.findall(r"hashpartitioning\(query_id#\d+, \d+\)", plan)) <= 2, plan
