@@ -1,0 +1,93 @@
+"""Whole-surface plan lint: every query in the driver contract is
+analyzed (no execution) and screened for the plan shapes that do not
+survive scale. Complements the targeted guards in test_plan_shape.py
+with a blanket gate over ALL queries, so a new query or a refactor
+cannot quietly introduce a quadratic join, a row-at-a-time Python UDF,
+or a global sort.
+
+Policy (allowlists are explicit and justified inline):
+
+* ``CartesianProduct`` -- banned outright. Even the O(n^2)-by-design
+  baselines (emb_cosine_neardup) express their cross join via a
+  broadcast, never a shuffled cartesian.
+* ``BatchEvalPython`` (row-Python UDF) -- banned outright; the engine's
+  Python surface is Arrow-vectorized or absent.
+* ``Exchange rangepartitioning`` (global sort) -- banned; every ordered
+  output is a TakeOrdered top-k or a per-partition sort.
+* ``RoundRobinPartitioning`` -- banned; all repartitions are keyed so
+  downstream stages can reuse the exchange.
+* ``BroadcastNestedLoopJoin`` -- allowed only where a TINY side
+  (scalar totals, the 10-vector query set, centroid/codebook arrays)
+  is broadcast under a cross join: the legitimate pattern. The
+  allowlist pins exactly which queries may contain one, so a BNLJ
+  appearing anywhere else (the at-scale OOM shape) fails.
+* ``ArrowEvalPython`` -- allowed only in the LSH family, whose
+  hyperplane projection runs as a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+BANNED = [
+    "CartesianProduct",
+    "BatchEvalPython",
+    "Exchange rangepartitioning",
+    "RoundRobinPartitioning",
+]
+
+BNLJ_ALLOWED = {
+    # broadcast cross joins of scalar/tiny sides (totals, query sets,
+    # centroid and codebook arrays) -- bounded by construction
+    "emb_ann_recall", "emb_ann_topk", "emb_ivf_ann_topk",
+    "emb_cosine_neardup", "emb_nearest_centroid", "emb_pq_ann_topk",
+    "emb_hard_negatives", "emb_kmeans_iter", "emb_lsh_ann_topk",
+    "emb_lsh_neardup", "doc_semantic_dedup", "doc_length_histogram",
+    "doc_domain_mix", "doc_tfidf_topk", "event_transitions",
+    "doc_unigram_logprob",
+}
+
+ARROW_ALLOWED = {
+    # LSH hyperplane projection is an Arrow-vectorized pandas UDF
+    "emb_lsh_ann_topk", "emb_lsh_neardup", "emb_dedup_clusters",
+    "doc_semantic_dedup", "emb_ann_recall",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in entrymod.queries().items():
+        out[name] = fn(spark, SF_DIR)._jdf.queryExecution()\
+            .executedPlan().toString()
+    return out
+
+
+def test_no_banned_plan_nodes_anywhere(plans):
+    bad = [
+        (name, pat)
+        for name, plan in plans.items()
+        for pat in BANNED
+        if pat in plan
+    ]
+    assert bad == [], bad
+
+
+def test_bnlj_only_where_tiny_side_is_broadcast(plans):
+    offenders = [
+        name for name, plan in plans.items()
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED
+    ]
+    assert offenders == [], offenders
+
+
+def test_arrow_udfs_only_in_lsh_family(plans):
+    offenders = [
+        name for name, plan in plans.items()
+        if "ArrowEvalPython" in plan and name not in ARROW_ALLOWED
+    ]
+    assert offenders == [], offenders
