@@ -1324,8 +1324,48 @@ LEFT JOIN (
 """
 
 
+def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{TOPK} of the IVF ANN (cell-pruned probe) against the
+    exact brute-force top-k -- same eval-harness shape as
+    :func:`q_emb_ann_recall`, measuring what the nprobe/cell-count
+    trade-off costs in result quality."""
+    exact = q_emb_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_emb_ivf_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(TOPK), 6)
+            .alias("recall"),
+        )
+    )
+
+
+EMB_IVF_RECALL_SQL = f"""
+SELECT q.query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n, 0) / {TOPK}.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM ({EMB_ANN_TOPK_SQL})) q
+LEFT JOIN (
+  SELECT a.query_id, count(*) AS n
+  FROM ({EMB_IVF_ANN_TOPK_SQL}) a
+  JOIN ({EMB_ANN_TOPK_SQL}) x
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY 1
+) h USING (query_id)
+"""
+
+
 QUERIES = {
     "emb_ann_recall": q_emb_ann_recall,
+    "emb_ivf_recall": q_emb_ivf_recall,
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ivf_ann_topk": q_emb_ivf_ann_topk,
     "emb_cosine_neardup": q_emb_cosine_neardup,
@@ -1342,6 +1382,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_ann_recall": EMB_ANN_RECALL_SQL,
+    "emb_ivf_recall": EMB_IVF_RECALL_SQL,
     "emb_ann_topk": EMB_ANN_TOPK_SQL,
     "emb_ivf_ann_topk": EMB_IVF_ANN_TOPK_SQL,
     "emb_cosine_neardup": EMB_COSINE_NEARDUP_SQL,

@@ -123,3 +123,25 @@ def test_unknown_route_404(app):
     status, body = get(app, "/nope/path")
     assert status == 404
     assert body == {"detail": "Not Found"}
+
+
+def test_serve_over_real_socket(app, spark):
+    """One end-to-end request through a real wsgiref server socket --
+    proves serve()'s plumbing, not just the WSGI callable."""
+    import json as _json
+    import threading
+    import urllib.request
+    from wsgiref.simple_server import make_server
+
+    srv = make_server("127.0.0.1", 0, app)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.handle_request, daemon=True)
+    t.start()
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/company/bbb", timeout=30
+    ) as resp:
+        assert resp.status == 200
+        body = _json.loads(resp.read())
+    assert body == {"cik": "0000000002", "ticker": "BBB", "name": "Beta Co"}
+    t.join(timeout=10)
+    srv.server_close()

@@ -67,6 +67,12 @@ QUERIES = [
     "doc_repetition", "doc_unigram_logprob", "doc_pii_scan",
     "doc_global_shuffle", "emb_int8_quantize", "emb_pq_ann_topk",
     "event_transitions",
+    # r5: paragraph dedup runs on the marker-amplified corpus ON
+    # PURPOSE -- cross-copy paragraphs past each copy's first chunk are
+    # identical, which is exactly the corpus-wide boilerplate workload
+    # the operator exists for, and the hash-keyed winner election stays
+    # linear in it (unlike the near-dup pair queries, which stay out).
+    "doc_paragraph_dedup",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
