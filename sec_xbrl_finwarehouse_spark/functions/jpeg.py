@@ -135,9 +135,24 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index just past a scan's entropy-coded data: the next marker
+    that is neither a stuffed 0x00 nor a restart."""
+    i = start
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF and payload[i + 1] != 0x00 and not (
+            0xD0 <= payload[i + 1] <= 0xD7
+        ):
+            return i
+        i += 1
+    return n
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG into an (h, w, channels) uint8 array
-    (channels 1 for grayscale, 3 for YCbCr->RGB)."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG into an
+    (h, w, channels) uint8 array (channels 1 for grayscale, 3 for
+    YCbCr->RGB)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -145,12 +160,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _Huffman] = {}
     restart_interval = 0
     frame = None
+    progressive = False
+    prog_scans = []
     i = 2
     while i < len(payload) - 1:
         if payload[i] != 0xFF:
             i += 1
             continue
         marker = payload[i + 1]
+        if marker == 0xD9:                       # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -174,25 +193,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 table = _Huffman(counts, seg[p + 17:p + 17 + n])
                 (huff_dc if cls == 0 else huff_ac)[tid] = table
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):       # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            progressive = marker == 0xC2
             comps = []
             for c in range(nc):
                 cid, samp, qid = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
                               "q": qid})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type SOF{marker - 0xC0} "
-                "(progressive/arithmetic); baseline only"
+                "(lossless/arithmetic); baseline and progressive only"
             )
         elif marker == 0xDD:                     # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:                     # SOS -> entropy data
+        elif marker == 0xDA:                     # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
@@ -202,9 +222,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(x for x in frame["comps"] if x["id"] == cid)
                 scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
             data_start = i + 2 + ln
-            return _decode_scan(payload[data_start:], frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not progressive:
+                return _decode_scan(payload[data_start:], frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            end = _entropy_end(payload, data_start)
+            prog_scans.append({
+                "comps": scan, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 0xF,
+                "data": payload[data_start:end],
+                "dc_tables": dict(huff_dc), "ac_tables": dict(huff_ac),
+                "ri": restart_interval,
+            })
+            i = end
+            continue
         i += 2 + ln
+    if progressive and prog_scans:
+        return _decode_progressive(frame, prog_scans, qt)
     raise ValueError("JPEG truncated: no SOS marker")
 
 
@@ -274,6 +308,10 @@ def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
             hmax // comp["h"], axis=1,
         )[:h, :w]
         planes.append(plane)
+    return _to_image(planes)
+
+
+def _to_image(planes: list[np.ndarray]) -> np.ndarray:
     if len(planes) == 1:
         out = planes[0][:, :, np.newaxis]
     else:
@@ -283,3 +321,182 @@ def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
         b = y + 1.772 * (cb - 128.0)
         out = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---- progressive (SOF2) ----------------------------------------------------
+#
+# A progressive file carries MANY scans, each delivering a spectral band
+# (ss..se) of coefficients at a precision window (ah..al): DC-first,
+# AC-first (with EOB-run coding across blocks), then refinement scans
+# adding one bit of precision to already-sent coefficients. Coefficients
+# accumulate across scans in per-component raster-order block arrays
+# (zigzag index within each block); reconstruction afterwards is the
+# same dequantize + IDCT as baseline.
+
+
+def _decode_progressive(frame, scans, qt) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coefs = {}
+    for c in comps:
+        c["bw_pad"] = mcus_x * c["h"]
+        c["bh_pad"] = mcus_y * c["v"]
+        # non-interleaved scans cover only the component's own grid:
+        # ceil(ceil(dim * sampling / max_sampling) / 8) blocks
+        c["bw"] = (-(-w * c["h"] // hmax) + 7) // 8
+        c["bh"] = (-(-h * c["v"] // vmax) + 7) // 8
+        coefs[c["id"]] = np.zeros((c["bh_pad"], c["bw_pad"], 64), np.int32)
+    for scan in scans:
+        _apply_prog_scan(scan, frame, coefs, mcus_x, mcus_y)
+    planes = []
+    for c in comps:
+        q = qt[c["q"]][np.newaxis, :]
+        blocks = coefs[c["id"]].reshape(-1, 64)
+        dezz = np.zeros_like(blocks)
+        dezz[:, ZIGZAG] = blocks * q
+        spat = np.einsum(
+            "kn,bkl,lm->bnm", _A, dezz.reshape(-1, 8, 8).astype(np.float64), _A
+        ) + 128.0
+        plane = (
+            spat.reshape(c["bh_pad"], c["bw_pad"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh_pad"] * 8, c["bw_pad"] * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0),
+            hmax // c["h"], axis=1,
+        )[:h, :w]
+        planes.append(plane)
+    return _to_image(planes)
+
+
+def _apply_prog_scan(scan, frame, coefs, mcus_x, mcus_y) -> None:
+    reader = _BitReader(scan["data"])
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    ri = scan["ri"]
+    sc = scan["comps"]
+    state = {"eobrun": 0}
+    preds = {c["id"]: 0 for c in sc}
+
+    def restart():
+        reader.sync_restart()
+        state["eobrun"] = 0
+        for k in preds:
+            preds[k] = 0
+
+    if len(sc) > 1:
+        # interleaved: DC band only (spec G.1.1.1.1); MCU order
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan is invalid")
+        for m in range(mcus_x * mcus_y):
+            if ri and m and m % ri == 0:
+                restart()
+            mx, my = m % mcus_x, m // mcus_x
+            for comp in sc:
+                dc = scan["dc_tables"].get(comp["dc"])
+                for b in range(comp["h"] * comp["v"]):
+                    by, bx = divmod(b, comp["h"])
+                    block = coefs[comp["id"]][
+                        my * comp["v"] + by, mx * comp["h"] + bx
+                    ]
+                    _prog_dc(reader, dc, block, preds, comp["id"], ah, al)
+    else:
+        comp = sc[0]
+        geom = next(c for c in frame["comps"] if c["id"] == comp["id"])
+        dc = scan["dc_tables"].get(comp["dc"])
+        ac = scan["ac_tables"].get(comp["ac"])
+        arr = coefs[comp["id"]]
+        bw, bh = geom["bw"], geom["bh"]
+        n_blocks = bw * bh
+        for i in range(n_blocks):
+            if ri and i and i % ri == 0:
+                restart()
+            by, bx = divmod(i, bw)
+            block = arr[by, bx]
+            if ss == 0:
+                _prog_dc(reader, dc, block, preds, comp["id"], ah, al)
+            elif ah == 0:
+                _prog_ac_first(reader, ac, block, ss, se, al, state)
+            else:
+                _prog_ac_refine(reader, ac, block, ss, se, al, state)
+
+
+def _prog_dc(reader, dc, block, preds, cid, ah, al) -> None:
+    if ah == 0:
+        t = reader.decode(dc)
+        preds[cid] += _extend(reader.receive(t), t)
+        block[0] = preds[cid] << al
+    elif reader.read_bit():
+        block[0] |= 1 << al
+
+
+def _prog_ac_first(reader, ac, block, ss, se, al, state) -> None:
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                break
+            k += 16
+        else:
+            k += r
+            if k > se:
+                break
+            block[k] = _extend(reader.receive(s), s) << al
+            k += 1
+
+
+def _prog_ac_refine(reader, ac, block, ss, se, al, state) -> None:
+    bit = 1 << al
+
+    def refine_one(k):
+        if reader.read_bit() and (block[k] & bit) == 0:
+            block[k] += bit if block[k] > 0 else -bit
+
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        for k in range(ss, se + 1):
+            if block[k] != 0:
+                refine_one(k)
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(ac)
+        r, s = rs >> 4, rs & 0xF
+        newval = 0
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.receive(r)
+                for k2 in range(k, se + 1):
+                    if block[k2] != 0:
+                        refine_one(k2)
+                return
+            # r == 15: pass over 16 zero-history positions
+        else:
+            # s is always 1 in a refinement scan: a coefficient newly
+            # rising to +-1 at this precision
+            newval = bit if reader.read_bit() else -bit
+        while k <= se:
+            if block[k] != 0:
+                refine_one(k)
+            else:
+                if r == 0:
+                    if newval:
+                        block[k] = newval
+                    k += 1
+                    break
+                r -= 1
+            k += 1

@@ -13,14 +13,16 @@ and REAL where the stdlib suffices:
 * PNG (8-bit gray/gray+a/RGB/RGBA, non-interlaced): full decode --
   chunk walk, zlib IDAT inflate, scanline unfilter (all five filter
   types) -- in :func:`decode_png`.
-* JPEG (baseline sequential DCT, 8-bit, any JFIF subsampling): full
-  decode -- Huffman scan, dequantize, vectorized IDCT, chroma
-  upsample, YCbCr->RGB -- in :mod:`.jpeg` (validated against the
-  JVM's ImageIO to mean |diff| < 0.5 intensity levels on real photos;
-  progressive JPEG raises and falls back to the fake, flagged).
+* JPEG (baseline SOF0/1 AND progressive SOF2, 8-bit, any JFIF
+  subsampling): full decode -- Huffman scan (incl. progressive
+  spectral-selection / successive-approximation / EOB-run scans),
+  dequantize, vectorized IDCT, chroma upsample, YCbCr->RGB -- in
+  :mod:`.jpeg` (validated against the JVM's ImageIO to mean |diff|
+  < 0.5 intensity levels on real photos).
 * WAV (RIFF PCM 8/16-bit): full decode in :func:`decode_wav`.
-* Everything else (progressive JPEG, MP3, video containers) falls back
-  to the clearly-marked deterministic byte-stat fakes so the plans
+* Everything else (MP3, video containers, exotic JPEG variants like
+  lossless/arithmetic) falls back to the clearly-marked deterministic
+  byte-stat fakes so the plans
   stay runnable (``decoded_real = false`` in the feature structs); a
   real codec drops into ``_decode_rgb_stats`` / ``_pcm_from_bytes``
   without touching any plan.
@@ -201,9 +203,10 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def _decode_rgb_stats(payload: bytes) -> tuple[float, float, str, bool]:
     """Pixel (mean, std, codec, decoded_real). REAL decode for PNG and
-    baseline-JPEG payloads (:func:`decode_png`, :mod:`.jpeg`); other
-    formats -- and JPEG features the baseline decoder rejects, e.g.
-    progressive scans -- fall back to the deterministic byte-stat fake.
+    JPEG payloads (:func:`decode_png`, :mod:`.jpeg` -- baseline and
+    progressive); other formats, and JPEG variants the decoder rejects
+    (lossless/arithmetic), fall back to the deterministic byte-stat
+    fake.
     ``decoded_real`` marks which path ran so downstream filters can
     exclude fake-decoded rows."""
     a, codec, real = None, "byte-stat-fake", False

@@ -41,14 +41,42 @@ def test_decode_matches_jvm_imageio(spark, path):
     assert np.percentile(diff, 99) <= 3
 
 
-def test_progressive_jpeg_rejected_by_name():
-    prog = glob.glob(
-        "/opt/spark-*/data/mllib/images/origin/multi-channel/grayscale.jpg"
+PROGRESSIVE_COLOR = sorted(glob.glob("/usr/share/doc/nodejs/*stripe.jpg"))
+PROGRESSIVE_GRAY = glob.glob(
+    "/opt/spark-*/data/mllib/images/origin/multi-channel/grayscale.jpg"
+)
+
+
+@pytest.mark.skipif(not PROGRESSIVE_COLOR, reason="no progressive samples")
+@pytest.mark.parametrize(
+    "path", PROGRESSIVE_COLOR, ids=lambda p: p.split("/")[-1]
+)
+def test_progressive_color_matches_imageio(spark, path):
+    """SOF2 multi-scan decode (spectral selection + successive
+    approximation + EOB runs) matches the JVM reference."""
+    mine = decode_jpeg(open(path, "rb").read()).astype(np.int32)
+    ref = _imageio_rgb(spark, path)
+    assert mine.shape == ref.shape
+    diff = np.abs(mine - ref)
+    assert diff.mean() < 0.75 and np.percentile(diff, 99) <= 3
+
+
+@pytest.mark.skipif(not PROGRESSIVE_GRAY, reason="no progressive gray sample")
+def test_progressive_grayscale_matches_raster(spark):
+    """Grayscale progressive compares against the RAW raster samples --
+    ImageIO's getRGB applies a gray->sRGB conversion that would skew a
+    pixel comparison; the raster is the codec-level truth."""
+    path = PROGRESSIVE_GRAY[0]
+    img = spark._jvm.javax.imageio.ImageIO.read(
+        spark._jvm.java.io.File(path)
     )
-    if not prog:
-        pytest.skip("progressive sample not found")
-    with pytest.raises(ValueError, match="SOF2"):
-        decode_jpeg(open(prog[0], "rb").read())
+    w, h = img.getWidth(), img.getHeight()
+    ref = np.array(
+        img.getRaster().getSamples(0, 0, w, h, 0, None), dtype=np.int64
+    ).reshape(h, w)
+    mine = decode_jpeg(open(path, "rb").read())[:, :, 0].astype(np.int64)
+    diff = np.abs(mine - ref)
+    assert diff.max() <= 1 and diff.mean() < 0.1
 
 
 def test_non_jpeg_rejected():
