@@ -78,7 +78,10 @@ AUDIO_FEATURES_SCHEMA = (
     "codec string, decoded_real boolean"
 )
 
-FRAME_SCHEMA = "media_id long, frame_idx int, frame_bytes binary"
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_bytes binary, "
+    "keyframe boolean, container string, extracted_real boolean"
+)
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -306,23 +309,45 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_n: int = 4, chunk_bytes: int = 1024) -> DataFrame:
-    """Video frame sampling: split each payload into fixed-size chunks
-    ("frames" under the stub codec -- a real one seeks keyframes) and
-    keep every ``every_n``-th. Row-explode happens inside the Arrow
-    kernel, so output batches stay bounded even for long videos."""
+    """Video frame sampling, REAL for MP4 containers: the stdlib
+    ISO-BMFF parser (:mod:`.mp4`) locates the video track's sample
+    table (stsz/stsc/stco/stss), and every ``every_n``-th CODEC SAMPLE
+    is sliced out of the payload with its keyframe flag -- sample
+    boundaries and sync structure are what frame sampling needs; pixel
+    decode is a separate kernel. Non-MP4 payloads fall back to the
+    fixed-size byte-chunk fake, flagged ``extracted_real = false``.
+    Row-explode happens inside the Arrow kernel, so output batches stay
+    bounded even for long videos."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import parse_mp4_samples
+
         for pdf in batches:
-            out_ids, out_idx, out_bytes = [], [], []
+            rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples = parse_mp4_samples(payload)
+                except Exception:
+                    samples = None
+                if samples is not None:
+                    for s in samples[::every_n]:
+                        rows.append((
+                            mid, s["index"],
+                            payload[s["offset"]:s["offset"] + s["size"]],
+                            s["keyframe"], "mp4", True,
+                        ))
+                    continue
                 n_frames = max(1, (len(payload) + chunk_bytes - 1) // chunk_bytes)
                 for i in range(0, n_frames, every_n):
-                    out_ids.append(mid)
-                    out_idx.append(i)
-                    out_bytes.append(payload[i * chunk_bytes:(i + 1) * chunk_bytes])
-            yield pd.DataFrame({
-                "media_id": out_ids, "frame_idx": out_idx, "frame_bytes": out_bytes,
-            })
+                    rows.append((
+                        mid, i, payload[i * chunk_bytes:(i + 1) * chunk_bytes],
+                        True, "byte-chunk-fake", False,
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_bytes",
+                         "keyframe", "container", "extracted_real"],
+            )
 
     pruned = media.filter(F.col("kind") == "video").select("media_id", "payload")
     return pruned.mapInPandas(kernel, FRAME_SCHEMA)
