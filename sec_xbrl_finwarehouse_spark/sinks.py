@@ -151,7 +151,9 @@ def _data_cols(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in _AUDIT_COLS]
 
 
-def write_replace(df: DataFrame, path: str) -> None:
+def write_replace(
+    df: DataFrame, path: str, manifest_extra: dict[str, str] | None = None
+) -> None:
     """Full-table publish via manifest-pointer commit.
 
     The frame is written to a staging sibling (same filesystem, so the
@@ -163,9 +165,22 @@ def write_replace(df: DataFrame, path: str) -> None:
     the publish see the old version or the new one, never a mix; the
     superseded version's files are retained until the next publish (or
     :func:`vacuum`) so in-flight scans keep resolving.
+
+    ``manifest_extra`` maps filenames (must start with ``_`` so parquet
+    scans ignore them) to string contents written INSIDE the version
+    directory before the pointer swap -- metadata that commits
+    atomically with the data it describes (e.g. the streaming sink's
+    committed-batch id). A version published without a given file simply
+    has no such metadata.
     """
+    for name in (manifest_extra or {}):
+        if not name.startswith("_"):
+            raise ValueError(f"manifest_extra name {name!r} must start with '_'")
     tmp = f"{path}.__staging__{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
+    for name, content in (manifest_extra or {}).items():
+        with open(os.path.join(tmp, name), "w", encoding="utf-8") as f:
+            f.write(content)
     legacy_flat = os.path.exists(path) and not os.path.exists(
         os.path.join(path, _POINTER)
     )
@@ -187,6 +202,21 @@ def write_replace(df: DataFrame, path: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(version_dir, ignore_errors=True)
         raise
+
+
+def read_version_meta(path: str, name: str) -> str | None:
+    """Read a ``manifest_extra`` file committed with the CURRENT version
+    (None if the table or the file does not exist). Because the file
+    lives inside the version directory, the value observed is always the
+    one committed atomically with the data being read."""
+    data_dir = current_data_dir(path)
+    if data_dir is None:
+        return None
+    meta = os.path.join(data_dir, name)
+    if not os.path.exists(meta):
+        return None
+    with open(meta, encoding="utf-8") as f:
+        return f.read()
 
 
 def upsert(
@@ -315,6 +345,7 @@ def append_if_absent(
     incoming: DataFrame,
     keys: Sequence[str],
     audit: bool = True,
+    manifest_extra: dict[str, str] | None = None,
 ) -> int:
     """S6 as a stored-table write: ON CONFLICT (keys) DO NOTHING.
 
@@ -335,7 +366,7 @@ def append_if_absent(
     if audit:
         fresh = with_audit_cols(fresh)
     if existing is None:
-        write_replace(fresh, path)
+        write_replace(fresh, path, manifest_extra=manifest_extra)
         return 1
     fresh = fresh.select(*existing.columns).join(
         existing.select(*keys), list(keys), "left_anti"
@@ -363,6 +394,14 @@ def append_if_absent(
                 os.path.join(staging, name),
                 os.path.join(version_dir, f"append-{uuid.uuid4().hex}-{name}"),
             )
+        for name, content in (manifest_extra or {}).items():
+            if not name.startswith("_"):
+                raise ValueError(
+                    f"manifest_extra name {name!r} must start with '_'"
+                )
+            with open(os.path.join(version_dir, name), "w",
+                      encoding="utf-8") as f:
+                f.write(content)
         _publish_version(path, version_dir)
         return len(new_parts)
     finally:
