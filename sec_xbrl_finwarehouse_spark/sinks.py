@@ -455,6 +455,52 @@ def compact(
     return n_files
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    keys: Sequence[str],
+    buckets: int = 32,
+) -> None:
+    """Persist ``df`` hash-bucketed (and per-bucket sorted) on ``keys``
+    so recurring joins and aggregations on those keys run with ZERO
+    shuffle.
+
+    Bucketing trades one layout-time shuffle for every future one: the
+    writer hash-partitions rows into ``buckets`` files per partition
+    and records the layout in the catalog; a later equi-join between
+    two tables bucketed the same way (same keys, same count) is planned
+    as a SortMergeJoin with NO Exchange on either side, and a
+    ``groupBy`` on the bucket keys aggregates in place. At 100 TB this
+    is the difference between re-shuffling the fact table on every
+    nightly mart build and never shuffling it again — the same reason
+    the reference keys its Postgres facts table on (cik, fy, tag)
+    (db/schema.sql:30-38): the storage layout IS the join strategy.
+
+    Equality filters on the first bucket key also prune at the FILE
+    level (the scan reads only the one matching bucket —
+    ``SelectedBucketsCount`` in the plan), independent of parquet
+    row-group stats.
+
+    Sizing: pick ``buckets`` so one bucket of the LARGEST co-bucketed
+    table fits an executor core's working set (~128-512 MB compressed);
+    all tables joined together must share the same count. The table is
+    registered in the session catalog as ``name`` with files at
+    ``path`` (query via ``spark.table(name)`` — a plain
+    ``read.parquet`` sees the same rows but not the bucket metadata,
+    so it plans shuffles again).
+    """
+    key_list = list(keys)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, key_list[0], *key_list[1:])
+        .sortBy(key_list[0], *key_list[1:])
+        .saveAsTable(name)
+    )
+
+
 def read_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     """Schema-evolution read: union batches written over time with
     DIFFERENT (additive) schemas into the superset schema, missing
