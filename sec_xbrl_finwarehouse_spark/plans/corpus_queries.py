@@ -499,7 +499,135 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ---- temperature-weighted mixture sampling ---------------------------------
+
+# sqrt-share quantization units: the per-source sqrt(share) weights are
+# floored to integer millionths BEFORE the cross-source normalization
+# sum, so the only cross-row float sum in the budget math is exact
+# BIGINT arithmetic (identical in any engine / summation order).
+MIX_WEIGHT_UNITS = 1_000_000
+# fraction of total corpus chars the sampled mixture may spend
+MIX_BUDGET_FRAC = 0.3
+# md5-prefix hex digits per ordered shard: 16 shards per source here;
+# raise to 2-3 (256-4096 shards) at 100 TB so no window partition holds
+# more than ~1/shards of a source
+MIX_SHARD_HEX = 1
+
+
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling: build a training subset
+    whose per-source char budgets follow w_d ∝ sqrt(share_d) — the
+    standard temperature rebalance (τ=0.5) that up-samples rare domains
+    and damps dominant ones (the mixture knob behind every pretraining
+    data recipe; doc_domain_mix reports the τ=0 extreme of the same
+    family). Within each source, documents are taken in deterministic
+    md5(doc_id) order until the source's budget is spent (the document
+    crossing the boundary is included), so the sample is content-stable
+    across runs, engines, and re-ingests — no RNG, no seed state.
+
+    Scale shape: the per-source running char total is computed as a
+    SHARDED prefix sum, not one window over the whole source — docs are
+    split into {16**MIX_SHARD_HEX} ordered shards by md5 prefix, each
+    shard cumsums independently (bounded window partitions), and the
+    per-(source, shard) totals (a dimension-sized table) turn into
+    broadcast offsets. Same technique as doc_global_shuffle's sharded
+    row_number: no window partition ever holds a whole source. The
+    oracle states the equivalent naive per-source window — identical
+    output because the prefix-sum arithmetic is all BIGINT.
+
+    Budget math exactness: share ratios and sqrt are per-row IEEE ops
+    (identical across engines); the one cross-source sum runs over
+    integer-quantized weights; the final budget is floor() of a
+    deterministic double product. No tolerance needed anywhere."""
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "source", "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("shard", F.substring("h", 1, MIX_SHARD_HEX))
+
+    shard_tot = d.groupBy("source", "shard").agg(
+        F.sum("n_chars").alias("shard_chars")
+    )
+    # offsets: chars in all PRIOR shards of the same source (the shard
+    # table is dimension-sized — sources x 16 — so this window is tiny)
+    offs = shard_tot.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("shard_chars").over(
+                Window.partitionBy("source").orderBy("shard")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("source", "shard", "offset")
+
+    per = shard_tot.groupBy("source").agg(
+        F.sum("shard_chars").alias("chars_d")
+    )
+    tot = per.agg(F.sum("chars_d").alias("chars_total"))
+    q = per.crossJoin(F.broadcast(tot)).withColumn(
+        "q_d",
+        F.floor(
+            F.sqrt(F.col("chars_d") / F.col("chars_total"))
+            * MIX_WEIGHT_UNITS + F.lit(0.5)
+        ).cast("long"),
+    )
+    qsum = q.agg(F.sum("q_d").alias("q_sum"))
+    budgets = q.crossJoin(F.broadcast(qsum)).select(
+        "source",
+        F.floor(
+            F.col("chars_total") * MIX_BUDGET_FRAC
+            * (F.col("q_d") / F.col("q_sum"))
+        ).cast("long").alias("char_budget"),
+    )
+
+    local = Window.partitionBy("source", "shard").orderBy("h")
+    return (
+        d.withColumn("local_cum", F.sum("n_chars").over(local))
+        .join(F.broadcast(offs), ["source", "shard"])
+        .withColumn(
+            "cum_chars", (F.col("local_cum") + F.col("offset")).cast("long")
+        )
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_chars") - F.col("n_chars") < F.col("char_budget"))
+        .select("doc_id", "source", "n_chars", "cum_chars")
+    )
+
+
+DOC_MIXTURE_SAMPLE_SQL = f"""
+WITH per AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars_d
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(sum(chars_d) AS BIGINT) AS chars_total FROM per),
+q AS (
+  SELECT source, chars_d, chars_total,
+         CAST(floor(sqrt(chars_d * 1.0 / chars_total)
+                    * {MIX_WEIGHT_UNITS} + 0.5) AS BIGINT) AS q_d
+  FROM per, tot
+),
+qs AS (SELECT CAST(sum(q_d) AS BIGINT) AS q_sum FROM q),
+budgets AS (
+  SELECT source,
+         CAST(floor(chars_total * {MIX_BUDGET_FRAC}
+                    * (q_d * 1.0 / q_sum)) AS BIGINT) AS char_budget
+  FROM q, qs
+),
+cum AS (
+  SELECT doc_id, source, n_chars,
+         CAST(sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR))
+         ) AS BIGINT) AS cum_chars
+  FROM documents
+)
+SELECT c.doc_id, c.source, c.n_chars, c.cum_chars
+FROM cum c JOIN budgets b USING (source)
+WHERE c.cum_chars - c.n_chars < b.char_budget
+"""
+
+
 QUERIES = {
+    "doc_mixture_sample": q_doc_mixture_sample,
     "doc_repetition": q_doc_repetition,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_length_histogram": q_doc_length_histogram,
@@ -509,6 +637,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_mixture_sample": DOC_MIXTURE_SAMPLE_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_pii_scan": DOC_PII_SCAN_SQL,
     "doc_domain_mix": DOC_DOMAIN_MIX_SQL,

@@ -48,7 +48,7 @@ BNLJ_ALLOWED = {
     "emb_hard_negatives", "emb_kmeans_iter", "emb_lsh_ann_topk",
     "emb_lsh_neardup", "doc_semantic_dedup", "doc_length_histogram",
     "doc_domain_mix", "doc_tfidf_topk", "event_transitions",
-    "doc_unigram_logprob",
+    "doc_unigram_logprob", "doc_mixture_sample",
 }
 
 ARROW_ALLOWED = {
