@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "emb_hard_negatives",
     "doc_semantic_dedup",
     "event_sliding_window",
+    "doc_paragraph_dedup",
+    "doc_mixture_sample",
 ]
 
 

@@ -50,3 +50,60 @@ def build_all_marts(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str,
     sinks.upsert(spark, paths["ratios_annual"], ratios,
                  keys=["cik", "fiscal_year"])
     return paths
+
+
+def materialize_facts_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    table_name: str = "facts_bucketed",
+    buckets: int | None = None,
+) -> str:
+    """Ingest-time bucketing: persist the facts long table hash-bucketed
+    (and per-bucket sorted) on ``cik``.
+
+    This is the stored-layout form of ``synthetic_facts``'s
+    ``entity_partitions`` exchange: pay the entity shuffle ONCE at
+    ingest, record it in the catalog, and every later mart rebuild over
+    ``spark.table(table_name)`` plans its (cik[, fiscal_year[, tag]])
+    aggregations, windows, and self-joins with ZERO exchange -- the
+    scan itself reports the hash partitioning. The runtime repartition
+    uses the SAME count and hash family as the writer's bucketing, so
+    each task holds exactly one bucket's rows and the writer emits one
+    file per bucket (avoiding the tasks x buckets small-files blowup
+    of bucketing an unaligned frame).
+
+    At 100 TB this replaces the reference's Postgres PK clustering
+    (db/schema.sql:30-38): nightly rebuilds read the bucketed facts and
+    never shuffle the fact table again.
+    """
+    n = buckets or default_parallelism()
+    facts = synthetic_facts(
+        spark.read.parquet(table_path(sf_dir, "lineitem")),
+        entity_partitions=n,
+    )
+    sinks.write_bucketed(facts, table_name, path, ["cik"], buckets=n)
+    return table_name
+
+
+def build_marts_from_facts(
+    spark: SparkSession, facts, sf_dir: str, out_dir: str
+) -> dict[str, str]:
+    """The mart builds of :func:`build_all_marts`, from an
+    already-materialized facts frame (e.g. ``spark.table(...)`` over a
+    bucketed facts table, making the whole rebuild exchange-free)."""
+    supplier = spark.read.parquet(table_path(sf_dir, "supplier"))
+    companies = star_companies(supplier)
+    statements = build_statements(facts, version="v3")
+    ratios = compute_ratios(statements)
+    paths = {
+        "companies": f"{out_dir}/companies",
+        "statements_annual": f"{out_dir}/statements_annual",
+        "ratios_annual": f"{out_dir}/ratios_annual",
+    }
+    sinks.upsert(spark, paths["companies"], companies, keys=["cik"])
+    sinks.upsert(spark, paths["statements_annual"], statements,
+                 keys=["cik", "fiscal_year"])
+    sinks.upsert(spark, paths["ratios_annual"], ratios,
+                 keys=["cik", "fiscal_year"])
+    return paths

@@ -109,3 +109,39 @@ def test_bucketed_join_matches_shuffle_join(bucketed):
     got = {tuple(r) for r in via_buckets.collect()}
     want = {tuple(r) for r in via_shuffle.collect()}
     assert got == want and len(want) > 0
+
+
+def test_bucketed_facts_make_statements_build_exchange_free(
+    spark, tmp_path_factory
+):
+    """The 100 TB idiom stated in synthetic_facts' docstring, made real:
+    facts bucketed by cik at ingest -> the whole statements build
+    (dedup groupBys + pivot) plans with ZERO Exchange, and its result
+    matches the runtime-repartition build bit-for-bit."""
+    from sec_xbrl_finwarehouse_spark.materialize import (
+        materialize_facts_bucketed,
+    )
+    from sec_xbrl_finwarehouse_spark.plans.star_facts import synthetic_facts
+    from sec_xbrl_finwarehouse_spark.plans.statements import build_statements
+
+    root = tmp_path_factory.mktemp("bfacts")
+    name = materialize_facts_bucketed(
+        spark, SF_DIR, str(root / "facts"), table_name="t_facts_b",
+        buckets=4,
+    )
+    try:
+        stmts = build_statements(spark.table(name), version="v3")
+        assert "Exchange" not in _plan(stmts)
+
+        plain = build_statements(
+            synthetic_facts(
+                spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+                entity_partitions=4,
+            ),
+            version="v3",
+        )
+        got = {tuple(r) for r in stmts.collect()}
+        want = {tuple(r) for r in plain.collect()}
+        assert got == want and len(want) > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
