@@ -90,28 +90,59 @@ def current_data_dir(path: str) -> str | None:
     return None
 
 
-def _publish_version(path: str, version_dir: str) -> None:
+def _publish_version(path: str, version_dir: str, retain: int = 2) -> None:
     """Atomically repoint ``_CURRENT`` at ``version_dir`` (already moved
-    inside ``path``), then prune all versions older than the one just
-    superseded. Keeping current + previous means a reader that resolved
-    the pointer an instant before the swap still finds every file it is
-    scanning; ``vacuum`` reclaims the previous version once no readers
-    can be in flight."""
+    inside ``path``), then prune all but the newest ``retain`` versions
+    (current included). The default keeps current + previous: a reader
+    that resolved the pointer an instant before the swap still finds
+    every file it is scanning; ``vacuum`` reclaims superseded versions
+    once no readers can be in flight. A larger ``retain`` keeps a
+    time-travel history (:func:`list_versions` / ``read_table(...,
+    version=...)``) at the cost of storing the superseded copies —
+    bounded and predictable, like a Delta/Iceberg retention window."""
     version = os.path.basename(version_dir)
-    prev = None
     pointer = os.path.join(path, _POINTER)
-    if os.path.exists(pointer):
-        with open(pointer, encoding="ascii") as f:
-            prev = f.read().strip()
     tmp_pointer = os.path.join(path, f".{_POINTER}.{uuid.uuid4().hex}")
     with open(tmp_pointer, "w", encoding="ascii") as f:
         f.write(version)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_pointer, pointer)  # THE commit point (atomic on POSIX)
+    keep = set(_versions_newest_first(path)[: max(retain, 1)])
+    keep.add(version)
     for name in os.listdir(path):
-        if name.startswith("v_") and name not in (version, prev):
+        if name.startswith("v_") and name not in keep:
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def _versions_newest_first(path: str) -> list[str]:
+    """Version directory names under ``path``, newest first. Versions
+    are immutable once moved in, so directory mtime is creation order
+    (the current version is always newest: publishes are sequential
+    under the single-writer contract)."""
+    if not os.path.exists(path):
+        return []
+    vs = [n for n in os.listdir(path) if n.startswith("v_")
+          and os.path.isdir(os.path.join(path, n))]
+    return sorted(
+        vs, key=lambda n: os.path.getmtime(os.path.join(path, n)),
+        reverse=True,
+    )
+
+
+def list_versions(path: str) -> list[dict]:
+    """Time-travel catalog: every retained version of a stored table,
+    newest first, with its commit time and whether it is current."""
+    cur = current_data_dir(path)
+    cur_name = os.path.basename(cur) if cur else None
+    return [
+        {
+            "version": name,
+            "committed_at": os.path.getmtime(os.path.join(path, name)),
+            "is_current": name == cur_name,
+        }
+        for name in _versions_newest_first(path)
+    ]
 
 
 def vacuum(path: str) -> int:
@@ -130,10 +161,23 @@ def vacuum(path: str) -> int:
     return removed
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame | None:
+def read_table(
+    spark: SparkSession, path: str, version: str | None = None
+) -> DataFrame | None:
     """Stored table or None if it does not exist yet. The pointer is
     resolved HERE, once -- the returned frame is pinned to one immutable
-    version directory, unaffected by concurrent publishes."""
+    version directory, unaffected by concurrent publishes.
+
+    ``version`` (a name from :func:`list_versions`) time-travels to a
+    retained superseded version -- the audit/debug read every table
+    format offers. Raises if the named version is no longer retained."""
+    if version is not None:
+        vdir = os.path.join(path, version)
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"version {version!r} not retained under {path}"
+            )
+        return spark.read.parquet(vdir)
     data_dir = current_data_dir(path)
     if data_dir is None:
         return None
@@ -152,7 +196,10 @@ def _data_cols(df: DataFrame) -> list[str]:
 
 
 def write_replace(
-    df: DataFrame, path: str, manifest_extra: dict[str, str] | None = None
+    df: DataFrame,
+    path: str,
+    manifest_extra: dict[str, str] | None = None,
+    retain: int = 2,
 ) -> None:
     """Full-table publish via manifest-pointer commit.
 
@@ -197,7 +244,7 @@ def write_replace(
             _publish_version(path, legacy_v)
         os.makedirs(path, exist_ok=True)
         os.rename(tmp, version_dir)
-        _publish_version(path, version_dir)
+        _publish_version(path, version_dir, retain=retain)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(version_dir, ignore_errors=True)
@@ -225,6 +272,7 @@ def upsert(
     incoming: DataFrame,
     keys: Sequence[str],
     audit: bool = True,
+    retain: int = 2,
 ) -> None:
     """S5 as a stored-table write: ON CONFLICT (keys) DO UPDATE.
 
@@ -236,7 +284,10 @@ def upsert(
     write-then-swap, so the read-modify-write of the SAME table is safe.
     """
     existing = read_table(spark, path)
-    write_replace(_merge_with_audit(existing, incoming, keys, audit), path)
+    write_replace(
+        _merge_with_audit(existing, incoming, keys, audit), path,
+        retain=retain,
+    )
 
 
 def _merge_with_audit(

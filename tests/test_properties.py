@@ -230,3 +230,57 @@ def test_pii_scan_total_and_consistent(spark, texts):
         counts = (r["n_emails"], r["n_ipv4"], r["n_phones"])
         assert all(c >= 0 for c in counts)
         assert r["has_pii"] == (sum(counts) > 0)
+
+
+batches_strategy = st.lists(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),
+                  st.integers(min_value=-100, max_value=100)),
+        min_size=1, max_size=5,
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=batches_strategy, data=st.data())
+def test_stream_sink_replays_never_change_outcome(spark, tmp_path, batches,
+                                                  data):
+    """Exactly-once property: delivering batches 0..n in order, with an
+    ARBITRARY already-committed batch replayed after each step (the
+    at-least-once failure model), yields exactly the table that
+    once-each delivery yields — last-wins per key, batch order."""
+    import uuid as _uuid
+
+    from sec_xbrl_finwarehouse_spark import sinks
+    from sec_xbrl_finwarehouse_spark.streaming.stream_sink import (
+        foreach_batch_upsert,
+    )
+
+    table = str(tmp_path / f"prop_{_uuid.uuid4().hex}")
+    sink = foreach_batch_upsert(table, ["k"], app_id="prop", audit=False)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in rows], "k int, v int"
+        )
+
+    for i, rows in enumerate(batches):
+        sink(frame(rows), i)
+        j = data.draw(st.integers(min_value=0, max_value=i), label="replay")
+        sink(frame(batches[j]), j)  # replayed delivery of a committed id
+
+    got = {r["k"]: r["v"] for r in sinks.read_table(spark, table).collect()}
+    # per key: the LAST batch containing the key wins; within that
+    # batch, duplicate keys may resolve to any of the batch's values
+    # for it (upsert_latest_wins ties are unordered within one batch)
+    all_keys = {k for rows in batches for k, _ in rows}
+    assert set(got) == all_keys
+    for k, v in got.items():
+        candidates = set()
+        for rows in batches:
+            vals = {bv for bk, bv in rows if bk == k}
+            if vals:
+                candidates = vals
+        assert v in candidates, (k, v, candidates)

@@ -272,3 +272,35 @@ def test_read_evolving_merges_additive_schemas(spark, tmp_path):
     got = read_evolving(spark, p1, p2).orderBy("id").collect()
     assert [r["id"] for r in got] == [1, 2]
     assert got[0]["score"] is None and got[1]["score"] == 9.5
+
+
+def test_time_travel_versions(spark, tmp_path):
+    """retain=N keeps a readable history: list_versions enumerates
+    newest-first, read_table(version=...) reproduces each superseded
+    snapshot exactly, and the retention window prunes the oldest."""
+    from sec_xbrl_finwarehouse_spark.sinks import (
+        list_versions, read_table, write_replace,
+    )
+
+    import pytest
+
+    table = str(tmp_path / "tt_table")
+    snapshots = []
+    for i in range(4):
+        df = spark.range(i + 1).withColumn("gen", F.lit(i))
+        write_replace(df, table, retain=3)
+        snapshots.append({tuple(r) for r in df.collect()})
+
+    versions = list_versions(table)
+    assert len(versions) == 3  # retention window pruned generation 0
+    assert versions[0]["is_current"] and not versions[1]["is_current"]
+
+    # newest-first maps onto generations 3, 2, 1
+    for v, gen in zip(versions, (3, 2, 1)):
+        got = {tuple(r) for r in read_table(
+            spark, table, version=v["version"]
+        ).collect()}
+        assert got == snapshots[gen]
+
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, table, version="v_nonexistent")
