@@ -145,6 +145,20 @@ def list_versions(path: str) -> list[dict]:
     ]
 
 
+def _write_manifest_extra(
+    version_dir: str, manifest_extra: dict[str, str] | None
+) -> None:
+    """Write commit metadata files into an (unpublished) version
+    directory. Names must start with ``_`` so parquet scans skip
+    them."""
+    for name, content in (manifest_extra or {}).items():
+        if not name.startswith("_"):
+            raise ValueError(f"manifest_extra name {name!r} must start with '_'")
+        with open(os.path.join(version_dir, name), "w",
+                  encoding="utf-8") as f:
+            f.write(content)
+
+
 def vacuum(path: str) -> int:
     """Drop every retained version except the current one; returns the
     number of directories removed. Run when no readers are in flight
@@ -220,14 +234,9 @@ def write_replace(
     committed-batch id). A version published without a given file simply
     has no such metadata.
     """
-    for name in (manifest_extra or {}):
-        if not name.startswith("_"):
-            raise ValueError(f"manifest_extra name {name!r} must start with '_'")
     tmp = f"{path}.__staging__{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
-    for name, content in (manifest_extra or {}).items():
-        with open(os.path.join(tmp, name), "w", encoding="utf-8") as f:
-            f.write(content)
+    _write_manifest_extra(tmp, manifest_extra)
     legacy_flat = os.path.exists(path) and not os.path.exists(
         os.path.join(path, _POINTER)
     )
@@ -323,6 +332,7 @@ def upsert_partitioned(
     keys: Sequence[str],
     partition_col: str,
     audit: bool = True,
+    manifest_extra: dict[str, str] | None = None,
 ) -> int:
     """Partition-pruned copy-on-write upsert: the table is stored
     hive-partitioned on ``partition_col`` (which must be a key prefix --
@@ -355,6 +365,7 @@ def upsert_partitioned(
         version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
         os.makedirs(path, exist_ok=True)
         os.rename(tmp, version_dir)
+        _write_manifest_extra(version_dir, manifest_extra)
         _publish_version(path, version_dir)
         return len([n for n in os.listdir(version_dir)
                     if n.startswith(f"{partition_col}=")])
@@ -384,6 +395,7 @@ def upsert_partitioned(
         for name in rewritten:             # touched partitions: move in
             os.rename(os.path.join(staging, name),
                       os.path.join(version_dir, name))
+        _write_manifest_extra(version_dir, manifest_extra)
         _publish_version(path, version_dir)
         return len(rewritten)
     finally:
@@ -445,14 +457,7 @@ def append_if_absent(
                 os.path.join(staging, name),
                 os.path.join(version_dir, f"append-{uuid.uuid4().hex}-{name}"),
             )
-        for name, content in (manifest_extra or {}).items():
-            if not name.startswith("_"):
-                raise ValueError(
-                    f"manifest_extra name {name!r} must start with '_'"
-                )
-            with open(os.path.join(version_dir, name), "w",
-                      encoding="utf-8") as f:
-                f.write(content)
+        _write_manifest_extra(version_dir, manifest_extra)
         _publish_version(path, version_dir)
         return len(new_parts)
     finally:

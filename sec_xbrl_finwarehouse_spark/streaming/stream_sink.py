@@ -113,6 +113,35 @@ def foreach_batch_upsert(
     return _sink
 
 
+def foreach_batch_upsert_partitioned(
+    path: str,
+    keys: Sequence[str],
+    partition_col: str,
+    app_id: str,
+    audit: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """Partition-pruned variant of :func:`foreach_batch_upsert`: each
+    micro-batch rewrites ONLY the hive partitions it touches (untouched
+    partitions hard-linked — :func:`~..sinks.upsert_partitioned`), with
+    the same ``(app_id, batch_id)`` exactly-once watermark. This is the
+    100 TB streaming-ingest shape: per-batch cost scales with the
+    batch's partition footprint (for event streams partitioned by day,
+    a steady-state batch touches one or two partitions), never with
+    table size. ``partition_col`` must be one of ``keys``."""
+    key_list = list(keys)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _already_committed(path, app_id, batch_id):
+            return
+        sinks.upsert_partitioned(
+            batch_df.sparkSession, path, batch_df, key_list,
+            partition_col, audit=audit,
+            manifest_extra=_txn_meta(app_id, batch_id),
+        )
+
+    return _sink
+
+
 def foreach_batch_append_if_absent(
     path: str,
     keys: Sequence[str],

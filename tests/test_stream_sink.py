@@ -138,3 +138,46 @@ def test_append_if_absent_stream_never_rewrites(spark, tmp_path):
                                                app_id="append-b"))
     assert sinks.table_bytes(table) == bytes_before
     assert sinks.read_table(spark, table).count() == 4
+
+
+def test_partitioned_stream_upsert_rewrites_only_touched(spark, tmp_path):
+    """Partition-pruned streaming ingest: a micro-batch touching one
+    day rewrites only that day's partition (others hard-linked), the
+    txn watermark still commits atomically, and replays no-op."""
+    import os
+
+    from sec_xbrl_finwarehouse_spark.streaming.stream_sink import (
+        foreach_batch_upsert_partitioned,
+        last_committed_txn,
+    )
+
+    table = str(tmp_path / "part_table")
+    sink = foreach_batch_upsert_partitioned(
+        table, ["day", "event_id"], "day", app_id="p-ingest")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "day string, event_id long, v double")
+
+    sink(frame([("2024-01-01", 1, 1.0), ("2024-01-02", 2, 2.0)]), 0)
+    day1_dir = os.path.join(
+        sinks.current_data_dir(table), "day=2024-01-01")
+    day1_inode = {f: os.stat(os.path.join(day1_dir, f)).st_ino
+                  for f in os.listdir(day1_dir) if f.endswith(".parquet")}
+
+    # batch 1 touches only day 2: day 1's files must be the SAME inodes
+    sink(frame([("2024-01-02", 2, 20.0), ("2024-01-02", 3, 3.0)]), 1)
+    day1_dir_after = os.path.join(
+        sinks.current_data_dir(table), "day=2024-01-01")
+    after = {f: os.stat(os.path.join(day1_dir_after, f)).st_ino
+             for f in os.listdir(day1_dir_after) if f.endswith(".parquet")}
+    assert after == day1_inode  # hard-linked, not rewritten
+
+    rows = {r["event_id"]: r["v"]
+            for r in sinks.read_table(spark, table).collect()}
+    assert rows == {1: 1.0, 2: 20.0, 3: 3.0}
+    assert last_committed_txn(table) == ("p-ingest", 1)
+
+    # replay of batch 1: no-op (same version dir, same rows)
+    ver = sinks.current_data_dir(table)
+    sink(frame([("2024-01-02", 2, 20.0), ("2024-01-02", 3, 3.0)]), 1)
+    assert sinks.current_data_dir(table) == ver
