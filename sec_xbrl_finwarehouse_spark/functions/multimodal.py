@@ -308,6 +308,69 @@ def audio_features(media: DataFrame) -> DataFrame:
     return pruned.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_METADATA_SCHEMA = (
+    "media_id long, codec string, sample_rate int, channels int, "
+    "n_samples long, duration_ms int, avg_bitrate_kbps int, "
+    "parsed_real boolean"
+)
+
+
+def audio_metadata(media: DataFrame) -> DataFrame:
+    """Per-clip container metadata parsed FROM THE BYTES — real for WAV
+    (RIFF fmt/data chunks) and MP3 (frame-header walk: exact frame
+    count, VBR-correct average bitrate and duration; :mod:`.mp3`).
+    Unknown codecs fall back to the stored ``meta`` columns, flagged
+    ``parsed_real = false``, so a downstream audit can diff declared
+    vs actual metadata for every parseable clip. Map-only (no shuffle):
+    composes with the scan like the other media kernels."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp3 import parse_mp3
+
+        for pdf in batches:
+            rows = []
+            for mid, payload, meta_sr, meta_ch, meta_dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["sample_rate"],
+                pdf["channels"], pdf["duration_ms"],
+            ):
+                if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                    samples, sr = decode_wav(payload)
+                    n, ch = samples.shape
+                    rows.append((
+                        mid, "wav-pcm", sr, ch, n,
+                        int(round(n * 1000.0 / sr)), None, True,
+                    ))
+                    continue
+                mp3 = parse_mp3(payload)
+                if mp3 is not None:
+                    rows.append((
+                        mid, mp3["codec"], mp3["sample_rate"],
+                        mp3["channels"], mp3["n_samples"],
+                        mp3["duration_ms"], mp3["avg_bitrate_kbps"], True,
+                    ))
+                    continue
+                rows.append((
+                    mid, "unknown", meta_sr, meta_ch, None, meta_dur,
+                    None, False,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "codec", "sample_rate", "channels",
+                    "n_samples", "duration_ms", "avg_bitrate_kbps",
+                    "parsed_real",
+                ],
+            )
+
+    pruned = media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload",
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+    return pruned.mapInPandas(kernel, AUDIO_METADATA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_n: int = 4, chunk_bytes: int = 1024) -> DataFrame:
     """Video frame sampling, REAL for MP4 containers: the stdlib
     ISO-BMFF parser (:mod:`.mp4`) locates the video track's sample
