@@ -557,6 +557,142 @@ def write_bucketed(
     )
 
 
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    version: str | None = None,
+) -> DataFrame | None:
+    """Change data feed: the row-level diff that turns a versioned
+    table into an incremental source (Delta CDF semantics on the
+    manifest sink). Compares the CURRENT version against a retained
+    prior one (default: the immediately previous) and emits each
+    changed row with a ``_change_type`` column:
+
+    * ``insert``           -- key exists now, not before
+    * ``update_postimage`` -- key in both, any data column changed
+    * ``delete``           -- key existed before, gone now (the row is
+      the OLD image -- there is no new one)
+
+    Unchanged keys are not emitted, so a downstream consumer applies
+    exactly the delta. Audit columns are excluded from the comparison
+    (an upsert refreshes ``updated_at`` even for no-op merges).
+
+    Returns None when no prior version is retained (nothing to diff).
+    Plan shape: one full-outer join on the PK -- both sides shuffle
+    once on the same key, or not at all when the table is stored
+    bucketed on it; cost scales with table size, not history depth,
+    and only the two compared snapshots are read."""
+    versions = [v["version"] for v in list_versions(path)]
+    if version is None:
+        if len(versions) < 2:
+            return None
+        version = versions[1]
+    cur = read_table(spark, path)
+    prev = read_table(spark, path, version=version)
+    key_list = list(keys)
+    data_cols = [c for c in cur.columns
+                 if c not in key_list and c not in _AUDIT_COLS]
+    # presence markers, not key-NULL checks: a legitimately NULL key
+    # column must not read as "absent" on either side
+    c = cur.withColumn("__c_present", F.lit(True)).alias("c")
+    p = prev.withColumn("__p_present", F.lit(True)).alias("p")
+    cond = [c[k].eqNullSafe(p[k]) for k in key_list]
+    joined = c.join(p, cond, "full_outer")
+    c_struct = F.struct(*[c[x] for x in data_cols])
+    p_struct = F.struct(*[p[x] for x in data_cols])
+    in_cur = c["__c_present"].isNotNull()
+    in_prev = p["__p_present"].isNotNull()
+    change = (
+        F.when(~in_prev, F.lit("insert"))
+        .when(~in_cur, F.lit("delete"))
+        .when(~c_struct.eqNullSafe(p_struct), F.lit("update_postimage"))
+    )
+    out_cols = [
+        F.when(in_cur, c[k]).otherwise(p[k]).alias(k) for k in key_list
+    ] + [
+        F.when(in_cur, c[x]).otherwise(p[x]).alias(x) for x in data_cols
+    ]
+    return (
+        joined.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*out_cols, "_change_type")
+    )
+
+
+def zorder_value(cols: Sequence[str], bits: int = 16):
+    """Z-order (Morton) clustering key over ``cols``: each column is
+    rank-normalized to ``bits`` bits via a percent_rank window, then the
+    bit planes are interleaved — rows close in the z-curve are close in
+    EVERY listed dimension at once. Pure built-in expressions (bit ops
+    + a per-column window), returns a Column to sort by.
+
+    Why rank-normalize: raw values skew the curve (a heavy-hitter key
+    collapses whole z-ranges); ranks give uniform occupancy, the same
+    choice Delta's OPTIMIZE ZORDER makes.
+    """
+    from pyspark.sql import Window as W
+
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds the 63 usable "
+            "bits of a long; lower bits (e.g. 63 // len(cols))"
+        )
+    z = F.lit(0).cast("long")
+    for c in cols:
+        rank = F.percent_rank().over(W.orderBy(F.col(c)))
+        q = F.least(
+            F.floor(rank * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+        )
+        spread = F.lit(0).cast("long")
+        for b in range(bits):
+            spread = spread.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                    b * len(cols),
+                )
+            )
+        z = z.bitwiseOR(F.shiftleft(spread, cols.index(c)))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Publish ``df`` clustered along the z-curve of ``cols`` so parquet
+    row-group min/max stats are TIGHT in every listed column — filters
+    on ANY of them skip most row groups at scan time (multi-column data
+    skipping, the OPTIMIZE ZORDER of Delta/Iceberg on plain parquet +
+    the manifest sink). A single-column sort gives perfect skipping on
+    one column and none on the rest; the z-curve trades a little of the
+    first column's tightness for skipping on all of them.
+
+    The layout pass is one range exchange on the z-value (plus one
+    rank window per clustered column); with ``n_files`` unset the
+    session's shuffle parallelism decides the file count.
+
+    NOTE the percent_rank windows are global (unpartitioned): fine for
+    the dimension/mart tables this targets; for a 100 TB fact table
+    substitute an approx-quantile binning per column (same interleave)
+    to avoid the single-partition rank — the z-curve math is identical.
+    """
+    zcol = zorder_value(list(cols), bits=bits)
+    clustered = df.withColumn("__z", zcol)
+    parts = n_files or clustered.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"
+    )
+    clustered = (
+        clustered.repartitionByRange(int(parts), F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    write_replace(clustered, path)
+
+
 def read_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     """Schema-evolution read: union batches written over time with
     DIFFERENT (additive) schemas into the superset schema, missing

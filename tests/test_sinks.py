@@ -304,3 +304,50 @@ def test_time_travel_versions(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_table(spark, table, version="v_nonexistent")
+
+
+def test_table_changes_cdf(spark, tmp_path):
+    """Change data feed between retained versions: inserts, updates
+    (postimage), deletes (old image); unchanged keys not emitted; audit
+    columns excluded from the comparison."""
+    from sec_xbrl_finwarehouse_spark.sinks import (
+        table_changes, write_replace,
+    )
+
+    table = str(tmp_path / "cdf_table")
+    gen0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, tag string, v double",
+    )
+    write_replace(gen0, table)
+    assert table_changes(spark, table, ["k"]) is None  # no prior version
+
+    gen1 = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged -> not emitted
+         (2, "b", 99.0),        # update
+         (4, "d", 40.0)],       # insert; k=3 deleted
+        "k int, tag string, v double",
+    )
+    write_replace(gen1, table)
+
+    changes = {r["k"]: r for r in
+               table_changes(spark, table, ["k"]).collect()}
+    assert set(changes) == {2, 3, 4}
+    assert changes[2]["_change_type"] == "update_postimage"
+    assert changes[2]["v"] == 99.0          # postimage carries NEW values
+    assert changes[3]["_change_type"] == "delete"
+    assert changes[3]["v"] == 30.0          # delete carries the OLD image
+    assert changes[4]["_change_type"] == "insert"
+
+
+def test_table_changes_ignores_audit_churn(spark, tmp_path):
+    """An upsert that rewrites a key with IDENTICAL data refreshes
+    updated_at; the CDF must not report it as a change."""
+    from sec_xbrl_finwarehouse_spark.sinks import table_changes
+
+    table = str(tmp_path / "cdf_audit")
+    batch = spark.createDataFrame([(1, 5.0)], "k int, v double")
+    sinks.upsert(spark, table, batch, keys=["k"])
+    sinks.upsert(spark, table, batch, keys=["k"])  # no-op merge
+    out = table_changes(spark, table, ["k"]).collect()
+    assert out == []

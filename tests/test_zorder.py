@@ -1,0 +1,87 @@
+"""Z-order clustering: the claim under test is about PARQUET FOOTER
+STATS, so the assertions read them — per row group, the min/max span of
+each clustered column must be tight (multi-column data skipping),
+where a single-column sort leaves the other column's spans at ~full
+range. Also checks the layout is a pure reordering (same rows)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from sec_xbrl_finwarehouse_spark import sinks
+
+SF_DIR = "/root/testdata/sf0.001"
+N_FILES = 16
+
+
+def _mean_span_fraction(data_dir: str, col: str, lo, hi) -> float:
+    """Mean over row groups of (col_max - col_min) / (hi - lo)."""
+    spans, total = [], float(hi - lo)
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(data_dir, name)).metadata
+        idx = {meta.schema.column(i).name: i
+               for i in range(meta.num_columns)}[col]
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            spans.append((st.max - st.min) / total)
+    assert spans
+    return sum(spans) / len(spans)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("zorder")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(root / "z")
+    xpath = str(root / "xsorted")
+    sinks.write_zordered(orders, zpath, ["o_custkey", "o_totalprice"],
+                         n_files=N_FILES)
+    sinks.write_replace(
+        orders.repartitionByRange(N_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey"),
+        xpath,
+    )
+    bounds = orders.selectExpr(
+        "min(o_custkey)", "max(o_custkey)",
+        "min(o_totalprice)", "max(o_totalprice)",
+    ).first()
+    return zpath, xpath, bounds, orders
+
+
+def test_zorder_tightens_both_columns(layouts):
+    zpath, xpath, b, _ = layouts
+    zdir = sinks.current_data_dir(zpath)
+    xdir = sinks.current_data_dir(xpath)
+
+    z_cust = _mean_span_fraction(zdir, "o_custkey", b[0], b[1])
+    z_price = _mean_span_fraction(zdir, "o_totalprice", b[2], b[3])
+    x_cust = _mean_span_fraction(xdir, "o_custkey", b[0], b[1])
+    x_price = _mean_span_fraction(xdir, "o_totalprice", b[2], b[3])
+
+    # single-column sort: tight on the sort column, useless on the other
+    assert x_cust < 0.2 and x_price > 0.8
+    # z-order: tight on BOTH (each row group covers ~a z-cell)
+    assert z_cust < 0.5 and z_price < 0.5
+    # and the other column improves by a wide margin vs the x-sort
+    assert z_price < x_price / 2
+
+
+def test_zorder_is_a_pure_reordering(spark, layouts):
+    zpath, _, _, orders = layouts
+    got = {tuple(r) for r in sinks.read_table(spark, zpath).collect()}
+    want = {tuple(r) for r in orders.collect()}
+    assert got == want
+
+
+def test_zorder_bit_budget_guard(spark):
+    df = spark.range(10).selectExpr("id a", "id b", "id c", "id d", "id e")
+    with pytest.raises(ValueError):
+        sinks.write_zordered(df, "/tmp/never-written",
+                             ["a", "b", "c", "d", "e"], bits=16)
