@@ -806,7 +806,151 @@ FROM counts CROSS JOIN tot
 """
 
 
+# ---- calendar densification + LOCF -----------------------------------------
+
+def q_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled per-type daily series: every calendar day in each
+    event_type's [first, last] range gets a row — days with no events
+    carry ``n_events = 0``, ``total_value = NULL``, and a
+    last-observation-carried-forward ``filled_total`` (the standard
+    time-series densification before charting/anomaly models; the
+    'growth rates' hook family, reference README.md:167).
+
+    Scale shape: the fact table aggregates ONCE to (type, day) — after
+    that everything runs on the dimension-sized daily grid (types x
+    days): the calendar explode is per-type ``sequence()``, the grid
+    join and the LOCF window never touch event rows. No global sort,
+    no event-row explode."""
+    e = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    daily = e.groupBy("event_type", "day").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    filled = (
+        grid.join(daily, ["event_type", "day"], "left")
+        .withColumn("n_events",
+                    F.coalesce("n_events", F.lit(0)).cast("long"))
+    )
+    w = (
+        Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "event_type", "day", "n_events", "total_value",
+        F.last("total_value", ignorenulls=True).over(w)
+        .alias("filled_total"),
+    )
+
+
+EVENT_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         count(*) AS n_events, sum(value) AS total_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+),
+grid AS (
+  SELECT b.event_type, CAST(u.d AS DATE) AS day
+  FROM bounds b,
+       unnest(generate_series(CAST(b.d0 AS TIMESTAMP),
+                              CAST(b.d1 AS TIMESTAMP),
+                              INTERVAL 1 DAY)) AS u(d)
+)
+SELECT g.event_type, g.day,
+       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+       d.total_value,
+       last_value(d.total_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_total
+FROM grid g LEFT JOIN daily d
+  ON g.event_type = d.event_type AND g.day = d.day
+"""
+
+
+# ---- SCD2 validity intervals (gaps-and-islands) ----------------------------
+
+def q_event_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 state history per user: consecutive same-type event runs
+    collapse into validity intervals [valid_from, valid_to) with
+    ``valid_to`` NULL on the current state — the slowly-changing-
+    dimension build every warehouse derives from an event/change feed
+    (and the consumer shape of ``sinks.table_changes``). Classic
+    gaps-and-islands: a change flag via ``lag``, a running sum as the
+    island id, one aggregate per island, ``lead`` for the interval end.
+    All three windows share ONE user_id partitioning -- a single
+    shuffle at any scale; per-user window width is the user's event
+    count, never the corpus."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    flagged = e.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = flagged.groupBy("user_id", "island").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island")
+    return runs.select(
+        "user_id", "state", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
+EVENT_SCD2_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+islands AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, island, min(event_type) AS state,
+         min(ts) AS valid_from, count(*) AS n_events
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+         AS valid_to,
+       CAST(n_events AS BIGINT) AS n_events
+FROM runs
+"""
+
+
 QUERIES = {
+    "event_gap_fill": q_event_gap_fill,
+    "event_scd2": q_event_scd2,
     "event_window_agg": q_event_window_agg,
     "event_transitions": q_event_transitions,
     "event_dau_wau": q_event_dau_wau,
@@ -826,6 +970,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_gap_fill": EVENT_GAP_FILL_SQL,
+    "event_scd2": EVENT_SCD2_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,
     "event_dau_wau": EVENT_DAU_WAU_SQL,
     "event_sliding_window": EVENT_SLIDING_WINDOW_SQL,
