@@ -90,7 +90,74 @@ def current_data_dir(path: str) -> str | None:
     return None
 
 
-def _publish_version(path: str, version_dir: str, retain: int = 2) -> None:
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published between this writer's read snapshot and
+    its commit attempt. The table is untouched by the failed commit;
+    re-read and retry (optimistic concurrency, the Delta/Iceberg commit
+    protocol)."""
+
+
+# sentinel for "I expect the table not to exist yet"
+EXPECT_ABSENT = ""
+
+
+def _pointer_value(path: str) -> str | None:
+    pointer = os.path.join(path, _POINTER)
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer, encoding="ascii") as f:
+        return f.read().strip()
+
+
+class _commit_lock:
+    """Tiny mutual-exclusion window around check-pointer + swap-pointer
+    (POSIX has no file CAS). O_CREAT|O_EXCL lock file, bounded retry;
+    a lock older than ``stale_s`` is from a dead writer and is broken.
+    The critical section is microseconds (one read + one rename), so
+    contention is resolved in the first few retries."""
+
+    def __init__(self, path: str, timeout_s: float = 5.0,
+                 stale_s: float = 60.0):
+        self.lock = os.path.join(path, "._COMMIT_LOCK")
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+
+    def __enter__(self):
+        import time
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    import time as _t
+                    if _t.time() - os.path.getmtime(self.lock) > self.stale_s:
+                        os.unlink(self.lock)  # dead writer
+                        continue
+                except OSError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise ConcurrentWriteError(
+                        f"commit lock {self.lock} held past {self.timeout_s}s"
+                    ) from None
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock)
+        except OSError:
+            pass
+        return False
+
+
+def _publish_version(
+    path: str,
+    version_dir: str,
+    retain: int = 2,
+    expect_version: str | None = None,
+) -> None:
     """Atomically repoint ``_CURRENT`` at ``version_dir`` (already moved
     inside ``path``), then prune all but the newest ``retain`` versions
     (current included). The default keeps current + previous: a reader
@@ -99,7 +166,14 @@ def _publish_version(path: str, version_dir: str, retain: int = 2) -> None:
     once no readers can be in flight. A larger ``retain`` keeps a
     time-travel history (:func:`list_versions` / ``read_table(...,
     version=...)``) at the cost of storing the superseded copies —
-    bounded and predictable, like a Delta/Iceberg retention window."""
+    bounded and predictable, like a Delta/Iceberg retention window.
+
+    ``expect_version`` enables optimistic concurrency: the commit goes
+    through only if the pointer still names that version
+    (:data:`EXPECT_ABSENT` = "the table must not exist yet"); on a
+    mismatch the staged version directory is removed and
+    :class:`ConcurrentWriteError` raised — the table keeps the other
+    writer's commit. ``None`` preserves last-write-wins."""
     version = os.path.basename(version_dir)
     pointer = os.path.join(path, _POINTER)
     tmp_pointer = os.path.join(path, f".{_POINTER}.{uuid.uuid4().hex}")
@@ -107,7 +181,19 @@ def _publish_version(path: str, version_dir: str, retain: int = 2) -> None:
         f.write(version)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp_pointer, pointer)  # THE commit point (atomic on POSIX)
+    with _commit_lock(path):
+        if expect_version is not None:
+            now = _pointer_value(path)
+            expected = None if expect_version == EXPECT_ABSENT \
+                else expect_version
+            if now != expected:
+                os.unlink(tmp_pointer)
+                shutil.rmtree(version_dir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"{path}: expected current version "
+                    f"{expected!r}, found {now!r}"
+                )
+        os.replace(tmp_pointer, pointer)  # THE commit point (atomic on POSIX)
     keep = set(_versions_newest_first(path)[: max(retain, 1)])
     keep.add(version)
     for name in os.listdir(path):
@@ -214,6 +300,7 @@ def write_replace(
     path: str,
     manifest_extra: dict[str, str] | None = None,
     retain: int = 2,
+    expect_version: str | None = None,
 ) -> None:
     """Full-table publish via manifest-pointer commit.
 
@@ -253,7 +340,8 @@ def write_replace(
             _publish_version(path, legacy_v)
         os.makedirs(path, exist_ok=True)
         os.rename(tmp, version_dir)
-        _publish_version(path, version_dir, retain=retain)
+        _publish_version(path, version_dir, retain=retain,
+                         expect_version=expect_version)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(version_dir, ignore_errors=True)
@@ -282,6 +370,7 @@ def upsert(
     keys: Sequence[str],
     audit: bool = True,
     retain: int = 2,
+    occ: bool = False,
 ) -> None:
     """S5 as a stored-table write: ON CONFLICT (keys) DO UPDATE.
 
@@ -292,10 +381,25 @@ def upsert(
     (db/schema.sql:61 + v3.py:175 semantics). Publishes via
     write-then-swap, so the read-modify-write of the SAME table is safe.
     """
-    existing = read_table(spark, path)
+    expect: str | None = None
+    if occ:
+        # resolve the snapshot ONCE: the merge reads this version and
+        # the commit requires the pointer to still name it (read-
+        # modify-write without lost updates; ConcurrentWriteError on
+        # interleave -> caller re-reads and retries)
+        data_dir = current_data_dir(path)
+        if data_dir is None:
+            expect = EXPECT_ABSENT
+        elif data_dir != path:  # legacy flat layout has no version name
+            expect = os.path.basename(data_dir)
+        existing = (
+            None if data_dir is None else spark.read.parquet(data_dir)
+        )
+    else:
+        existing = read_table(spark, path)
     write_replace(
         _merge_with_audit(existing, incoming, keys, audit), path,
-        retain=retain,
+        retain=retain, expect_version=expect,
     )
 
 
