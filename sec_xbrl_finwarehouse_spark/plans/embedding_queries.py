@@ -163,6 +163,101 @@ WHERE rank <= {TOPK}
 """
 
 
+# ---- staged retrieval: prefix-dim filter + exact rerank --------------------
+
+PREFIX_DIMS = 16   # coarse pass scores on the first 16 of 64 dims
+PREFIX_POOL = 20   # candidates per query surviving to the exact rerank
+
+
+def q_emb_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged (Matryoshka-style) retrieval: a COARSE pass scores every
+    corpus vector against each query on only the first
+    {PREFIX_DIMS}/{64} dimensions, keeps the top {PREFIX_POOL}
+    candidates per query, and an EXACT full-dimension rerank picks the
+    final top-{TOPK}. With prefix-trained embeddings (MRL) the coarse
+    pass does 1/4 of the flops — and, stored column-truncated, 1/4 of
+    the bytes — while the rerank touches only n_queries x pool rows.
+
+    Plan shape: coarse pass = the broadcast-queries corpus scan with
+    two-phase top-k (no query funnel); the candidate pool (tiny by
+    construction) is BROADCAST back against the corpus to gather full
+    vectors, so the corpus is never shuffled — two scans, zero
+    exchanges of the big side. Both scores are rounded before ranking
+    (vec_id tie-break) so the staged pipeline is deterministic and
+    oracle-paired; ``coarse`` is kept in the output so recall loss of
+    the prefix filter is directly inspectable."""
+    e = _embeddings(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "emb"
+    )
+    coarse_scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_id", "neighbor_id",
+        F.round(
+            _cosine(F.slice("qemb", 1, PREFIX_DIMS),
+                    F.slice("emb", 1, PREFIX_DIMS)), 6
+        ).alias("cosine"),
+    )
+    pool = _topk_per_query(coarse_scored, k=PREFIX_POOL).select(
+        "query_id", "neighbor_id", F.col("cosine").alias("coarse")
+    )
+    reranked = (
+        corpus.join(F.broadcast(pool), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "neighbor_id", "coarse",
+            F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine", "coarse")
+    )
+
+
+EMB_PREFIX_RERANK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, emb FROM e WHERE vec_id >= {N_QUERIES}),
+coarse_scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         {_DUCK_COS.format(a='q.qemb[1:{p}]'.format(p=PREFIX_DIMS),
+                           b='c.emb[1:{p}]'.format(p=PREFIX_DIMS))} AS coarse
+  FROM c CROSS JOIN q
+),
+pool AS (
+  SELECT query_id, neighbor_id, coarse
+  FROM (
+    SELECT query_id, neighbor_id, coarse,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY coarse DESC, neighbor_id ASC) AS prk
+    FROM coarse_scored
+  ) WHERE prk <= {PREFIX_POOL}
+),
+reranked AS (
+  SELECT p.query_id, p.neighbor_id, p.coarse,
+         {_DUCK_COS.format(a='q.qemb', b='c.emb')} AS cosine
+  FROM pool p
+  JOIN c ON c.neighbor_id = p.neighbor_id
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, rank, neighbor_id, cosine, coarse
+FROM (
+  SELECT query_id, neighbor_id, cosine, coarse,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM reranked
+)
+WHERE rank <= {TOPK}
+"""
+
+
 # ---- embedding-cosine near-dup pairs --------------------------------------
 
 def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1366,6 +1461,7 @@ LEFT JOIN (
 QUERIES = {
     "emb_ann_recall": q_emb_ann_recall,
     "emb_ivf_recall": q_emb_ivf_recall,
+    "emb_prefix_rerank_topk": q_emb_prefix_rerank_topk,
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ivf_ann_topk": q_emb_ivf_ann_topk,
     "emb_cosine_neardup": q_emb_cosine_neardup,
@@ -1383,6 +1479,7 @@ QUERIES = {
 ORACLES = {
     "emb_ann_recall": EMB_ANN_RECALL_SQL,
     "emb_ivf_recall": EMB_IVF_RECALL_SQL,
+    "emb_prefix_rerank_topk": EMB_PREFIX_RERANK_SQL,
     "emb_ann_topk": EMB_ANN_TOPK_SQL,
     "emb_ivf_ann_topk": EMB_IVF_ANN_TOPK_SQL,
     "emb_cosine_neardup": EMB_COSINE_NEARDUP_SQL,
