@@ -107,3 +107,124 @@ def build_marts_from_facts(
     sinks.upsert(spark, paths["ratios_annual"], ratios,
                  keys=["cik", "fiscal_year"])
     return paths
+
+
+# natural key of a stored fact row (db/schema.sql:39 UNIQUE constraint,
+# re-expressed over FACTS_SCHEMA columns)
+FACT_KEYS = ("cik", "taxonomy", "tag", "unit", "period_start",
+             "period_end", "filing_accession_no")
+
+
+def _cik_fingerprints(df):
+    """Per-entity content fingerprint: sum of per-row sha2 prefixes
+    (order-independent, duplicate-tolerant — raw facts are NOT unique
+    on their natural key until the D1 dedup, so a PK-based diff would
+    misfire). Two scans + one cik-keyed aggregation; at 100 TB the
+    facts table is partitioned/bucketed by cik, so this is the cheap
+    partition-local pass of an incremental refresh."""
+    from pyspark.sql import functions as F
+
+    row_h = F.sha2(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+              for c in df.columns],
+        ),
+        256,
+    )
+    h_num = F.conv(F.substring(row_h, 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.select("cik", h_num.alias("h")).groupBy("cik").agg(
+        F.sum("h").alias("fp"), F.count("*").alias("n_rows")
+    )
+
+
+def refresh_marts_incremental(
+    spark: SparkSession,
+    facts_path: str,
+    out_dir: str,
+    sf_dir: str,
+) -> dict[str, int]:
+    """Incremental mart refresh: only entities whose facts changed
+    since the previous table version are rebuilt; everyone else's mart
+    rows are carried over untouched (audit stamps included).
+
+    The touched ``cik`` set (entity-count-sized, broadcast) is the
+    refresh scope; the statements/ratios pipeline runs over ONLY the
+    touched entities' current facts — at 100 TB this is the
+    nightly-refresh cost model every warehouse needs: proportional to
+    what changed, not to what exists. Entities whose facts disappeared
+    entirely fall out of the mart (carry-over keeps only untouched
+    ciks; a touched cik re-enters only through its rebuilt rows).
+
+    Change detection is per-entity content fingerprints (sum of row
+    hashes) between the current and previous retained versions — NOT
+    the PK change feed, because raw facts legitimately repeat their
+    natural key before the D1 dedup. Returns {"touched_ciks": n,
+    "statements_rows": m} (zeros when nothing changed — nothing is
+    recomputed at all). Requires the facts table at ``facts_path`` to
+    be written through the versioned sink with a retained previous
+    version; falls back to a FULL rebuild when no prior version exists
+    (first run)."""
+    from pyspark.sql import functions as F
+
+    versions = sinks.list_versions(facts_path)
+    if len(versions) < 2:
+        build_marts_from_facts(
+            spark, sinks.read_table(spark, facts_path), sf_dir, out_dir
+        )
+        return {"touched_ciks": -1, "statements_rows": -1}  # full rebuild
+    prev = sinks.read_table(spark, facts_path,
+                            version=versions[1]["version"])
+    cur_fp = _cik_fingerprints(sinks.read_table(spark, facts_path))
+    prev_fp = _cik_fingerprints(prev).withColumnRenamed("fp", "fp0") \
+        .withColumnRenamed("n_rows", "n0")
+    touched = (
+        cur_fp.join(prev_fp, "cik", "full_outer")
+        .filter(
+            ~(F.col("fp").eqNullSafe(F.col("fp0"))
+              & F.col("n_rows").eqNullSafe(F.col("n0")))
+        )
+        .select("cik")
+    )
+    n_touched = touched.count()
+    if n_touched == 0:
+        return {"touched_ciks": 0, "statements_rows": 0}
+
+    facts_now = sinks.read_table(spark, facts_path).join(
+        F.broadcast(touched), "cik"
+    )
+    statements = build_statements(facts_now, version="v3")
+    ratios = compute_ratios(statements)
+
+    n_stmt = 0
+    for mart, df, keycols in (
+        ("statements_annual", statements, ["cik", "fiscal_year"]),
+        ("ratios_annual", ratios, ["cik", "fiscal_year"]),
+    ):
+        path = f"{out_dir}/{mart}"
+        stored = sinks.read_table(spark, path)
+        if stored is None:
+            sinks.write_replace(sinks.with_audit_cols(df), path)
+        else:
+            kept = stored.join(F.broadcast(touched), "cik", "left_anti")
+            # the rebuilt rows are the FULL truth for touched ciks (a
+            # fiscal year that vanished from the rebuild must drop), so
+            # carry created_at for keys that already existed but do NOT
+            # union stored touched-cik rows back in
+            now = F.current_timestamp()
+            prior = stored.select(
+                *keycols, F.col(sinks.CREATED_AT).alias("__prior_created")
+            )
+            fresh = (
+                df.join(prior, keycols, "left")
+                .withColumn(sinks.CREATED_AT,
+                            F.coalesce("__prior_created", now))
+                .withColumn(sinks.UPDATED_AT, now)
+                .drop("__prior_created")
+            )
+            sinks.write_replace(
+                kept.unionByName(fresh.select(*stored.columns)), path
+            )
+        if mart == "statements_annual":
+            n_stmt = df.count()
+    return {"touched_ciks": n_touched, "statements_rows": n_stmt}

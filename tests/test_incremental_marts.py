@@ -1,0 +1,92 @@
+"""Incremental mart refresh via the facts change feed: after facts
+change for a subset of entities, refresh_marts_incremental must (a)
+recompute only that subset, (b) leave untouched entities' mart rows
+bit-identical (audit stamps included), and (c) produce exactly the
+mart a full from-scratch rebuild produces — including dropping rows
+for entities whose facts disappeared."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sec_xbrl_finwarehouse_spark import sinks
+from sec_xbrl_finwarehouse_spark.materialize import (
+    FACT_KEYS,
+    refresh_marts_incremental,
+)
+from sec_xbrl_finwarehouse_spark.plans.ratios import compute_ratios
+from sec_xbrl_finwarehouse_spark.plans.star_facts import synthetic_facts
+from sec_xbrl_finwarehouse_spark.plans.statements import build_statements
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def facts(spark):
+    return synthetic_facts(
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet"),
+        entity_partitions=4,
+    ).localCheckpoint()
+
+
+def _data(df, drop_audit=True):
+    cols = [c for c in df.columns
+            if not (drop_audit and c in ("created_at", "updated_at"))]
+    return {tuple(r) for r in df.select(*cols).collect()}
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, tmp_path, facts):
+    facts_path = str(tmp_path / "facts")
+    marts = str(tmp_path / "marts")
+
+    # generation 0: seed facts, first refresh = full build
+    sinks.write_replace(facts, facts_path)
+    out = refresh_marts_incremental(spark, facts_path, marts, SF_DIR)
+    assert out["touched_ciks"] == -1  # no prior version -> full rebuild
+
+    ciks = sorted(r[0] for r in facts.select("cik").distinct().collect())
+    changed, dropped = ciks[0], ciks[1]
+
+    # generation 1: bump one entity's values 10x, drop another entirely
+    facts2 = (
+        facts.withColumn(
+            "value",
+            F.when(F.col("cik") == changed, F.col("value") * 10)
+            .otherwise(F.col("value")),
+        )
+        .filter(F.col("cik") != dropped)
+    )
+    sinks.write_replace(facts2, facts_path)
+
+    stmts_before = sinks.read_table(spark, f"{marts}/statements_annual")
+    untouched_before = _data(
+        stmts_before.filter(~F.col("cik").isin(changed, dropped)),
+        drop_audit=False,
+    )
+
+    out = refresh_marts_incremental(spark, facts_path, marts, SF_DIR)
+    assert out["touched_ciks"] == 2  # exactly the changed + dropped ciks
+
+    stmts_after = sinks.read_table(spark, f"{marts}/statements_annual")
+    ratios_after = sinks.read_table(spark, f"{marts}/ratios_annual")
+
+    # (b) untouched entities: bit-identical rows, audit stamps included
+    untouched_after = _data(
+        stmts_after.filter(~F.col("cik").isin(changed, dropped)),
+        drop_audit=False,
+    )
+    assert untouched_after == untouched_before
+
+    # (c) incremental result == full rebuild from current facts
+    want_stmts = build_statements(facts2, version="v3")
+    assert _data(stmts_after) == _data(want_stmts)
+    assert _data(ratios_after) == _data(compute_ratios(want_stmts))
+    # dropped entity fell out of both marts
+    assert stmts_after.filter(F.col("cik") == dropped).count() == 0
+    assert ratios_after.filter(F.col("cik") == dropped).count() == 0
+
+    # generation 2: no change at all -> zero work
+    sinks.write_replace(facts2, facts_path)
+    out = refresh_marts_incremental(spark, facts_path, marts, SF_DIR)
+    assert out == {"touched_ciks": 0, "statements_rows": 0}
