@@ -295,12 +295,58 @@ def _data_cols(df: DataFrame) -> list[str]:
     return [c for c in df.columns if c not in _AUDIT_COLS]
 
 
+class ConstraintViolation(ValueError):
+    """A staged publish failed its data-quality checks. The table was
+    NOT modified: the previous version stays current and the staged
+    files are removed. ``.counts`` maps check name -> violating rows."""
+
+    def __init__(self, path: str, counts: dict[str, int]):
+        self.counts = counts
+        super().__init__(f"publish to {path} rejected: {counts}")
+
+
+def _check_staged(
+    spark: SparkSession,
+    staged_dir: str,
+    checks: Sequence[tuple[str, str]] | None,
+    unique_key: Sequence[str] | None,
+) -> dict[str, int]:
+    """Validate a staged version from its own files (the data is
+    already on disk — no recompute of the writer's plan). Row checks
+    run as ONE aggregation pass; the unique-key check is one groupBy.
+    Returns {check_name: n_violations} for failing checks only."""
+    staged = spark.read.parquet(staged_dir)
+    counts: dict[str, int] = {}
+    if checks:
+        aggs = [
+            F.sum(F.when(~F.expr(cond), 1).otherwise(0)).alias(name)
+            for name, cond in checks
+        ]
+        row = staged.agg(*aggs).first()
+        for name, _ in checks:
+            n = row[name]
+            if n:
+                counts[name] = int(n)
+    if unique_key:
+        dupes = (
+            staged.groupBy(*unique_key).count()
+            .filter(F.col("count") > 1)
+            .agg(F.sum(F.col("count") - 1).alias("extra"))
+            .first()["extra"]
+        )
+        if dupes:
+            counts[f"unique({', '.join(unique_key)})"] = int(dupes)
+    return counts
+
+
 def write_replace(
     df: DataFrame,
     path: str,
     manifest_extra: dict[str, str] | None = None,
     retain: int = 2,
     expect_version: str | None = None,
+    checks: Sequence[tuple[str, str]] | None = None,
+    unique_key: Sequence[str] | None = None,
 ) -> None:
     """Full-table publish via manifest-pointer commit.
 
@@ -320,9 +366,21 @@ def write_replace(
     atomically with the data it describes (e.g. the streaming sink's
     committed-batch id). A version published without a given file simply
     has no such metadata.
+
+    ``checks`` (Delta-constraint semantics: ``[(name, sql_condition)]``,
+    every row must satisfy every condition) and ``unique_key`` gate the
+    publish: validation runs on the STAGED files (one aggregation pass,
+    no recompute of the writer's plan), and any violation removes the
+    staging and raises :class:`ConstraintViolation` — bad data can
+    never become the current version, readers keep the last good one.
     """
     tmp = f"{path}.__staging__{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
+    if checks or unique_key:
+        bad = _check_staged(df.sparkSession, tmp, checks, unique_key)
+        if bad:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ConstraintViolation(path, bad)
     _write_manifest_extra(tmp, manifest_extra)
     legacy_flat = os.path.exists(path) and not os.path.exists(
         os.path.join(path, _POINTER)

@@ -459,3 +459,40 @@ def test_occ_upsert_retry_preserves_both_writers(spark, tmp_path):
     S.upsert(spark, table, w2, keys=["k"], occ=True)
     got = {r["k"] for r in S.read_table(spark, table).collect()}
     assert got == {0, 1, 2}
+
+
+def test_constraint_gate_rejects_bad_publish(spark, tmp_path):
+    """Delta-style CHECK/unique gates: violations abort the publish
+    (staged files removed, previous version still current); clean data
+    passes. SQL CHECK semantics: a NULL condition result passes."""
+    from sec_xbrl_finwarehouse_spark.sinks import (
+        ConstraintViolation, current_data_dir, read_table, write_replace,
+    )
+
+    table = str(tmp_path / "gated")
+    checks = [("non_negative", "v >= 0"),
+              ("k_present", "k IS NOT NULL")]
+    good = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0)], "k int, v double")  # NULL v passes
+    write_replace(good, table, checks=checks, unique_key=["k"])
+    v_before = current_data_dir(table)
+
+    bad_value = spark.createDataFrame(
+        [(1, 1.0), (2, -5.0), (4, -1.0)], "k int, v double")
+    with pytest.raises(ConstraintViolation) as ei:
+        write_replace(bad_value, table, checks=checks, unique_key=["k"])
+    assert ei.value.counts == {"non_negative": 2}
+
+    dup_key = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 2.0)], "k int, v double")
+    with pytest.raises(ConstraintViolation) as ei:
+        write_replace(dup_key, table, checks=checks, unique_key=["k"])
+    assert ei.value.counts == {"unique(k)": 1}
+
+    # table untouched by both rejected publishes; no staging left behind
+    assert current_data_dir(table) == v_before
+    assert read_table(spark, table).count() == 3
+    import os as _os
+    leftovers = [n for n in _os.listdir(tmp_path)
+                 if n.startswith("gated.__staging__")]
+    assert leftovers == []
