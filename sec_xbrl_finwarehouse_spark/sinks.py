@@ -782,6 +782,28 @@ def table_changes(
     )
 
 
+def _zorder_guard(n_cols: int, bits: int) -> None:
+    if bits * n_cols > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * n_cols} exceeds the 63 usable "
+            "bits of a long; lower bits (e.g. 63 // len(cols))"
+        )
+
+
+def _interleave(q, bits: int, n_cols: int, col_idx: int):
+    """Place bit b of the quantized rank ``q`` at position
+    ``b * n_cols + col_idx`` (the Morton interleave)."""
+    spread = F.lit(0).cast("long")
+    for b in range(bits):
+        spread = spread.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                b * n_cols,
+            )
+        )
+    return F.shiftleft(spread, col_idx)
+
+
 def zorder_value(cols: Sequence[str], bits: int = 16):
     """Z-order (Morton) clustering key over ``cols``: each column is
     rank-normalized to ``bits`` bits via a percent_rank window, then the
@@ -791,30 +813,53 @@ def zorder_value(cols: Sequence[str], bits: int = 16):
 
     Why rank-normalize: raw values skew the curve (a heavy-hitter key
     collapses whole z-ranges); ranks give uniform occupancy, the same
-    choice Delta's OPTIMIZE ZORDER makes.
+    choice Delta's OPTIMIZE ZORDER makes. The unpartitioned rank window
+    is the dimension/mart-table form; :func:`zorder_value_binned` is
+    the big-table substitute.
     """
     from pyspark.sql import Window as W
 
-    if bits * len(cols) > 63:
-        raise ValueError(
-            f"bits*len(cols) = {bits * len(cols)} exceeds the 63 usable "
-            "bits of a long; lower bits (e.g. 63 // len(cols))"
-        )
+    _zorder_guard(len(cols), bits)
     z = F.lit(0).cast("long")
-    for c in cols:
+    for i, c in enumerate(cols):
         rank = F.percent_rank().over(W.orderBy(F.col(c)))
         q = F.least(
             F.floor(rank * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
         )
-        spread = F.lit(0).cast("long")
-        for b in range(bits):
-            spread = spread.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(q, b).bitwiseAND(F.lit(1)),
-                    b * len(cols),
-                )
-            )
-        z = z.bitwiseOR(F.shiftleft(spread, cols.index(c)))
+        z = z.bitwiseOR(_interleave(q, bits, len(cols), i))
+    return z
+
+
+def zorder_value_binned(df: DataFrame, cols: Sequence[str], bits: int = 8):
+    """The 100 TB z-order key: rank bins come from ONE driver-side
+    ``approxQuantile`` pass per column (Greenwald-Khanna sketch --
+    distributed, single scan, no shuffle) instead of a global
+    percent_rank window, so no stage ever funnels the table through one
+    partition. The edges become a broadcast literal array and each
+    row's bin is computed map-side (count of edges <= value, a
+    vectorized JVM ``aggregate`` over <= 2^bits elements).
+
+    ``bits`` defaults to 8 (256 bins/column): row groups hold millions
+    of rows at scale, so 256 distinct strides per dimension already
+    saturate what min/max skipping can use; 2^16 bins would only bloat
+    the literal edge arrays. Approximation error moves rows near bin
+    BOUNDARIES only -- clustering quality degrades smoothly, never
+    correctness (the key is just a sort key)."""
+    _zorder_guard(len(cols), bits)
+    probs = [j / (1 << bits) for j in range(1, 1 << bits)]
+    rel_err = 1.0 / (1 << (bits + 2))
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        edges = sorted(set(df.stat.approxQuantile(c, probs, rel_err)))
+        arr = F.array(*[F.lit(float(e)) for e in edges])
+        q = F.aggregate(
+            arr,
+            F.lit(0).cast("long"),
+            lambda acc, e: acc + F.when(
+                F.col(c).cast("double") >= e, F.lit(1)
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        z = z.bitwiseOR(_interleave(q, bits, len(cols), i))
     return z
 
 
@@ -824,6 +869,7 @@ def write_zordered(
     cols: Sequence[str],
     n_files: int | None = None,
     bits: int = 16,
+    method: str = "rank",
 ) -> None:
     """Publish ``df`` clustered along the z-curve of ``cols`` so parquet
     row-group min/max stats are TIGHT in every listed column — filters
@@ -837,12 +883,16 @@ def write_zordered(
     rank window per clustered column); with ``n_files`` unset the
     session's shuffle parallelism decides the file count.
 
-    NOTE the percent_rank windows are global (unpartitioned): fine for
-    the dimension/mart tables this targets; for a 100 TB fact table
-    substitute an approx-quantile binning per column (same interleave)
-    to avoid the single-partition rank — the z-curve math is identical.
+    ``method``: "rank" (exact percent_rank windows -- global, fine for
+    dimension/mart tables) or "quantile" (:func:`zorder_value_binned`:
+    one approxQuantile sketch pass per column, map-side binning, NO
+    window -- the 100 TB fact-table path; ``bits`` capped at 8).
     """
-    zcol = zorder_value(list(cols), bits=bits)
+    zcol = (
+        zorder_value_binned(df, list(cols), bits=min(bits, 8))
+        if method == "quantile"
+        else zorder_value(list(cols), bits=bits)
+    )
     clustered = df.withColumn("__z", zcol)
     parts = n_files or clustered.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"

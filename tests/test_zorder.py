@@ -85,3 +85,29 @@ def test_zorder_bit_budget_guard(spark):
     with pytest.raises(ValueError):
         sinks.write_zordered(df, "/tmp/never-written",
                              ["a", "b", "c", "d", "e"], bits=16)
+
+
+def test_quantile_zorder_no_window_and_still_tight(spark, layouts,
+                                                   tmp_path_factory):
+    """The big-table path: approxQuantile binning must produce a plan
+    with NO Window operator, and the resulting layout must still
+    tighten row-group stats in both clustered columns."""
+    _, _, b, orders = layouts
+    from sec_xbrl_finwarehouse_spark.sinks import zorder_value_binned
+
+    keyed = orders.withColumn(
+        "__z", zorder_value_binned(orders, ["o_custkey", "o_totalprice"])
+    )
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    qpath = str(tmp_path_factory.mktemp("zq") / "z")
+    sinks.write_zordered(orders, qpath, ["o_custkey", "o_totalprice"],
+                         n_files=N_FILES, method="quantile")
+    qdir = sinks.current_data_dir(qpath)
+    q_cust = _mean_span_fraction(qdir, "o_custkey", b[0], b[1])
+    q_price = _mean_span_fraction(qdir, "o_totalprice", b[2], b[3])
+    assert q_cust < 0.6 and q_price < 0.6
+    got = {tuple(r) for r in sinks.read_table(spark, qpath).collect()}
+    want = {tuple(r) for r in orders.collect()}
+    assert got == want
