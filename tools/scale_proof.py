@@ -73,6 +73,12 @@ QUERIES = [
     # the operator exists for, and the hash-keyed winner election stays
     # linear in it (unlike the near-dup pair queries, which stay out).
     "doc_paragraph_dedup",
+    # r5 continuation: calendar densification + SCD2 run on the 10x
+    # event stream (user_id-shifted copies multiply the island count
+    # linearly); staged retrieval + mixture sampling on the amplified
+    # embeddings/documents
+    "event_gap_fill", "event_scd2", "emb_prefix_rerank_topk",
+    "doc_mixture_sample",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
