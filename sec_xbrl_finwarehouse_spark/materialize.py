@@ -228,3 +228,34 @@ def refresh_marts_incremental(
         if mart == "statements_annual":
             n_stmt = df.count()
     return {"touched_ciks": n_touched, "statements_rows": n_stmt}
+
+
+def attach_warehouse(
+    spark: SparkSession, out_dir: str, prefix: str = ""
+) -> list[str]:
+    """Register every stored table under ``out_dir`` as a temp view
+    named after its directory (optionally prefixed), so the warehouse
+    is queryable with plain ``spark.sql("SELECT ... FROM
+    statements_annual")`` — the UX the reference gets from Postgres.
+
+    Each view resolves the table's manifest pointer ONCE at attach
+    time (readers pin an immutable version; re-attach after a publish
+    to see the new one — the same snapshot semantics every catalog
+    read has). Missing/non-table directories are skipped. Returns the
+    view names created."""
+    import os
+
+    created = []
+    if not os.path.isdir(out_dir):
+        return created
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        df = sinks.read_table(spark, path)
+        if df is None:
+            continue
+        view = f"{prefix}{name}"
+        df.createOrReplaceTempView(view)
+        created.append(view)
+    return created
