@@ -1,0 +1,101 @@
+"""WebDataset ingestion against synthesized tar shards: member
+extraction, first-dot key grouping, sample regrouping, and composition
+with the media kernels (a real PNG payload decoded from a shard)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import tarfile
+import zlib
+
+from sec_xbrl_finwarehouse_spark.sources.webdataset import (
+    read_webdataset_members,
+    read_webdataset_samples,
+)
+
+
+def _png_2x2() -> bytes:
+    """Minimal valid 2x2 RGB PNG (deterministic, stdlib-only)."""
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = b"\x00\xff\x00\x00\x00\xff\x00" + b"\x00\x00\x00\xff\xff\xff\x00"
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _shard(samples: dict[str, dict[str, bytes]]) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for key, parts in samples.items():
+            for ext, payload in parts.items():
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
+                info.size = len(payload)
+                tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def _write_shards(tmp_path):
+    d = tmp_path / "wds"
+    d.mkdir()
+    (d / "shard-000.tar").write_bytes(_shard({
+        "000001": {"txt": b"a cat photo", "jpg": b"\xff\xd8fakejpeg",
+                   "json": b'{"license": "cc"}'},
+        "000002": {"txt": b"a dog", "png": _png_2x2()},
+    }))
+    (d / "shard-001.tar").write_bytes(_shard({
+        "000003": {"txt": b"third", "seg.png": b"maskbytes"},
+    }))
+    return str(d / "*.tar")
+
+
+def test_members_long_frame(spark, tmp_path):
+    glob = _write_shards(tmp_path)
+    m = read_webdataset_members(spark, glob)
+    rows = {(r["key"], r["ext"]): r for r in m.collect()}
+    assert len(rows) == 7  # 3 + 2 + 2 members across the two shards
+    assert rows[("000001", "txt")]["payload"] == b"a cat photo"
+    # first-dot rule: seg.png is ONE ext on key 000003
+    assert ("000003", "seg.png") in rows
+    assert rows[("000002", "png")]["n_bytes"] == len(_png_2x2())
+
+
+def test_samples_regroup(spark, tmp_path):
+    glob = _write_shards(tmp_path)
+    s = read_webdataset_samples(spark, glob)
+    by_key = {r["key"]: r for r in s.collect()}
+    assert set(by_key) == {"000001", "000002", "000003"}
+    assert by_key["000001"]["n_parts"] == 3
+    assert set(by_key["000001"]["parts"].keys()) == {"txt", "jpg", "json"}
+    assert by_key["000003"]["parts"]["seg.png"] == b"maskbytes"
+    assert by_key["000002"]["n_bytes"] == 5 + len(_png_2x2())
+
+
+def test_shard_payload_feeds_media_kernels(spark, tmp_path):
+    """A PNG pulled out of a shard decodes through the real PNG path
+    of the multimodal kernels (decoded_real = true)."""
+    from pyspark.sql import functions as F
+
+    from sec_xbrl_finwarehouse_spark.functions.multimodal import (
+        image_features,
+    )
+
+    glob = _write_shards(tmp_path)
+    s = read_webdataset_samples(spark, glob)
+    media = s.filter(F.map_contains_key("parts", "png")).select(
+        F.xxhash64("key").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("parts")["png"].alias("payload"),
+        F.named_struct(
+            F.lit("width"), F.lit(2), F.lit("height"), F.lit(2),
+            F.lit("channels"), F.lit(3),
+            F.lit("sample_rate"), F.lit(None).cast("int"),
+            F.lit("duration_ms"), F.lit(None).cast("int"),
+            F.lit("format"), F.lit("png"),
+        ).alias("meta"),
+    )
+    feats = image_features(media).collect()
+    assert len(feats) == 1
+    assert feats[0]["decoded_real"] is True
