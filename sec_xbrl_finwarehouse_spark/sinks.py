@@ -919,3 +919,111 @@ def read_evolving(spark: SparkSession, *paths: str) -> DataFrame:
     changes a real pipeline routes through a table format with schema
     enforcement."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: Sequence[str],
+    when_matched_update: bool = True,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: bool = True,
+    audit: bool = True,
+) -> dict[str, int]:
+    """General MERGE INTO over the versioned sink — the superset of
+    ``upsert`` (update+insert) and ``append_if_absent`` (insert only),
+    plus conditional delete, mirroring the three WHEN clauses of
+    SQL/Delta MERGE and the reference's ``ON CONFLICT`` family:
+
+    * matched + ``when_matched_delete`` condition true -> row removed
+      (the condition is a SQL boolean over SOURCE columns, e.g. a
+      tombstone flag ``"is_deleted"``);
+    * matched otherwise -> updated from source when
+      ``when_matched_update`` (created_at carried, updated_at
+      refreshed), else kept as stored;
+    * unmatched source row -> inserted when ``when_not_matched_insert``
+      (tombstones for absent keys are ignored, not inserted).
+
+    Returns counts {"updated": u, "inserted": i, "deleted": d}.
+
+    Plan shape: ONE full-outer join on the merge keys classifies every
+    row; both sides shuffle once on the same key (or not at all over a
+    bucketed store). The rewrite publishes through the manifest commit
+    — MERGE is atomic, and a crash mid-merge leaves the old version
+    current. Source must be unique on ``on`` (enforced — a source
+    with duplicate keys makes MERGE ambiguous, the same error SQL
+    MERGE raises)."""
+    key_list = list(on)
+    existing = read_table(spark, path)
+    dup = (
+        source.groupBy(*key_list).count().filter(F.col("count") > 1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"MERGE source has {dup} duplicate key groups on {key_list}"
+        )
+    # NULL condition result = not deleted (SQL three-valued logic must
+    # not leak a source row into the skip branch)
+    del_cond = (
+        F.coalesce(F.expr(when_matched_delete).cast("boolean"), F.lit(False))
+        if when_matched_delete is not None
+        else F.lit(False)
+    )
+    if existing is None:
+        inserts = source.filter(~del_cond) if when_matched_delete else source
+        out = with_audit_cols(inserts) if audit else inserts
+        write_replace(out, path)
+        n = inserts.count()
+        return {"updated": 0, "inserted": n, "deleted": 0}
+
+    data_cols = [c for c in existing.columns if c not in _AUDIT_COLS]
+    src_cols = [c for c in data_cols if c in source.columns]
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
+    t2 = existing.withColumn("__t_present", F.lit(True)).alias("t")
+    joined = t2.join(s, key_list, "full_outer")
+    in_src = s["__s_present"].isNotNull()
+    in_tgt = t2["__t_present"].isNotNull()
+
+    action = (
+        F.when(in_tgt & in_src & del_cond, F.lit("delete"))
+        .when(in_tgt & in_src,
+              F.lit("update") if when_matched_update else F.lit("keep"))
+        .when(~in_tgt & in_src & ~del_cond,
+              F.lit("insert") if when_not_matched_insert else F.lit("skip"))
+        .when(~in_tgt & in_src, F.lit("skip"))   # tombstone for absent key
+        .otherwise(F.lit("keep"))                 # target-only row
+    )
+    take_src = F.col("__action").isin("update", "insert")
+    merged = joined.withColumn("__action", action).filter(
+        ~F.col("__action").isin("delete", "skip")
+    )
+    now = F.current_timestamp()
+    out_cols = [F.coalesce(t2[k], s[k]).alias(k) for k in key_list]
+    for c in data_cols:
+        if c in key_list:
+            continue
+        if c in src_cols:
+            out_cols.append(
+                F.when(take_src, s[c]).otherwise(t2[c]).alias(c)
+            )
+        else:
+            out_cols.append(t2[c].alias(c))
+    if audit:
+        out_cols.append(
+            F.coalesce(t2[CREATED_AT], now).alias(CREATED_AT)
+        )
+        out_cols.append(
+            F.when(take_src, now).otherwise(t2[UPDATED_AT]).alias(UPDATED_AT)
+        )
+    counts = {
+        r["__action"]: r["n"]
+        for r in joined.withColumn("__action", action)
+        .groupBy("__action").agg(F.count("*").alias("n")).collect()
+    }
+    write_replace(merged.select(*out_cols), path)
+    return {
+        "updated": int(counts.get("update", 0)),
+        "inserted": int(counts.get("insert", 0)),
+        "deleted": int(counts.get("delete", 0)),
+    }

@@ -496,3 +496,50 @@ def test_constraint_gate_rejects_bad_publish(spark, tmp_path):
     leftovers = [n for n in _os.listdir(tmp_path)
                  if n.startswith("gated.__staging__")]
     assert leftovers == []
+
+
+def test_merge_three_clause(spark, tmp_path):
+    """General MERGE: update / insert / conditional delete in one
+    atomic publish, counts returned, audit semantics preserved."""
+    from sec_xbrl_finwarehouse_spark.sinks import merge, read_table
+
+    table = str(tmp_path / "merge_t")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k int, tag string, v double",
+    )
+    out = merge(spark, table, base, on=["k"])
+    assert out == {"updated": 0, "inserted": 3, "deleted": 0}
+    created0 = {r["k"]: r["created_at"]
+                for r in read_table(spark, table).collect()}
+
+    src = spark.createDataFrame(
+        [(2, "B", 20.0, False),   # update
+         (3, "c", 3.0, True),     # matched + tombstone -> delete
+         (4, "d", 40.0, False),   # insert
+         (5, "e", 50.0, True)],   # tombstone for absent key -> skip
+        "k int, tag string, v double, is_deleted boolean",
+    )
+    out = merge(spark, table, src, on=["k"],
+                when_matched_delete="is_deleted")
+    assert out == {"updated": 1, "inserted": 1, "deleted": 1}
+
+    rows = {r["k"]: r for r in read_table(spark, table).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[2]["v"] == 20.0 and rows[2]["tag"] == "B"
+    assert rows[2]["created_at"] == created0[2]  # carried through update
+    assert rows[1]["updated_at"] == created0[1]  # untouched row unchanged
+
+    # duplicate-key source is ambiguous -> error, table untouched
+    dup = spark.createDataFrame(
+        [(9, "x", 1.0), (9, "y", 2.0)], "k int, tag string, v double")
+    with pytest.raises(ValueError):
+        merge(spark, table, dup, on=["k"])
+    assert set(r["k"] for r in read_table(spark, table).collect()) == {1, 2, 4}
+
+    # insert-only mode (ON CONFLICT DO NOTHING semantics)
+    src2 = spark.createDataFrame(
+        [(2, "Z", 99.0), (6, "f", 6.0)], "k int, tag string, v double")
+    out = merge(spark, table, src2, on=["k"], when_matched_update=False)
+    rows = {r["k"]: r for r in read_table(spark, table).collect()}
+    assert out["inserted"] == 1 and rows[2]["v"] == 20.0 and 6 in rows
