@@ -347,6 +347,7 @@ def write_replace(
     expect_version: str | None = None,
     checks: Sequence[tuple[str, str]] | None = None,
     unique_key: Sequence[str] | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> None:
     """Full-table publish via manifest-pointer commit.
 
@@ -381,7 +382,14 @@ def write_replace(
         if bad:
             shutil.rmtree(tmp, ignore_errors=True)
             raise ConstraintViolation(path, bad)
-    _write_manifest_extra(tmp, manifest_extra)
+    extra = dict(manifest_extra or {})
+    if stats_cols:
+        import json as _json
+
+        extra[STATS_META] = _json.dumps(
+            _collect_file_stats(tmp, list(stats_cols)), default=str
+        )
+    _write_manifest_extra(tmp, extra)
     legacy_flat = os.path.exists(path) and not os.path.exists(
         os.path.join(path, _POINTER)
     )
@@ -902,7 +910,9 @@ def write_zordered(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    write_replace(clustered, path)
+    # record per-file min/max for the clustered columns so
+    # read_table_pruned skips whole files on any of them
+    write_replace(clustered, path, stats_cols=list(cols))
 
 
 def read_evolving(spark: SparkSession, *paths: str) -> DataFrame:
@@ -1027,3 +1037,86 @@ def merge(
         "inserted": int(counts.get("insert", 0)),
         "deleted": int(counts.get("delete", 0)),
     }
+
+
+STATS_META = "_FILE_STATS"
+
+
+def _collect_file_stats(
+    staged_dir: str, cols: Sequence[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``cols`` from the parquet footers — a
+    driver-side metadata walk (no data read, no job), the same stats a
+    Delta/Iceberg commit records per file. Only numeric/str min-max
+    make pruning sense; files lacking stats for a column simply have no
+    entry (and are never pruned on it)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for name in sorted(os.listdir(staged_dir)):
+        if not name.endswith(".parquet") or name.startswith("."):
+            continue
+        meta = pq.ParquetFile(os.path.join(staged_dir, name)).metadata
+        idx = {meta.schema.column(i).name: i
+               for i in range(meta.num_columns)}
+        stats: dict[str, list] = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx[c]).statistics
+                if st is None or st.min is None or st.max is None:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                stats[c] = [min(mins), max(maxs)]
+        out[name] = stats
+    return out
+
+
+def read_table_pruned(
+    spark: SparkSession, path: str, col: str, lo=None, hi=None
+) -> DataFrame | None:
+    """File-level data skipping from the stats manifest: read ONLY the
+    files whose [min, max] for ``col`` intersects [lo, hi], then
+    re-apply the predicate exactly. At 100 TB this is the listing-level
+    skip Delta performs from its per-file stats — whole files never
+    enter the scan, before parquet row-group pruning even starts.
+    Combine with :func:`write_zordered` (stats tight in EVERY clustered
+    column) for multi-dimension skipping.
+
+    Falls back to the full table (predicate still applied) when the
+    current version was published without stats for ``col``."""
+    import json
+
+    data_dir = current_data_dir(path)
+    if data_dir is None:
+        return None
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        pred = pred & (F.col(col) <= F.lit(hi))
+    raw = read_version_meta(path, STATS_META)
+    if raw is None:
+        return spark.read.parquet(data_dir).filter(pred)
+    stats = json.loads(raw)
+    keep = []
+    for name, file_stats in stats.items():
+        rng = file_stats.get(col)
+        if rng is None:
+            keep.append(name)  # no stats: cannot prune, must read
+            continue
+        fmin, fmax = rng
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            continue
+        keep.append(name)
+    if not keep:
+        # empty selection: preserve schema via a zero-file-safe read
+        return spark.read.parquet(data_dir).filter(F.lit(False))
+    return spark.read.parquet(
+        *[os.path.join(data_dir, n) for n in keep]
+    ).filter(pred)

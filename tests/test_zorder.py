@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 import pytest
 
 from sec_xbrl_finwarehouse_spark import sinks
@@ -111,3 +112,31 @@ def test_quantile_zorder_no_window_and_still_tight(spark, layouts,
     got = {tuple(r) for r in sinks.read_table(spark, qpath).collect()}
     want = {tuple(r) for r in orders.collect()}
     assert got == want
+
+
+def test_stats_manifest_file_pruning(spark, layouts):
+    """File-level data skipping: a narrow range read over the z-ordered
+    table must read a strict subset of files (the stats manifest prunes
+    the listing) and return exactly the full-scan filter's rows — on
+    EITHER clustered column."""
+    zpath, _, b, orders = layouts
+    from sec_xbrl_finwarehouse_spark.sinks import read_table_pruned
+
+    lo, hi = b[0], b[0] + (b[1] - b[0]) // 10  # narrow o_custkey slice
+    pruned = read_table_pruned(spark, zpath, "o_custkey", lo, hi)
+    n_files_pruned = pruned.select(
+        F.input_file_name()).distinct().count()
+    want = orders.filter(
+        (F.col("o_custkey") >= lo) & (F.col("o_custkey") <= hi))
+    assert {tuple(r) for r in pruned.collect()} == \
+        {tuple(r) for r in want.collect()}
+    assert 0 < n_files_pruned < N_FILES  # strict subset of the listing
+
+    # second dimension prunes too (the z-order payoff)
+    plo, phi = b[2], b[2] + (b[3] - b[2]) / 10
+    pruned2 = read_table_pruned(spark, zpath, "o_totalprice", plo, phi)
+    n2 = pruned2.select(F.input_file_name()).distinct().count()
+    assert 0 < n2 < N_FILES
+    want2 = orders.filter(
+        (F.col("o_totalprice") >= plo) & (F.col("o_totalprice") <= phi))
+    assert pruned2.count() == want2.count()
