@@ -201,7 +201,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    raise ValueError("unsupported image container (not PNG/JPEG)")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)[0]["rgb"]
+    raise ValueError("unsupported image container (not PNG/JPEG/GIF)")
 
 
 def _decode_rgb_stats(payload: bytes) -> tuple[float, float, str, bool]:
@@ -221,7 +225,13 @@ def _decode_rgb_stats(payload: bytes) -> tuple[float, float, str, bool]:
             a = decode_image(payload).astype(np.float64)
             codec, real = "jpeg", True
         except Exception:
-            a = None  # malformed or progressive: byte-stat fallback
+            a = None  # malformed variant: byte-stat fallback
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            a = decode_image(payload).astype(np.float64)
+            codec, real = "gif", True
+        except Exception:
+            a = None
     if a is None:
         a = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     if a.size == 0:
