@@ -36,23 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness gate covers the first 50
-    # entries in dict order per round.  Packs that were outside that window
-    # in r4 (embeddings, corpus hygiene, text tail) are listed FIRST so they
-    # get driver-verified rows in CORRECTNESS_r5; the entries rotated out
-    # (last events + star/parity queries) all carry green r4 driver rows.
-    # r6 TODO: FLIP this order (star/events first, emb/corpus/text last) so
-    # the 29 currently-rotated-out entries get fresh driver rows — rotating
-    # the window each round keeps every query's driver verdict <= 2 rounds
-    # old. All 79 pass tools/check_correctness.py locally regardless.
+    # entries in dict order per round.  The window ROTATES each round so
+    # every query's driver verdict stays <= 2 rounds old: r5 put the
+    # emb/corpus/text packs first (they got green r5 rows); r6 flips to
+    # star/parity + events first so the 29 entries rotated out of r5's
+    # window get fresh driver rows. All pass tools/check_correctness.py
+    # locally regardless of position.
     return {
-        # beyond-reference: embedding similarity search (unverified in r4)
-        **embedding_queries.QUERIES,
-        # beyond-reference: corpus hygiene (unverified in r4)
-        **corpus_queries.QUERIES,
-        # beyond-reference: text analysis + dedup (tail unverified in r4)
-        **text_queries.QUERIES,
-        # beyond-reference: event-time analytics (SURVEY §2.9 / §7.1-7)
-        **events_queries.QUERIES,
         # SURVEY §2 reference-parity operators (FIXTURES.md §C mapping)
         "window_dedup_latest": sq.q_window_dedup_latest,      # W1
         "window_dedup_priority": sq.q_window_dedup_priority,  # W2
@@ -72,6 +62,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "company_profile": sq.q_company_profile,              # J3
         "ratios_lookup": sq.q_ratios_lookup,                  # O1
         "screener": sq.q_screener,                            # P6 + J2 + O2
+        # beyond-reference: event-time analytics (SURVEY §2.9 / §7.1-7)
+        **events_queries.QUERIES,
+        # beyond-reference: text analysis + dedup
+        **text_queries.QUERIES,
+        # beyond-reference: corpus hygiene
+        **corpus_queries.QUERIES,
+        # beyond-reference: embedding similarity search
+        **embedding_queries.QUERIES,
     }
 
 

@@ -987,7 +987,10 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id, shard, n_tokens,
-       sum(n_tokens) OVER w AS cum_tokens,
+       -- CAST: DuckDB sum(BIGINT) is HUGEINT, which degrades to
+       -- float64/object through a pandas/Arrow fetch and hash-mismatches
+       -- Spark's BIGINT (same trap as corpus_queries.py CAST convention).
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
        CAST(floor((sum(n_tokens) OVER w - n_tokens)
                   / {PACK_WINDOW}) AS BIGINT) AS pack_id
 FROM d

@@ -47,10 +47,22 @@ def values_equal(a, b, rel=1e-9) -> bool:
     return str(a) == str(b)
 
 
-def compare(name: str, spark_df, con) -> dict:
+def compare(name: str, spark_df, con, pandas_fetch: bool = False) -> dict:
     t0 = time.time()
-    srows = spark_df.collect()
-    scols = spark_df.columns
+    if pandas_fetch:
+        # Driver-faithful mode: both sides fetched through pandas/Arrow,
+        # the path the driver's value-hash uses.  This is where DuckDB
+        # HUGEINT (e.g. an uncast sum(BIGINT) window) degrades to
+        # float64/object and hash-mismatches Spark's BIGINT even though a
+        # tuple-level fetchall() compare looks identical — the
+        # doc_seq_packing r5 failure class.  Values are compared as their
+        # post-pandas repr strings, no float tolerance.
+        spdf = spark_df.toPandas()
+        srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
+        scols = list(spdf.columns)
+    else:
+        srows = spark_df.collect()
+        scols = spark_df.columns
     t_spark = time.time() - t0
 
     sql = entrymod.oracle_sql().get(name)
@@ -60,7 +72,12 @@ def compare(name: str, spark_df, con) -> dict:
     t0 = time.time()
     res = con.sql(sql)
     ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    if pandas_fetch:
+        odf = res.df()
+        ocols = list(odf.columns)
+        orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
+    else:
+        orows = res.fetchall()
     t_duck = time.time() - t0
 
     out = {"name": name, "rows": len(srows), "oracle_rows": len(orows),
@@ -76,6 +93,12 @@ def compare(name: str, spark_df, con) -> dict:
 
     sn = normalize([tuple(r) for r in srows], scols)
     on = normalize(orows, ocols)
+    if pandas_fetch:
+        # hash-faithful: a value survives only if its post-pandas string
+        # repr matches exactly (int64 "100" vs HUGEINT->float64 "100.0"
+        # must FAIL here, as it does in the driver's value hash)
+        sn = [tuple(str(x) for x in r) for r in sn]
+        on = [tuple(str(x) for x in r) for r in on]
     exact = sn == on
     n_bad = 0
     first_bad = None
@@ -109,7 +132,11 @@ def main() -> None:
     # exactly like the driver's external verify harness, to catch any
     # query that silently depends on get_spark's settings
     bare = "--bare" in args
-    args = [a for a in args if a != "--bare"]
+    # --pandas-fetch: fetch both sides through pandas/Arrow and compare
+    # post-pandas string reprs strictly — reproduces the driver's
+    # value-hash behavior (DuckDB HUGEINT degradation etc.) locally
+    pandas_fetch = "--pandas-fetch" in args
+    args = [a for a in args if a not in ("--bare", "--pandas-fetch")]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     wanted = args[1:] if args and os.path.isdir(args[0]) else args
 
@@ -130,7 +157,8 @@ def main() -> None:
     failures = 0
     for name in names:
         try:
-            r = compare(name, qmap[name](spark, sf_dir), con)
+            r = compare(name, qmap[name](spark, sf_dir), con,
+                        pandas_fetch=pandas_fetch)
         except Exception as e:  # noqa: BLE001
             r = {"name": name, "status": "ERROR", "error": str(e)[:500]}
         if r["status"] not in ("OK_EXACT", "OK_TOL", "NO_ORACLE"):
