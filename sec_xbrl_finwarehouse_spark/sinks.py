@@ -181,24 +181,41 @@ def _publish_version(
         f.write(version)
         f.flush()
         os.fsync(f.fileno())
-    with _commit_lock(path):
-        if expect_version is not None:
-            now = _pointer_value(path)
-            expected = None if expect_version == EXPECT_ABSENT \
-                else expect_version
-            if now != expected:
-                os.unlink(tmp_pointer)
-                shutil.rmtree(version_dir, ignore_errors=True)
-                raise ConcurrentWriteError(
-                    f"{path}: expected current version "
-                    f"{expected!r}, found {now!r}"
-                )
-        os.replace(tmp_pointer, pointer)  # THE commit point (atomic on POSIX)
-    keep = set(_versions_newest_first(path)[: max(retain, 1)])
-    keep.add(version)
-    for name in os.listdir(path):
-        if name.startswith("v_") and name not in keep:
-            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    try:
+        with _commit_lock(path):
+            if expect_version is not None:
+                now = _pointer_value(path)
+                expected = None if expect_version == EXPECT_ABSENT \
+                    else expect_version
+                if now != expected:
+                    raise ConcurrentWriteError(
+                        f"{path}: expected current version "
+                        f"{expected!r}, found {now!r}"
+                    )
+            os.replace(tmp_pointer, pointer)  # THE commit point (atomic on POSIX)
+    except ConcurrentWriteError:
+        # the commit did NOT happen (lock timeout or OCC mismatch):
+        # remove the staged pointer AND the already-moved-in version
+        # directory, or version enumeration would treat the orphan as
+        # the newest version and the next publish's retain-prune could
+        # delete the genuine previous version under in-flight readers
+        try:
+            os.unlink(tmp_pointer)
+        except OSError:
+            pass
+        shutil.rmtree(version_dir, ignore_errors=True)
+        raise
+    # post-commit retain-prune is best-effort: the pointer swap above
+    # already committed, so a prune failure must never propagate into a
+    # caller's cleanup path (which would remove the committed version)
+    try:
+        keep = set(_versions_newest_first(path)[: max(retain, 1)])
+        keep.add(version)
+        for name in os.listdir(path):
+            if name.startswith("v_") and name not in keep:
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+    except OSError:
+        pass
 
 
 def _versions_newest_first(path: str) -> list[str]:
@@ -387,7 +404,7 @@ def write_replace(
         import json as _json
 
         extra[STATS_META] = _json.dumps(
-            _collect_file_stats(tmp, list(stats_cols)), default=str
+            _collect_file_stats(tmp, list(stats_cols))
         )
     _write_manifest_extra(tmp, extra)
     legacy_flat = os.path.exists(path) and not os.path.exists(
@@ -408,7 +425,11 @@ def write_replace(
         os.rename(tmp, version_dir)
         _publish_version(path, version_dir, retain=retain,
                          expect_version=expect_version)
-    except OSError:
+    except Exception:
+        # any pre-commit failure (OSError, ConcurrentWriteError, ...):
+        # neither the staging dir nor the staged version dir may
+        # survive — an orphaned v_<hex> would be enumerated as a real
+        # version by retain-pruning and time travel
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(version_dir, ignore_errors=True)
         raise
@@ -539,14 +560,36 @@ def upsert_partitioned(
         _publish_version(path, version_dir)
         return len([n for n in os.listdir(version_dir)
                     if n.startswith(f"{partition_col}=")])
+    # the untouched-partition hard-link pass below only preserves
+    # `partition_col=` directories; a current version that is NOT laid
+    # out hive-partitioned (e.g. written flat by write_replace) would
+    # silently lose every stored row, so refuse it up front
+    cur_names = [n for n in os.listdir(cur) if not n.startswith((".", "_"))]
+    if cur_names and not any(
+        n.startswith(f"{partition_col}=") for n in cur_names
+    ):
+        raise ValueError(
+            f"{path}: current version is not hive-partitioned on "
+            f"{partition_col!r} (no {partition_col}= directories); "
+            "rewrite it with upsert_partitioned/partitionBy first"
+        )
     # touched partition values: a partition-count-sized driver list,
     # the same metadata any table-format commit materializes
     touched = [
         r[0] for r in incoming.select(partition_col).distinct().collect()
     ]
-    stored_touched = read_table(spark, path).filter(
-        F.col(partition_col).isin(touched)
+    # NULL-safe membership: isin() never matches NULL (three-valued
+    # logic), but a NULL partition value is stored under
+    # __HIVE_DEFAULT_PARTITION__ and the staged rewrite DOES replace
+    # that directory — without the isNull() arm the stored NULL rows
+    # would be silently dropped
+    non_null = [t for t in touched if t is not None]
+    member = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
     )
+    if any(t is None for t in touched):
+        member = member | F.col(partition_col).isNull()
+    stored_touched = read_table(spark, path).filter(member)
     merged = _merge_with_audit(stored_touched, incoming, keys, audit)
     staging = f"{path}.__staging__{uuid.uuid4().hex}"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
@@ -877,7 +920,7 @@ def write_zordered(
     cols: Sequence[str],
     n_files: int | None = None,
     bits: int = 16,
-    method: str = "rank",
+    method: str = "quantile",
 ) -> None:
     """Publish ``df`` clustered along the z-curve of ``cols`` so parquet
     row-group min/max stats are TIGHT in every listed column — filters
@@ -887,14 +930,17 @@ def write_zordered(
     one column and none on the rest; the z-curve trades a little of the
     first column's tightness for skipping on all of them.
 
-    The layout pass is one range exchange on the z-value (plus one
-    rank window per clustered column); with ``n_files`` unset the
-    session's shuffle parallelism decides the file count.
+    The layout pass is one range exchange on the z-value; with
+    ``n_files`` unset the session's shuffle parallelism decides the
+    file count.
 
-    ``method``: "rank" (exact percent_rank windows -- global, fine for
-    dimension/mart tables) or "quantile" (:func:`zorder_value_binned`:
+    ``method``: "quantile" (the DEFAULT — :func:`zorder_value_binned`:
     one approxQuantile sketch pass per column, map-side binning, NO
-    window -- the 100 TB fact-table path; ``bits`` capped at 8).
+    window anywhere in the plan — the 100 TB fact-table path; ``bits``
+    capped at 8) or "rank" (exact percent_rank windows — these are
+    UNPARTITIONED, funneling the whole table through one task, so the
+    rank path is opt-in and only for small dimension/mart tables where
+    exact rank bins matter more than parallelism).
     """
     zcol = (
         zorder_value_binned(df, list(cols), bits=min(bits, 8))
@@ -1042,6 +1088,47 @@ def merge(
 STATS_META = "_FILE_STATS"
 
 
+def _stat_encode(v):
+    """JSON-safe, TYPED encoding of a parquet footer min/max value.
+    Plain ``json.dumps(default=str)`` would stringify dates/timestamps/
+    decimals, and :func:`read_table_pruned` would then compare a str
+    against the caller's date bound — a TypeError at best, silent
+    mis-pruning at worst. Values whose type has no faithful encoding
+    (e.g. raw bytes) return ``None`` → the column's stats entry is
+    dropped for that file and the file is never pruned on it."""
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return {"__t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"__t": "date", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"__t": "dec", "v": str(v)}
+    return None
+
+
+def _stat_decode(v):
+    """Inverse of :func:`_stat_encode`: typed dicts come back as native
+    date/datetime/Decimal so lo/hi comparisons run on real values."""
+    if isinstance(v, dict) and "__t" in v:
+        import datetime
+        import decimal
+
+        t, s = v["__t"], v["v"]
+        if t == "ts":
+            return datetime.datetime.fromisoformat(s)
+        if t == "date":
+            return datetime.date.fromisoformat(s)
+        if t == "dec":
+            return decimal.Decimal(s)
+    return v
+
+
 def _collect_file_stats(
     staged_dir: str, cols: Sequence[str]
 ) -> dict[str, dict[str, list]]:
@@ -1072,7 +1159,9 @@ def _collect_file_stats(
                 mins.append(st.min)
                 maxs.append(st.max)
             if mins:
-                stats[c] = [min(mins), max(maxs)]
+                lo, hi = _stat_encode(min(mins)), _stat_encode(max(maxs))
+                if lo is not None and hi is not None:
+                    stats[c] = [lo, hi]
         out[name] = stats
     return out
 
@@ -1110,8 +1199,16 @@ def read_table_pruned(
         if rng is None:
             keep.append(name)  # no stats: cannot prune, must read
             continue
-        fmin, fmax = rng
-        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+        fmin, fmax = _stat_decode(rng[0]), _stat_decode(rng[1])
+        try:
+            if (hi is not None and fmin > hi) or \
+                    (lo is not None and fmax < lo):
+                continue
+        except TypeError:
+            # stats/bounds type mismatch (e.g. a legacy default=str
+            # manifest vs a date bound): pruning is an OPTIMIZATION,
+            # so an incomparable pair must read the file, never skip it
+            keep.append(name)
             continue
         keep.append(name)
     if not keep:

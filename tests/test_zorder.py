@@ -42,8 +42,11 @@ def layouts(spark, tmp_path_factory):
     )
     zpath = str(root / "z")
     xpath = str(root / "xsorted")
+    # exact rank z-order (opt-in): the tightness-comparison tests below
+    # measure the ideal z-curve; the default (binned) path has its own
+    # quality + no-window tests further down
     sinks.write_zordered(orders, zpath, ["o_custkey", "o_totalprice"],
-                         n_files=N_FILES)
+                         n_files=N_FILES, method="rank")
     sinks.write_replace(
         orders.repartitionByRange(N_FILES, "o_custkey")
         .sortWithinPartitions("o_custkey"),
@@ -83,9 +86,32 @@ def test_zorder_is_a_pure_reordering(spark, layouts):
 
 def test_zorder_bit_budget_guard(spark):
     df = spark.range(10).selectExpr("id a", "id b", "id c", "id d", "id e")
+    # rank path: bits are taken as requested, 5*16 > 63
     with pytest.raises(ValueError):
         sinks.write_zordered(df, "/tmp/never-written",
-                             ["a", "b", "c", "d", "e"], bits=16)
+                             ["a", "b", "c", "d", "e"], bits=16,
+                             method="rank")
+    # quantile path caps bits at 8, but 8 cols * 8 bits still overflows
+    eight = spark.range(10).selectExpr(*[f"id c{i}" for i in range(8)])
+    with pytest.raises(ValueError):
+        sinks.write_zordered(eight, "/tmp/never-written",
+                             [f"c{i}" for i in range(8)])
+
+
+def test_default_zorder_method_plans_no_window(spark):
+    """Regression (VERDICT r6 #3): the DEFAULT write_zordered spelling
+    must never plan an unpartitioned percent_rank window — the binned
+    (approxQuantile) method is the default; "rank" is opt-in."""
+    import inspect
+
+    sig = inspect.signature(sinks.write_zordered)
+    assert sig.parameters["method"].default == "quantile"
+    df = spark.range(100).selectExpr("id a", "id * 7 % 13 b")
+    keyed = df.withColumn(
+        "__z", sinks.zorder_value_binned(df, ["a", "b"])
+    )
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
 
 
 def test_quantile_zorder_no_window_and_still_tight(spark, layouts,
