@@ -87,11 +87,19 @@ def materialize_facts_bucketed(
 
 
 def build_marts_from_facts(
-    spark: SparkSession, facts, sf_dir: str, out_dir: str
+    spark: SparkSession, facts, sf_dir: str, out_dir: str,
+    facts_version: str | None = None,
 ) -> dict[str, str]:
     """The mart builds of :func:`build_all_marts`, from an
     already-materialized facts frame (e.g. ``spark.table(...)`` over a
-    bucketed facts table, making the whole rebuild exchange-free)."""
+    bucketed facts table, making the whole rebuild exchange-free).
+
+    ``facts_version`` (a :func:`sinks.list_versions` name) records, on
+    the statements mart's commit, WHICH facts version this build
+    consumed -- the refresh baseline :func:`refresh_marts_incremental`
+    diffs against. It commits atomically with the mart data
+    (manifest_extra), so the baseline can never disagree with the rows
+    it describes."""
     supplier = spark.read.parquet(table_path(sf_dir, "supplier"))
     companies = star_companies(supplier)
     statements = build_statements(facts, version="v3")
@@ -101,9 +109,12 @@ def build_marts_from_facts(
         "statements_annual": f"{out_dir}/statements_annual",
         "ratios_annual": f"{out_dir}/ratios_annual",
     }
+    extra = (
+        {FACTS_BASELINE_META: facts_version} if facts_version else None
+    )
     sinks.upsert(spark, paths["companies"], companies, keys=["cik"])
     sinks.upsert(spark, paths["statements_annual"], statements,
-                 keys=["cik", "fiscal_year"])
+                 keys=["cik", "fiscal_year"], manifest_extra=extra)
     sinks.upsert(spark, paths["ratios_annual"], ratios,
                  keys=["cik", "fiscal_year"])
     return paths
@@ -113,6 +124,10 @@ def build_marts_from_facts(
 # re-expressed over FACTS_SCHEMA columns)
 FACT_KEYS = ("cik", "taxonomy", "tag", "unit", "period_start",
              "period_end", "filing_accession_no")
+
+# manifest_extra file (on the statements mart) naming the facts table
+# version the last refresh consumed — the incremental-diff baseline
+FACTS_BASELINE_META = "_facts_baseline"
 
 
 def _cik_fingerprints(df):
@@ -157,25 +172,41 @@ def refresh_marts_incremental(
     ciks; a touched cik re-enters only through its rebuilt rows).
 
     Change detection is per-entity content fingerprints (sum of row
-    hashes) between the current and previous retained versions — NOT
-    the PK change feed, because raw facts legitimately repeat their
-    natural key before the D1 dedup. Returns {"touched_ciks": n,
+    hashes) between the current facts version and the BASELINE — the
+    facts version the PREVIOUS refresh consumed, recorded atomically on
+    the statements mart's commit (``manifest_extra``
+    :data:`FACTS_BASELINE_META`) — NOT simply the previous retained
+    version: two facts publishes between refreshes would make a
+    prev-version diff silently skip the earlier publish's entities
+    (stale marts, no error). Returns {"touched_ciks": n,
     "statements_rows": m} (zeros when nothing changed — nothing is
-    recomputed at all). Requires the facts table at ``facts_path`` to
-    be written through the versioned sink with a retained previous
-    version; falls back to a FULL rebuild when no prior version exists
-    (first run)."""
+    recomputed at all). Falls back to a FULL rebuild (−1/−1) when there
+    is no baseline to diff against: first run, a mart predating
+    baseline recording, a facts table not written through the versioned
+    sink, or a baseline no longer retained (more publishes than the
+    retention window since the last refresh — widen ``retain`` on the
+    facts sink to keep refreshes incremental under bursty ingest)."""
     from pyspark.sql import functions as F
 
     versions = sinks.list_versions(facts_path)
-    if len(versions) < 2:
+    cur_version = versions[0]["version"] if versions else None
+    stmt_path = f"{out_dir}/statements_annual"
+    baseline = sinks.read_version_meta(stmt_path, FACTS_BASELINE_META)
+    retained = {v["version"] for v in versions}
+    if cur_version is None or baseline is None or baseline not in retained:
         build_marts_from_facts(
-            spark, sinks.read_table(spark, facts_path), sf_dir, out_dir
+            spark,
+            sinks.read_table(spark, facts_path, version=cur_version)
+            if cur_version else sinks.read_table(spark, facts_path),
+            sf_dir, out_dir, facts_version=cur_version,
         )
         return {"touched_ciks": -1, "statements_rows": -1}  # full rebuild
-    prev = sinks.read_table(spark, facts_path,
-                            version=versions[1]["version"])
-    cur_fp = _cik_fingerprints(sinks.read_table(spark, facts_path))
+    if baseline == cur_version:
+        return {"touched_ciks": 0, "statements_rows": 0}
+    prev = sinks.read_table(spark, facts_path, version=baseline)
+    cur_fp = _cik_fingerprints(
+        sinks.read_table(spark, facts_path, version=cur_version)
+    )
     prev_fp = _cik_fingerprints(prev).withColumnRenamed("fp", "fp0") \
         .withColumnRenamed("n_rows", "n0")
     touched = (
@@ -190,9 +221,9 @@ def refresh_marts_incremental(
     if n_touched == 0:
         return {"touched_ciks": 0, "statements_rows": 0}
 
-    facts_now = sinks.read_table(spark, facts_path).join(
-        F.broadcast(touched), "cik"
-    )
+    facts_now = sinks.read_table(
+        spark, facts_path, version=cur_version
+    ).join(F.broadcast(touched), "cik")
     statements = build_statements(facts_now, version="v3")
     ratios = compute_ratios(statements)
 
@@ -202,9 +233,15 @@ def refresh_marts_incremental(
         ("ratios_annual", ratios, ["cik", "fiscal_year"]),
     ):
         path = f"{out_dir}/{mart}"
+        # advance the baseline pointer atomically with the rebuilt rows
+        extra = (
+            {FACTS_BASELINE_META: cur_version}
+            if mart == "statements_annual" else None
+        )
         stored = sinks.read_table(spark, path)
         if stored is None:
-            sinks.write_replace(sinks.with_audit_cols(df), path)
+            sinks.write_replace(sinks.with_audit_cols(df), path,
+                                manifest_extra=extra)
         else:
             kept = stored.join(F.broadcast(touched), "cik", "left_anti")
             # the rebuilt rows are the FULL truth for touched ciks (a
@@ -223,7 +260,8 @@ def refresh_marts_incremental(
                 .drop("__prior_created")
             )
             sinks.write_replace(
-                kept.unionByName(fresh.select(*stored.columns)), path
+                kept.unionByName(fresh.select(*stored.columns)), path,
+                manifest_extra=extra,
             )
         if mart == "statements_annual":
             n_stmt = df.count()

@@ -415,9 +415,10 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (two passes over the tokenizer, zero wide exchanges of
     token-level data): pass 1 aggregates the vocabulary-sized unigram
     LM table -- counts by token, fully map-side combinable, plus the
-    corpus total as a single window sum over the vocabulary (one task
-    over a vocab-sized input, which must fit one executor anyway to be
-    broadcast). Pass 2 BROADCASTS that LM (Heaps' law keeps natural-
+    corpus total as a SCALAR aggregation broadcast-crossed back onto
+    the count table (two-stage partial agg; no single-partition window
+    anywhere, so the vocabulary never funnels through one task).
+    Pass 2 BROADCASTS that LM (Heaps' law keeps natural-
     language vocabularies orders of magnitude smaller than the corpus)
     onto the raw token stream and aggregates straight to doc_id --
     quantizing per token occurrence means no intermediate (doc_id, tok)
@@ -430,38 +431,41 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     extreme corpus breadth), swap the broadcast hint for a shuffle
     join; semantics are unchanged."""
     d = _documents(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    cnt = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    lm = cnt.withColumn(
-        "n_corpus", F.sum("cnt").over(Window.partitionBy())
-    ).select(
+    # explode_OUTER keeps zero-token docs as one NULL-token row, so the
+    # per-doc aggregation below covers EVERY doc and no corpus-sized
+    # re-join of the doc list is ever needed
+    toks = d.select(
+        "doc_id", F.explode_outer(_tokens(F.col("text"))).alias("tok")
+    )
+    cnt = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok").agg(F.count("*").alias("cnt"))
+    )
+    # corpus total as a scalar agg broadcast-crossed back on -- NOT a
+    # Window.partitionBy() sum, which would funnel the whole vocabulary
+    # through ONE task (at web scale the token set -- typos, numbers,
+    # code -- is far too wide for a single partition)
+    tot = cnt.agg(F.sum("cnt").alias("n_corpus"))
+    lm = cnt.crossJoin(F.broadcast(tot)).select(
         "tok",
         F.floor(
             F.log(F.col("cnt") / F.col("n_corpus")) * F.lit(1e6) + F.lit(0.5)
         ).cast("long").alias("tok_unats"),
     )
-    per_doc = (
-        toks.join(F.broadcast(lm), "tok")
+    # left join: the NULL-token rows of empty docs pass through with
+    # tok_unats NULL; count("tok") ignores them -> n_tokens 0, xent NULL
+    return (
+        toks.join(F.broadcast(lm), "tok", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.count("tok").alias("n_tokens"),
             (-F.sum("tok_unats")).alias("neg_unats"),
         )
-    )
-    scored = per_doc.select(
-        "doc_id",
-        "n_tokens",
-        F.round(F.col("neg_unats") / F.lit(1e6) / F.col("n_tokens"), 6)
-        .alias("xent"),
-    )
-    # docs with zero tokens re-enter with NULL score (nothing to model)
-    return (
-        d.select("doc_id")
-        .join(scored, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            "xent",
+            "n_tokens",
+            F.round(F.col("neg_unats") / F.lit(1e6) / F.col("n_tokens"), 6)
+            .alias("xent"),
         )
     )
 

@@ -55,6 +55,7 @@ retain the prior version for in-flight readers) is unchanged.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 import uuid
@@ -157,6 +158,7 @@ def _publish_version(
     version_dir: str,
     retain: int = 2,
     expect_version: str | None = None,
+    cleanup_staged_on_fail: bool = True,
 ) -> None:
     """Atomically repoint ``_CURRENT`` at ``version_dir`` (already moved
     inside ``path``), then prune all but the newest ``retain`` versions
@@ -198,12 +200,16 @@ def _publish_version(
         # remove the staged pointer AND the already-moved-in version
         # directory, or version enumeration would treat the orphan as
         # the newest version and the next publish's retain-prune could
-        # delete the genuine previous version under in-flight readers
+        # delete the genuine previous version under in-flight readers.
+        # ``cleanup_staged_on_fail=False`` is for callers whose
+        # version_dir holds the ONLY copy of pre-existing data (the
+        # legacy-flat migration) -- they restore it themselves
         try:
             os.unlink(tmp_pointer)
         except OSError:
             pass
-        shutil.rmtree(version_dir, ignore_errors=True)
+        if cleanup_staged_on_fail:
+            shutil.rmtree(version_dir, ignore_errors=True)
         raise
     # post-commit retain-prune is best-effort: the pointer swap above
     # already committed, so a prune failure must never propagate into a
@@ -414,13 +420,27 @@ def write_replace(
     try:
         if legacy_flat:
             # one-time migration: tuck the flat files into a version dir
-            # so the pre-swap layout stays readable as "previous"
+            # so the pre-swap layout stays readable as "previous". The
+            # moved files are the ONLY copy of the pre-migration table,
+            # so a failed publish (commit-lock timeout, stale lock from
+            # a crashed writer) must move them BACK, never delete them
             legacy_v = os.path.join(path, f"v_legacy_{uuid.uuid4().hex}")
             os.mkdir(legacy_v)
+            moved = []
             for name in os.listdir(path):
                 if not name.startswith(("v_", ".")):
-                    os.rename(os.path.join(path, name), os.path.join(legacy_v, name))
-            _publish_version(path, legacy_v)
+                    os.rename(os.path.join(path, name),
+                              os.path.join(legacy_v, name))
+                    moved.append(name)
+            try:
+                _publish_version(path, legacy_v,
+                                 cleanup_staged_on_fail=False)
+            except Exception:
+                for name in moved:
+                    os.rename(os.path.join(legacy_v, name),
+                              os.path.join(path, name))
+                os.rmdir(legacy_v)
+                raise
         os.makedirs(path, exist_ok=True)
         os.rename(tmp, version_dir)
         _publish_version(path, version_dir, retain=retain,
@@ -458,6 +478,7 @@ def upsert(
     audit: bool = True,
     retain: int = 2,
     occ: bool = False,
+    manifest_extra: dict[str, str] | None = None,
 ) -> None:
     """S5 as a stored-table write: ON CONFLICT (keys) DO UPDATE.
 
@@ -487,6 +508,7 @@ def upsert(
     write_replace(
         _merge_with_audit(existing, incoming, keys, audit), path,
         retain=retain, expect_version=expect,
+        manifest_extra=manifest_extra,
     )
 
 
@@ -506,12 +528,23 @@ def _merge_with_audit(
     now = F.current_timestamp()
     if existing is None:
         return with_audit_cols(incoming)
-    prior = existing.select(*keys, F.col(CREATED_AT).alias("__prior_created"))
+    # NULL-safe equi-join: the merge groups NULL keys together
+    # (upsert_latest_wins windows NULL as a value), so the audit
+    # carry-over must match them too -- a plain equi-join would reset
+    # created_at on every upsert of a NULL-keyed row
+    prior = existing.select(
+        *[F.col(k).alias(f"__pk_{k}") for k in keys],
+        F.col(CREATED_AT).alias("__prior_created"),
+    )
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [incoming[k].eqNullSafe(prior[f"__pk_{k}"]) for k in keys],
+    )
     stamped = (
-        incoming.join(prior, list(keys), "left")
+        incoming.join(prior, cond, "left")
         .withColumn(CREATED_AT, F.coalesce(F.col("__prior_created"), now))
         .withColumn(UPDATED_AT, now)
-        .drop("__prior_created")
+        .drop("__prior_created", *[f"__pk_{k}" for k in keys])
     )
     return upsert_latest_wins(existing, stamped.select(*existing.columns), keys)
 
@@ -555,9 +588,18 @@ def upsert_partitioned(
         ).partitionBy(partition_col).parquet(tmp)
         version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
         os.makedirs(path, exist_ok=True)
-        os.rename(tmp, version_dir)
-        _write_manifest_extra(version_dir, manifest_extra)
-        _publish_version(path, version_dir)
+        try:
+            os.rename(tmp, version_dir)
+            _write_manifest_extra(version_dir, manifest_extra)
+            _publish_version(path, version_dir)
+        except Exception:
+            # same no-orphan contract as write_replace: a failed publish
+            # (OSError, manifest write, OCC) must not leave a v_<hex>
+            # visible to retain-pruning/time travel; everything here is
+            # staged output, recomputable
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(version_dir, ignore_errors=True)
+            raise
         return len([n for n in os.listdir(version_dir)
                     if n.startswith(f"{partition_col}=")])
     # the untouched-partition hard-link pass below only preserves
@@ -597,19 +639,29 @@ def upsert_partitioned(
         rewritten = [n for n in os.listdir(staging)
                      if n.startswith(f"{partition_col}=")]
         version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
-        os.mkdir(version_dir)
-        for name in os.listdir(cur):       # untouched partitions: link
-            if name.startswith(f"{partition_col}=") and name not in rewritten:
-                src, dst = os.path.join(cur, name), os.path.join(version_dir, name)
-                os.mkdir(dst)
-                for f in os.listdir(src):
-                    if not f.startswith("."):
-                        os.link(os.path.join(src, f), os.path.join(dst, f))
-        for name in rewritten:             # touched partitions: move in
-            os.rename(os.path.join(staging, name),
-                      os.path.join(version_dir, name))
-        _write_manifest_extra(version_dir, manifest_extra)
-        _publish_version(path, version_dir)
+        try:
+            os.mkdir(version_dir)
+            for name in os.listdir(cur):   # untouched partitions: link
+                if name.startswith(f"{partition_col}=") \
+                        and name not in rewritten:
+                    src = os.path.join(cur, name)
+                    dst = os.path.join(version_dir, name)
+                    os.mkdir(dst)
+                    for f in os.listdir(src):
+                        if not f.startswith("."):
+                            os.link(os.path.join(src, f),
+                                    os.path.join(dst, f))
+            for name in rewritten:         # touched partitions: move in
+                os.rename(os.path.join(staging, name),
+                          os.path.join(version_dir, name))
+            _write_manifest_extra(version_dir, manifest_extra)
+            _publish_version(path, version_dir)
+        except Exception:
+            # no-orphan contract (see write_replace): version_dir holds
+            # only hard links + staged copies, safe to drop on ANY
+            # publish failure, not just ConcurrentWriteError
+            shutil.rmtree(version_dir, ignore_errors=True)
+            raise
         return len(rewritten)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -661,17 +713,25 @@ def append_if_absent(
             return 0  # pure duplicate: publish nothing
         cur = current_data_dir(path)
         version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
-        os.mkdir(version_dir)
-        for name in os.listdir(cur):
-            if name.endswith(".parquet") and not name.startswith("."):
-                os.link(os.path.join(cur, name), os.path.join(version_dir, name))
-        for name in new_parts:
-            os.rename(
-                os.path.join(staging, name),
-                os.path.join(version_dir, f"append-{uuid.uuid4().hex}-{name}"),
-            )
-        _write_manifest_extra(version_dir, manifest_extra)
-        _publish_version(path, version_dir)
+        try:
+            os.mkdir(version_dir)
+            for name in os.listdir(cur):
+                if name.endswith(".parquet") and not name.startswith("."):
+                    os.link(os.path.join(cur, name),
+                            os.path.join(version_dir, name))
+            for name in new_parts:
+                os.rename(
+                    os.path.join(staging, name),
+                    os.path.join(version_dir,
+                                 f"append-{uuid.uuid4().hex}-{name}"),
+                )
+            _write_manifest_extra(version_dir, manifest_extra)
+            _publish_version(path, version_dir)
+        except Exception:
+            # no-orphan contract (see write_replace): hard links +
+            # staged copies only, safe to drop on ANY publish failure
+            shutil.rmtree(version_dir, ignore_errors=True)
+            raise
         return len(new_parts)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -919,7 +979,7 @@ def write_zordered(
     path: str,
     cols: Sequence[str],
     n_files: int | None = None,
-    bits: int = 16,
+    bits: int | None = None,
     method: str = "quantile",
 ) -> None:
     """Publish ``df`` clustered along the z-curve of ``cols`` so parquet
@@ -942,8 +1002,18 @@ def write_zordered(
     rank path is opt-in and only for small dimension/mart tables where
     exact rank bins matter more than parallelism).
     """
+    # bits defaults per method (quantile's sketch caps at 8); an
+    # EXPLICIT bits>8 with quantile is an error, not a silent downgrade
+    if bits is None:
+        bits = 8 if method == "quantile" else 16
+    elif method == "quantile" and bits > 8:
+        raise ValueError(
+            f"write_zordered: bits={bits} exceeds the quantile method's "
+            "8-bit sketch resolution; pass method='rank' for exact "
+            "high-resolution z-values (small tables only) or bits<=8"
+        )
     zcol = (
-        zorder_value_binned(df, list(cols), bits=min(bits, 8))
+        zorder_value_binned(df, list(cols), bits=bits)
         if method == "quantile"
         else zorder_value(list(cols), bits=bits)
     )

@@ -6,30 +6,39 @@ sharing a basename key (``000123.jpg`` + ``000123.txt`` +
 
 Spark mapping:
 
-* one tar shard = one ``binaryFile`` row = one task — shards are the
-  parallelism unit, exactly as WebDataset intends (sequential reads
-  within a shard, shards distributed across workers);
-* member extraction runs in an Arrow ``mapInPandas`` kernel with the
-  stdlib ``tarfile`` over an in-memory buffer — no Python per-row
-  loop outside the kernel, no temp files;
+* one tar shard = one task — shards are the parallelism unit, exactly
+  as WebDataset intends (sequential reads within a shard, shards
+  distributed across workers). The listing comes from the
+  ``binaryFile`` source with ONLY the ``path`` column projected, so
+  shard bytes are never materialized as DataFrame cells;
+* member extraction STREAMS: the Arrow ``mapInPandas`` kernel opens
+  each shard with the stdlib ``tarfile`` in sequential-read mode and
+  emits member batches incrementally (bounded by
+  :data:`MEMBER_BATCH_BYTES` / :data:`MEMBER_BATCH_ROWS`), so peak
+  task memory is one batch plus one member — never a whole shard —
+  and downstream operators start consuming before the shard finishes;
 * the LONG member frame (shard, key, ext, payload) regroups into one
   row per SAMPLE with ``ext -> payload`` map via
   ``map_from_entries(collect_list(...))`` — a single shuffle keyed by
   (shard, key); downstream media kernels (functions/multimodal.py)
   consume the payloads directly.
 
-Scale notes: ``binaryFile`` holds a whole shard in one task's memory —
-keep shards at the WebDataset-conventional ~1 GB and size executor
-memory accordingly; ``spark.sql.files.maxPartitionBytes`` does NOT
-split binary files, so shard size IS task size. For 100 TB corpora the
-shard listing itself is parquet-manifest-able; globs work unchanged.
+Scale notes: shard size bounds only the per-task WORK, not memory;
+``spark.sql.files.maxPartitionBytes`` does not split binary files, so
+one shard stays one task. For 100 TB corpora the shard listing itself
+is parquet-manifest-able; globs work unchanged. The kernel opens
+shards by filesystem path — on a cluster that is the DFS/fuse mount
+or object-store filesystem the executors already see; bare
+``s3://``-style URIs without a mounted filesystem raise rather than
+silently misread.
 """
 
 from __future__ import annotations
 
-import io
+import posixpath
 import tarfile
 from collections.abc import Iterator
+from urllib.parse import unquote, urlparse
 
 import pandas as pd
 
@@ -40,36 +49,75 @@ MEMBER_SCHEMA = (
     "shard string, key string, ext string, payload binary, n_bytes long"
 )
 
+# streaming-emission bounds: a batch closes when it holds this many
+# payload bytes or rows, whichever first — peak kernel memory is one
+# batch, not one shard
+MEMBER_BATCH_BYTES = 64 << 20
+MEMBER_BATCH_ROWS = 4096
 
-def read_webdataset_members(spark: SparkSession, path: str) -> DataFrame:
+
+def _local_path(shard_uri: str) -> str:
+    """Filesystem path for a ``binaryFile`` row's ``path`` URI. Local
+    and DFS-mounted paths resolve; a remote scheme without a mounted
+    filesystem is an explicit error, not a garbage read."""
+    parsed = urlparse(shard_uri)
+    if parsed.scheme in ("", "file"):
+        return unquote(parsed.path) or shard_uri
+    raise NotImplementedError(
+        f"webdataset shard {shard_uri!r}: scheme {parsed.scheme!r} needs "
+        "a mounted filesystem on the executors (fuse/DFS mount); bare "
+        "object-store URIs are not streamed by this kernel"
+    )
+
+
+def _member_key(name: str) -> tuple[str, str]:
+    """(sample key, ext) for a tar member name. WebDataset's grouping
+    rule splits the BASENAME at its first dot — the directory prefix is
+    part of the key, and dots in directory names are data, not
+    separators: ``a/b/000123.seg.png`` -> (``a/b/000123``, ``seg.png``)
+    and ``shard.v2/000123.jpg`` -> (``shard.v2/000123``, ``jpg``)."""
+    dirname, basename = posixpath.split(name)
+    stem, dot, ext = basename.partition(".")
+    key = posixpath.join(dirname, stem) if dirname else stem
+    return key, ext if dot else ""
+
+
+def read_webdataset_members(
+    spark: SparkSession,
+    path: str,
+    batch_bytes: int = MEMBER_BATCH_BYTES,
+    batch_rows: int = MEMBER_BATCH_ROWS,
+) -> DataFrame:
     """Long frame of tar members: one row per (shard, sample key,
-    extension). ``key`` is the member basename up to the FIRST dot —
-    WebDataset's grouping rule (so ``a/b/000123.seg.png`` groups under
-    ``a/b/000123`` with ext ``seg.png``). Directory entries and
-    non-regular members are skipped."""
+    extension). ``key`` is the member path with the basename truncated
+    at its FIRST dot (see :func:`_member_key`). Directory entries and
+    non-regular members are skipped. ``batch_bytes``/``batch_rows``
+    bound each emitted Arrow batch (and therefore peak kernel memory)."""
     shards = spark.read.format("binaryFile").load(path).select(
-        F.col("path").alias("shard"), "content"
+        F.col("path").alias("shard")
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["shard", "key", "ext", "payload", "n_bytes"]
+        rows: list[tuple] = []
+        held = 0
         for pdf in batches:
-            rows = []
-            for shard, content in zip(pdf["shard"], pdf["content"]):
-                with tarfile.open(fileobj=io.BytesIO(content)) as tf:
+            for shard in pdf["shard"]:
+                # mode "r|*": strictly sequential, no member index held,
+                # each member's bytes read once as the tape advances
+                with tarfile.open(_local_path(shard), mode="r|*") as tf:
                     for m in tf:
                         if not m.isreg():
                             continue
-                        name = m.name
-                        base, dot, ext = name.partition(".")
+                        key, ext = _member_key(m.name)
                         payload = tf.extractfile(m).read()
-                        rows.append((
-                            shard, base, ext if dot else "",
-                            payload, len(payload),
-                        ))
-            yield pd.DataFrame(
-                rows,
-                columns=["shard", "key", "ext", "payload", "n_bytes"],
-            )
+                        rows.append((shard, key, ext, payload, len(payload)))
+                        held += len(payload)
+                        if held >= batch_bytes or len(rows) >= batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, held = [], 0
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
 
     return shards.mapInPandas(kernel, MEMBER_SCHEMA)
 

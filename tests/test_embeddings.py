@@ -203,3 +203,24 @@ def test_kmeans_iter_partition_and_nonneg_shift(spark):
     assert sum(r["n_members"] for r in out) == n_vecs
     assert all(r["shift"] >= 0.0 for r in out)
     assert len({r["cid"] for r in out}) == len(out)  # one row per cluster
+
+
+def test_multiprobe_recall_on_clustered_corpus(spark, tmp_path):
+    """Recall gate on a CLUSTERED corpus (the realistic regime — the
+    isotropic testdata corpus is the documented worst case): queries
+    are members of 10 loose clusters (pairwise cosine ~0.77, loose
+    enough that single-probe 8x8 LSH lands ~0.68 recall), and the
+    Hamming-1 multi-probe must lift mean recall@TOPK to >= 0.8."""
+    rng = np.random.RandomState(5)
+    dim, spread = 64, 0.55
+    centers = rng.standard_normal((eq.N_QUERIES, dim))
+    vecs = [centers[i] + spread * rng.standard_normal(dim)
+            for i in range(eq.N_QUERIES)]  # queries: one per cluster
+    for i in range(eq.N_QUERIES):
+        for _ in range(15):
+            vecs.append(centers[i] + spread * rng.standard_normal(dim))
+    vecs += list(rng.standard_normal((100, dim)))  # isotropic chaff
+    sf = _write_sf(spark, tmp_path, vecs)
+    rec = eq.q_emb_ann_recall(spark, sf).collect()
+    mean_recall = sum(r["recall"] for r in rec) / len(rec)
+    assert mean_recall >= 0.8, mean_recall

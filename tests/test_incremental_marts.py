@@ -90,3 +90,68 @@ def test_incremental_refresh_equals_full_rebuild(spark, tmp_path, facts):
     sinks.write_replace(facts2, facts_path)
     out = refresh_marts_incremental(spark, facts_path, marts, SF_DIR)
     assert out == {"touched_ciks": 0, "statements_rows": 0}
+
+
+def test_two_publishes_between_refreshes_both_rebuilt(spark, tmp_path, facts):
+    """Regression: the diff baseline is the facts version the LAST
+    refresh consumed (recorded on the statements mart commit), not
+    blindly versions[1] — with TWO facts publishes between refreshes,
+    a prev-version diff would silently skip the earlier publish's
+    entities (stale marts, no error)."""
+    facts_path = str(tmp_path / "facts")
+    marts = str(tmp_path / "marts")
+
+    sinks.write_replace(facts, facts_path)
+    out = refresh_marts_incremental(spark, facts_path, marts, SF_DIR)
+    assert out["touched_ciks"] == -1
+
+    ciks = sorted(r[0] for r in facts.select("cik").distinct().collect())
+    first_changed, second_changed = ciks[0], ciks[1]
+
+    # publish #1: bump entity A; publish #2: bump entity B — retain=3
+    # keeps the baseline version alive across both
+    f1 = facts.withColumn(
+        "value",
+        F.when(F.col("cik") == first_changed, F.col("value") * 10)
+        .otherwise(F.col("value")),
+    )
+    sinks.write_replace(f1, facts_path, retain=3)
+    f2 = f1.withColumn(
+        "value",
+        F.when(F.col("cik") == second_changed, F.col("value") * 10)
+        .otherwise(F.col("value")),
+    )
+    sinks.write_replace(f2, facts_path, retain=3)
+
+    out = refresh_marts_incremental(spark, facts_path, marts, SF_DIR)
+    assert out["touched_ciks"] == 2  # BOTH publishes' entities
+
+    stmts = sinks.read_table(spark, f"{marts}/statements_annual")
+    want = build_statements(f2, version="v3")
+    assert _data(stmts) == _data(want)
+
+
+def test_baseline_pruned_falls_back_to_full_rebuild(spark, tmp_path, facts):
+    """When more publishes than the retention window land between
+    refreshes, the baseline version is gone — the refresh must FULL
+    rebuild (correct, just not incremental), never diff a wrong pair."""
+    facts_path = str(tmp_path / "facts")
+    marts = str(tmp_path / "marts")
+
+    sinks.write_replace(facts, facts_path)
+    refresh_marts_incremental(spark, facts_path, marts, SF_DIR)
+
+    ciks = sorted(r[0] for r in facts.select("cik").distinct().collect())
+    cur = facts
+    for i, cik in enumerate(ciks[:3]):  # 3 publishes, retain=2 default
+        cur = cur.withColumn(
+            "value",
+            F.when(F.col("cik") == cik, F.col("value") * (i + 2))
+            .otherwise(F.col("value")),
+        )
+        sinks.write_replace(cur, facts_path)
+
+    out = refresh_marts_incremental(spark, facts_path, marts, SF_DIR)
+    assert out["touched_ciks"] == -1  # baseline pruned -> full rebuild
+    stmts = sinks.read_table(spark, f"{marts}/statements_annual")
+    assert _data(stmts) == _data(build_statements(cur, version="v3"))

@@ -92,3 +92,50 @@ def test_arrow_udfs_only_in_lsh_family(plans):
         if "ArrowEvalPython" in plan and name not in ARROW_ALLOWED
     ]
     assert offenders == [], offenders
+
+
+def _marker_idx(line: str) -> int:
+    """Tree depth of a plan line = column of its branch marker."""
+    import re
+
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else -1  # root
+
+
+def _has_single_partition_window(plan: str) -> bool:
+    """True when a Window node sits on an ``Exchange SinglePartition``
+    — the whole input funnels through ONE task (the shape that dies at
+    100x). Scalar two-stage aggregates also exchange to a single
+    partition, but their consumer is a (partial-fed) HashAggregate, so
+    climbing the ancestor chain past Sort/codegen wrappers separates
+    the two."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        cur = _marker_idx(ln)
+        for j in range(i - 1, -1, -1):
+            pj = _marker_idx(lines[j])
+            if pj < cur:  # next ancestor up
+                node = lines[j]
+                if ("Sort " in node or "Sort[" in node
+                        or "InputAdapter" in node
+                        or "WholeStageCodegen" in node):
+                    cur = pj
+                    continue
+                if "Window" in node:
+                    return True
+                break
+    return False
+
+
+def test_no_single_partition_windows_anywhere(plans):
+    """A Window over ``partitionBy()`` (empty spec) plans an Exchange
+    SinglePartition feeding WindowExec: every row through one task.
+    Banned across the whole query surface — scalar totals must be
+    expressed as aggregates + broadcast cross join instead."""
+    offenders = [
+        name for name, plan in plans.items()
+        if _has_single_partition_window(plan)
+    ]
+    assert offenders == [], offenders

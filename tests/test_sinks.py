@@ -543,3 +543,181 @@ def test_merge_three_clause(spark, tmp_path):
     out = merge(spark, table, src2, on=["k"], when_matched_update=False)
     rows = {r["k"]: r for r in read_table(spark, table).collect()}
     assert out["inserted"] == 1 and rows[2]["v"] == 20.0 and 6 in rows
+
+
+# ---------------------------------------------------------------------------
+# round-7/8 storage-bug regression tests: NULL-partition survival,
+# no-orphan publish failures, typed DATE stats pruning, legacy-flat
+# migration safety, NULL-key audit carry-over
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_partitioned_null_partition_rows_survive(spark, tmp_path):
+    """A NULL partition value lives under __HIVE_DEFAULT_PARTITION__ and
+    the staged rewrite replaces that directory: without the NULL-safe
+    membership arm the stored NULL rows were silently dropped by any
+    later upsert touching the NULL partition."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 2, "y"), (None, 3, "null-part")],
+        "part string, id int, v string",
+    )
+    sinks.upsert_partitioned(spark, path, df, keys=["part", "id"],
+                             partition_col="part")
+    first = {(r["part"], r["id"]): r
+             for r in sinks.read_table(spark, path).collect()}
+    assert first[(None, 3)]["v"] == "null-part"
+
+    # second batch updates the NULL partition AND adds a sibling row
+    batch2 = spark.createDataFrame(
+        [(None, 3, "null-part-v2"), (None, 4, "new-null")],
+        "part string, id int, v string",
+    )
+    sinks.upsert_partitioned(spark, path, batch2, keys=["part", "id"],
+                             partition_col="part")
+    after = {(r["part"], r["id"]): r
+             for r in sinks.read_table(spark, path).collect()}
+    assert set(after) == {("a", 1), ("a", 2), (None, 3), (None, 4)}
+    assert after[(None, 3)]["v"] == "null-part-v2"
+    # NULL-key audit carry-over (eqNullSafe join): created_at survives
+    assert after[(None, 3)][sinks.CREATED_AT] \
+        == first[(None, 3)][sinks.CREATED_AT]
+    assert after[(None, 3)][sinks.UPDATED_AT] \
+        >= first[(None, 3)][sinks.UPDATED_AT]
+    # untouched 'a' partition: bit-identical stamps
+    assert after[("a", 1)][sinks.CREATED_AT] == first[("a", 1)][sinks.CREATED_AT]
+    assert after[("a", 1)][sinks.UPDATED_AT] == first[("a", 1)][sinks.UPDATED_AT]
+
+
+def _orphan_versions(path, known):
+    return [n for n in os.listdir(path)
+            if n.startswith("v_") and n not in known]
+
+
+def test_failed_publish_leaves_no_orphan_version(spark, tmp_path, monkeypatch):
+    """A publish failure AFTER the staged version dir is moved in
+    (OSError from the pointer swap, manifest write, ...) must remove
+    the v_<hex>: an orphan would be enumerated as the newest version by
+    retain-pruning and time travel."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "part string, id int, v string"
+    )
+    sinks.upsert_partitioned(spark, path, df, keys=["part", "id"],
+                             partition_col="part")
+    committed = {v["version"] for v in sinks.list_versions(path)}
+    before = {(r["part"], r["id"], r["v"])
+              for r in sinks.read_table(spark, path).collect()}
+
+    def boom(*a, **kw):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(sinks, "_publish_version", boom)
+    with pytest.raises(OSError):
+        sinks.upsert_partitioned(
+            spark, path,
+            spark.createDataFrame([("a", 1, "X2")],
+                                  "part string, id int, v string"),
+            keys=["part", "id"], partition_col="part",
+        )
+    with pytest.raises(OSError):
+        sinks.append_if_absent(
+            spark, path,
+            spark.createDataFrame([("c", 9, "z")],
+                                  "part string, id int, v string"),
+            keys=["part", "id"],
+        )
+    monkeypatch.undo()
+    assert _orphan_versions(path, committed) == []
+    assert {v["version"] for v in sinks.list_versions(path)} == committed
+    assert {(r["part"], r["id"], r["v"])
+            for r in sinks.read_table(spark, path).collect()} == before
+    # no staging litter either
+    assert [p for p in os.listdir(tmp_path) if "__staging__" in p] == []
+
+
+def test_occ_mismatch_leaves_no_orphan_version(spark, tmp_path):
+    """The genuine ConcurrentWriteError path (OCC expect-version
+    mismatch) also removes the already-moved-in version directory."""
+    path = str(tmp_path / "t")
+    sinks.write_replace(_mk(spark, [(1, "a")]), path)
+    committed = {v["version"] for v in sinks.list_versions(path)}
+    with pytest.raises(sinks.ConcurrentWriteError):
+        sinks.write_replace(_mk(spark, [(2, "b")]), path,
+                            expect_version="v_nonexistent")
+    assert _orphan_versions(path, committed) == []
+    assert _rows(spark, path) == {(1, "a")}
+
+
+def test_legacy_migration_failure_restores_flat_files(spark, tmp_path):
+    """The one-time legacy-flat migration MOVES the only copy of the
+    table into v_legacy_*; a commit failure there (held/stale lock)
+    must move the files back, never delete them."""
+    path = str(tmp_path / "t")
+    # legacy layout: plain parquet at path, no _CURRENT pointer
+    _mk(spark, [(1, "a"), (2, "b")]).write.parquet(path)
+    flat_files = sorted(n for n in os.listdir(path)
+                        if not n.startswith((".", "_")))
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, "._COMMIT_LOCK")
+    open(lock, "w").close()  # fresh lock: publishes time out at ~5 s
+    try:
+        with pytest.raises(sinks.ConcurrentWriteError):
+            sinks.write_replace(_mk(spark, [(3, "c")]), path)
+    finally:
+        os.unlink(lock)
+    # pre-migration data restored in place, still readable, no v_ dirs
+    assert sorted(n for n in os.listdir(path)
+                  if not n.startswith((".", "_"))) == flat_files
+    got = {tuple(r) for r in spark.read.parquet(path)
+           .select("k", "v").collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert [n for n in os.listdir(path) if n.startswith("v_")] == []
+    # and the retry (lock released) migrates + publishes normally
+    sinks.write_replace(_mk(spark, [(3, "c")]), path)
+    assert _rows(spark, path) == {(3, "c")}
+    assert any(n.startswith("v_legacy_") for n in os.listdir(path))
+
+
+def test_read_table_pruned_date_stats(spark, tmp_path):
+    """Typed (DATE) per-file stats must prune files correctly; a legacy
+    stringified-stats manifest must never SKIP a file (pruning is an
+    optimization, incomparable pairs read the file)."""
+    import json
+
+    path = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT sequence(to_date('2024-01-01'), to_date('2024-12-27'), "
+        "interval 3 days) AS ds"
+    ).selectExpr("explode(ds) AS d").withColumn("v", F.lit(1))
+    sinks.write_replace(
+        df.repartitionByRange(4, "d").sortWithinPartitions("d"),
+        path, stats_cols=["d"],
+    )
+    import datetime
+
+    lo, hi = datetime.date(2024, 6, 1), datetime.date(2024, 6, 30)
+    pruned = sinks.read_table_pruned(spark, path, "d", lo=lo, hi=hi)
+    want = {r["d"] for r in df.filter(
+        (F.col("d") >= F.lit(lo)) & (F.col("d") <= F.lit(hi))).collect()}
+    assert {r["d"] for r in pruned.collect()} == want
+    # the June window fits one range partition: files were SKIPPED
+    n_total = len([n for n in os.listdir(sinks.current_data_dir(path))
+                   if n.endswith(".parquet")])
+    assert len(pruned.inputFiles()) < n_total
+
+    # legacy manifest: stats stringified (old default=str encoding)
+    data_dir = sinks.current_data_dir(path)
+    meta = os.path.join(data_dir, sinks.STATS_META)
+    stats = json.loads(open(meta).read())
+    legacy = {
+        f: {c: [str(sinks._stat_decode(rng[0])),
+                str(sinks._stat_decode(rng[1]))]
+            for c, rng in cols.items()}
+        for f, cols in stats.items()
+    }
+    open(meta, "w").write(json.dumps(legacy))
+    fallback = sinks.read_table_pruned(spark, path, "d", lo=lo, hi=hi)
+    assert {r["d"] for r in fallback.collect()} == want
+    # nothing skipped: every file read (never mis-prune on str-vs-date)
+    assert len(fallback.inputFiles()) == n_total

@@ -99,3 +99,45 @@ def test_shard_payload_feeds_media_kernels(spark, tmp_path):
     feats = image_features(media).collect()
     assert len(feats) == 1
     assert feats[0]["decoded_real"] is True
+
+
+def test_dotted_directory_keys_group_correctly(spark, tmp_path):
+    """Dots in DIRECTORY names are data, not key separators: members
+    under ``shard.v2/`` must key on the basename's first dot with the
+    directory prefix preserved (regression: the full-path first-dot
+    split collapsed every sample in a dotted directory to one key)."""
+    d = tmp_path / "wdsdot"
+    d.mkdir()
+    (d / "s.tar").write_bytes(_shard({
+        "shard.v2/000123": {"jpg": b"img-a", "txt": b"cap-a"},
+        "shard.v2/000124": {"jpg": b"img-b"},
+        "plain/000125.seg": {"png": b"mask"},  # dotted BASENAME splits
+    }))
+    m = read_webdataset_members(spark, str(d / "s.tar"))
+    rows = {(r["key"], r["ext"]) for r in m.collect()}
+    assert rows == {
+        ("shard.v2/000123", "jpg"), ("shard.v2/000123", "txt"),
+        ("shard.v2/000124", "jpg"), ("plain/000125", "seg.png"),
+    }
+    s = read_webdataset_samples(spark, str(d / "s.tar"))
+    by_key = {r["key"]: r["n_parts"] for r in s.collect()}
+    assert by_key == {"shard.v2/000123": 2, "shard.v2/000124": 1,
+                      "plain/000125": 1}
+
+
+def test_member_batches_stream_incrementally(spark, tmp_path):
+    """With the batch bound forced tiny, one shard must survive MANY
+    kernel flushes losslessly — proof member extraction streams in
+    bounded batches instead of materializing the shard."""
+    d = tmp_path / "wdsbig"
+    d.mkdir()
+    payload = b"x" * 1024
+    (d / "s.tar").write_bytes(_shard({
+        f"{i:06d}": {"bin": payload} for i in range(64)
+    }))
+    m = read_webdataset_members(spark, str(d / "s.tar"),
+                                batch_bytes=4 * 1024, batch_rows=7)
+    rows = m.collect()
+    assert len(rows) == 64
+    assert {r["key"] for r in rows} == {f"{i:06d}" for i in range(64)}
+    assert all(r["payload"] == payload for r in rows)

