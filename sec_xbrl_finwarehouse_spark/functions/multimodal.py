@@ -20,12 +20,17 @@ and REAL where the stdlib suffices:
   :mod:`.jpeg` (validated against the JVM's ImageIO to mean |diff|
   < 0.5 intensity levels on real photos).
 * WAV (RIFF PCM 8/16-bit): full decode in :func:`decode_wav`.
-* Everything else (MP3, video containers, exotic JPEG variants like
-  lossless/arithmetic) falls back to the clearly-marked deterministic
-  byte-stat fakes so the plans
-  stay runnable (``decoded_real = false`` in the feature structs); a
-  real codec drops into ``_decode_rgb_stats`` / ``_pcm_from_bytes``
-  without touching any plan.
+* MP3: REAL frame-header walk (exact frame count, VBR-correct bitrate
+  and duration) in :mod:`.mp3` -- surfaced by :func:`audio_metadata`.
+  PCM SYNTHESIS (Layer III huffman + IMDCT + filterbank) is out of
+  stdlib scope, so :func:`audio_features` EXCLUDES compressed-codec
+  clips rather than faking PCM from entropy-coded bytes: every row it
+  emits is a real decode. Same policy for :func:`sample_frames` --
+  real ISO-BMFF sample extraction for MP4, non-MP4 payloads excluded.
+* Exotic image variants (lossless/arithmetic JPEG) fall back to the
+  clearly-marked byte-stat stats (``decoded_real = false`` in
+  :func:`image_features`); a real codec drops into
+  ``_decode_rgb_stats`` without touching any plan.
 
 Scale notes (100 TB of media): payloads dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row count) governs task
@@ -239,20 +244,18 @@ def _decode_rgb_stats(payload: bytes) -> tuple[float, float, str, bool]:
     return float(a.mean()), float(a.std()), codec, real
 
 
-def _pcm_from_bytes(payload: bytes) -> tuple[np.ndarray, str, bool]:
-    """(mono-folded PCM samples, codec, decoded_real). REAL decode for
-    RIFF/WAV payloads (:func:`decode_wav`, channel-averaged, scaled back
-    to int16 range so rms/peak units are stable); raw-int16 fake
-    otherwise, flagged ``decoded_real=False``."""
+def _pcm_from_bytes(payload: bytes) -> tuple[np.ndarray | None, str]:
+    """(mono-folded PCM samples, codec) -- REAL decode for RIFF/WAV
+    payloads (:func:`decode_wav`, channel-averaged, scaled back to
+    int16 range so rms/peak units are stable). ``(None, codec)`` for
+    anything else: interpreting entropy-coded bytes (MP3, ...) as PCM
+    yields garbage statistics, so undecodable clips are EXCLUDED from
+    feature output instead of faked (route them through
+    :func:`audio_metadata`, whose MP3 frame-header walk is real)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         samples, _sr = decode_wav(payload)
-        return samples.mean(axis=1) * 32768.0, "wav-pcm", True
-    usable = len(payload) - (len(payload) % 2)
-    return (
-        np.frombuffer(payload[:usable], dtype="<i2").astype(np.float64),
-        "raw-int16-fake",
-        False,
-    )
+        return samples.mean(axis=1) * 32768.0, "wav-pcm"
+    return None, "undecodable"
 
 
 def image_features(media: DataFrame) -> DataFrame:
@@ -289,7 +292,13 @@ def image_features(media: DataFrame) -> DataFrame:
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """Per-clip RMS/peak over (fake-)decoded PCM, Arrow-batched."""
+    """Per-clip RMS/peak over REAL decoded PCM, Arrow-batched. Emits a
+    row ONLY for payloads whose PCM this engine actually decodes
+    (RIFF/WAV) -- every output row has ``decoded_real = true``.
+    Compressed codecs (MP3, ...) are excluded rather than fake-decoded
+    (see :func:`_pcm_from_bytes`); their container truth -- exact
+    sample count, duration, bitrate -- comes from
+    :func:`audio_metadata` instead."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -297,12 +306,14 @@ def audio_features(media: DataFrame) -> DataFrame:
             for mid, payload, sr in zip(
                 pdf["media_id"], pdf["payload"], pdf["sample_rate"]
             ):
-                pcm, codec, real = _pcm_from_bytes(payload)
+                pcm, codec = _pcm_from_bytes(payload)
+                if pcm is None:
+                    continue
                 rows.append((
                     mid, len(pcm),
                     float(np.sqrt((pcm ** 2).mean())) if pcm.size else 0.0,
                     float(np.abs(pcm).max()) if pcm.size else 0.0,
-                    sr, codec, real,
+                    sr, codec, True,
                 ))
             yield pd.DataFrame(
                 rows,
@@ -381,16 +392,18 @@ def audio_metadata(media: DataFrame) -> DataFrame:
     return pruned.mapInPandas(kernel, AUDIO_METADATA_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n: int = 4, chunk_bytes: int = 1024) -> DataFrame:
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     """Video frame sampling, REAL for MP4 containers: the stdlib
     ISO-BMFF parser (:mod:`.mp4`) locates the video track's sample
     table (stsz/stsc/stco/stss), and every ``every_n``-th CODEC SAMPLE
     is sliced out of the payload with its keyframe flag -- sample
     boundaries and sync structure are what frame sampling needs; pixel
-    decode is a separate kernel. Non-MP4 payloads fall back to the
-    fixed-size byte-chunk fake, flagged ``extracted_real = false``.
-    Row-explode happens inside the Arrow kernel, so output batches stay
-    bounded even for long videos."""
+    decode is a separate kernel. Payloads that are NOT parseable MP4
+    are EXCLUDED (every output row has ``extracted_real = true``):
+    fixed-size byte chunks of an arbitrary container are not frames,
+    and emitting them as such poisons any training-data consumer that
+    misses the flag. Row-explode happens inside the Arrow kernel, so
+    output batches stay bounded even for long videos."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .mp4 import parse_mp4_samples
@@ -402,19 +415,13 @@ def sample_frames(media: DataFrame, every_n: int = 4, chunk_bytes: int = 1024) -
                     samples = parse_mp4_samples(payload)
                 except Exception:
                     samples = None
-                if samples is not None:
-                    for s in samples[::every_n]:
-                        rows.append((
-                            mid, s["index"],
-                            payload[s["offset"]:s["offset"] + s["size"]],
-                            s["keyframe"], "mp4", True,
-                        ))
+                if samples is None:
                     continue
-                n_frames = max(1, (len(payload) + chunk_bytes - 1) // chunk_bytes)
-                for i in range(0, n_frames, every_n):
+                for s in samples[::every_n]:
                     rows.append((
-                        mid, i, payload[i * chunk_bytes:(i + 1) * chunk_bytes],
-                        True, "byte-chunk-fake", False,
+                        mid, s["index"],
+                        payload[s["offset"]:s["offset"] + s["size"]],
+                        s["keyframe"], "mp4", True,
                     ))
             yield pd.DataFrame(
                 rows,

@@ -94,25 +94,20 @@ def test_parse_rejects_non_mp4():
         parse_mp4_samples(b"\x00" * 32)
 
 
-def test_sample_frames_real_mp4_and_fallback(spark):
+def test_sample_frames_real_mp4_and_non_mp4_excluded(spark):
     mp4 = make_mp4(SIZES)
     rows = [
         (1, "video", mp4, (None, None, None, None, 1000, "mp4")),
         (2, "video", bytes(3000), (None, None, None, None, 1000, "raw")),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
-    out = sample_frames(df, every_n=2, chunk_bytes=1024).collect()
+    out = sample_frames(df, every_n=2).collect()
     real = [r for r in out if r["media_id"] == 1]
-    fake = [r for r in out if r["media_id"] == 2]
     # every 2nd codec sample: indices 0, 2, 4 with exact sample bytes
     assert [(r["frame_idx"], bytes(r["frame_bytes"])) for r in real] == [
         (0, b"\x01" * 5), (2, b"\x03" * 3), (4, b"\x05" * 4),
     ]
     assert all(r["container"] == "mp4" and r["extracted_real"] for r in real)
     assert [r["keyframe"] for r in real] == [True, True, False]
-    # fallback path: byte chunks, flagged fake
-    assert [r["frame_idx"] for r in fake] == [0, 2]
-    assert all(
-        r["container"] == "byte-chunk-fake" and not r["extracted_real"]
-        for r in fake
-    )
+    # non-MP4 payload: excluded, never chunk-faked
+    assert [r for r in out if r["media_id"] == 2] == []

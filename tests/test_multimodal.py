@@ -67,23 +67,20 @@ def test_image_features_deterministic_hash(spark):
     assert out1[1] != out1[2]
 
 
-def test_audio_features_rms_peak(spark):
-    got = {r["media_id"]: r for r in audio_features(_media_df(spark)).collect()}
-    assert set(got) == {3}
-    pcm = np.array([100.0, -100.0, 200.0, -200.0])
-    assert got[3]["n_samples"] == 4
-    assert got[3]["rms"] == pytest.approx(float(np.sqrt((pcm ** 2).mean())))
-    assert got[3]["peak"] == 200.0
-    assert got[3]["sample_rate"] == 16000
+def test_audio_features_excludes_undecodable(spark):
+    """Raw/compressed payloads (media 3: bare int16 bytes, no RIFF
+    container) produce NO feature row — fake PCM stats were removed;
+    undecodable clips route through audio_metadata instead."""
+    got = audio_features(_media_df(spark)).collect()
+    assert got == []
 
 
-def test_sample_frames_explode_arithmetic(spark):
-    out = sample_frames(_media_df(spark), every_n=2, chunk_bytes=1024).collect()
-    # 5000 bytes -> 5 chunks -> kept frames 0, 2, 4
-    assert [r["frame_idx"] for r in out] == [0, 2, 4]
-    assert all(r["media_id"] == 4 for r in out)
-    assert len(out[0]["frame_bytes"]) == 1024
-    assert len(out[-1]["frame_bytes"]) == 5000 - 4 * 1024
+def test_sample_frames_excludes_non_mp4(spark):
+    """Non-MP4 video payloads (media 4: fake-mjpeg bytes) produce NO
+    frame rows — byte-chunk fakes were removed; real MP4 extraction is
+    covered in tests/test_mp4.py."""
+    out = sample_frames(_media_df(spark), every_n=2).collect()
+    assert out == []
 
 
 def _encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
@@ -226,6 +223,8 @@ def test_decoded_real_flags_mark_fake_vs_real(spark):
     assert (imgs[2]["codec"], imgs[2]["decoded_real"]) == ("byte-stat-fake", False)
     auds = {r["media_id"]: r for r in audio_features(df).collect()}
     assert (auds[3]["codec"], auds[3]["decoded_real"]) == ("wav-pcm", True)
-    assert (auds[4]["codec"], auds[4]["decoded_real"]) == ("raw-int16-fake", False)
+    # undecodable audio (media 4, mp3-ish bytes): excluded, never faked
+    assert 4 not in auds
+    assert audio_features(df).filter("NOT decoded_real").count() == 0
     # the downstream filter a real pipeline would run
     assert image_features(df).filter("decoded_real").count() == 1
