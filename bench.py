@@ -101,6 +101,11 @@ BENCH_QUERIES = [
 
 ORACLE_CAP_SEC = 20.0
 
+# timed reps per engine per query (min is reported). 3 is the standing
+# protocol; SPARK_GRAFT_BENCH_REPS=5 for the quiet-window re-measure
+# protocol (more reps = more chances to dodge a throttle burst).
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
 
 def _oracle_runner(sf_dir: str):
     """(sql) -> min-of-3 sec (or cap) on a DuckDB connection over the
@@ -179,7 +184,7 @@ def main() -> None:
         # each side stays comparable.
         duck_best = ORACLE_CAP_SEC if duck_capped else float("inf")
         spark_best = float("inf")
-        for _ in range(3):
+        for _ in range(BENCH_REPS):
             if name in osql and not duck_capped:
                 duck_best = min(duck_best, duck_once(osql[name]))
             t0 = time.time()
