@@ -1586,7 +1586,74 @@ FROM tok t LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ---- token-window chunking (RAG / pretraining context prep) ----------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: every document is cut into
+    CHUNK_TOKENS-token windows starting at multiples of CHUNK_STRIDE
+    (25% overlap), the standard context-preparation step for RAG
+    indexing and fixed-window pretraining. One row per (doc, chunk)
+    with a stable chunk_idx, the chunk's token count, and its text.
+    Zero-token documents emit no chunks.
+
+    Scale shape: tokenize + sequence + explode + slice are all
+    PER-ROW expressions -- the whole operator is one map-side pass
+    over the scan with NO exchange anywhere (the best possible plan at
+    100 TB: output partitioning inherits the scan's). The explode
+    multiplies rows ~n_toks/stride x but happens inside the task,
+    streaming, never through a shuffle."""
+    d = _documents(spark, sf_dir)
+    base = (
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .withColumn("n_toks", F.size("toks"))
+        .filter(F.col("n_toks") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("n_toks") - 1, F.lit(CHUNK_STRIDE))
+    return (
+        base.select("doc_id", "toks", "n_toks",
+                    F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_TOKENS), F.col("n_toks") - F.col("start"))
+            .cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("toks"), F.col("start") + 1,
+                        F.lit(CHUNK_TOKENS)),
+            ).alias("chunk_text"),
+        )
+    )
+
+
+DOC_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id, toks, n_toks,
+         unnest(generate_series(0, n_toks - 1, {CHUNK_STRIDE})) AS st
+  FROM b
+)
+SELECT doc_id,
+       CAST(st // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(least({CHUNK_TOKENS}, n_toks - st) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, st + 1, st + {CHUNK_TOKENS}), ' ')
+         AS chunk_text
+FROM s
+"""
+
+
 QUERIES = {
+    "doc_chunk": q_doc_chunk,
     "doc_paragraph_dedup": q_doc_paragraph_dedup,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_bpe_token_count": q_doc_bpe_token_count,
@@ -1612,6 +1679,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_chunk": DOC_CHUNK_SQL,
     "doc_paragraph_dedup": DOC_PARAGRAPH_DEDUP_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_bpe_token_count": DOC_BPE_TOKEN_COUNT_SQL,

@@ -395,3 +395,44 @@ def test_ngram_novelty_first_doc_wins_and_short_doc_null(spark, tmp_path):
     assert got[0]["novelty"] == 1.0
     assert got[1]["novelty"] == 0.0 and got[1]["n_shingles"] == 18
     assert got[2]["n_shingles"] == 0 and got[2]["novelty"] is None
+
+
+def test_doc_chunk_plan_is_exchange_free(spark):
+    """Chunking must stay one map-side pass: tokenize + sequence +
+    explode + slice require NO shuffle of their own. The only Exchange
+    allowed is _documents' local-layout parallelize_scan repartition
+    (REPARTITION_BY_NUM -- a no-op on a real multi-file corpus); an
+    ENSURE_REQUIREMENTS exchange would mean the operator itself
+    demanded a distribution."""
+    from sec_xbrl_finwarehouse_spark.plans.text_queries import q_doc_chunk
+
+    plan = q_doc_chunk(spark, "/root/testdata/sf0.001")\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ENSURE_REQUIREMENTS" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_doc_chunk_windows_and_overlap(spark, tmp_path):
+    """Chunk arithmetic: a 100-token doc at W=64/S=48 yields starts
+    0/48/96 with 64/52/4 tokens; consecutive chunks share W-S tokens;
+    an empty doc yields nothing."""
+    from pyspark.sql import functions as F
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    text = " ".join(f"w{i}" for i in range(100))
+    spark.createDataFrame(
+        [(1, text, "a", 0), (2, "", "a", 0)],
+        "doc_id long, text string, source string, n_chars int",
+    ).write.parquet(str(sf / "documents.parquet"))
+    rows = {r["chunk_idx"]: r
+            for r in tq.q_doc_chunk(spark, str(sf)).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert [rows[i]["n_chunk_tokens"] for i in (0, 1, 2)] == [64, 52, 4]
+    c0 = rows[0]["chunk_text"].split(" ")
+    c1 = rows[1]["chunk_text"].split(" ")
+    assert c0[48:] == c1[:16]  # W-S = 16-token overlap
+    assert c1[0] == "w48" and rows[2]["chunk_text"].split(" ")[0] == "w96"
+    assert all(r["doc_id"] == 1 for r in rows.values())
