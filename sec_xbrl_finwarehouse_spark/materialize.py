@@ -18,6 +18,8 @@ paths point at partitioned object-store tables and nothing here changes.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import SparkSession
 
 from . import sinks
@@ -94,12 +96,13 @@ def build_marts_from_facts(
     already-materialized facts frame (e.g. ``spark.table(...)`` over a
     bucketed facts table, making the whole rebuild exchange-free).
 
-    ``facts_version`` (a :func:`sinks.list_versions` name) records, on
-    the statements mart's commit, WHICH facts version this build
-    consumed -- the refresh baseline :func:`refresh_marts_incremental`
-    diffs against. It commits atomically with the mart data
-    (manifest_extra), so the baseline can never disagree with the rows
-    it describes."""
+    ``facts_version`` (a :func:`sinks.list_versions` name) records
+    WHICH facts version this build consumed -- the refresh baseline
+    :func:`refresh_marts_incremental` diffs against. It is committed on
+    the LAST mart written (ratios_annual), atomically with that mart's
+    data: an interrupted build that died between mart commits leaves
+    the baseline un-advanced, so the next refresh re-diffs and rebuilds
+    rather than silently no-opping over a half-written refresh."""
     supplier = spark.read.parquet(table_path(sf_dir, "supplier"))
     companies = star_companies(supplier)
     statements = build_statements(facts, version="v3")
@@ -114,9 +117,9 @@ def build_marts_from_facts(
     )
     sinks.upsert(spark, paths["companies"], companies, keys=["cik"])
     sinks.upsert(spark, paths["statements_annual"], statements,
-                 keys=["cik", "fiscal_year"], manifest_extra=extra)
-    sinks.upsert(spark, paths["ratios_annual"], ratios,
                  keys=["cik", "fiscal_year"])
+    sinks.upsert(spark, paths["ratios_annual"], ratios,
+                 keys=["cik", "fiscal_year"], manifest_extra=extra)
     return paths
 
 
@@ -174,8 +177,8 @@ def refresh_marts_incremental(
     Change detection is per-entity content fingerprints (sum of row
     hashes) between the current facts version and the BASELINE — the
     facts version the PREVIOUS refresh consumed, recorded atomically on
-    the statements mart's commit (``manifest_extra``
-    :data:`FACTS_BASELINE_META`) — NOT simply the previous retained
+    the refresh's final mart commit (``manifest_extra``
+    :data:`FACTS_BASELINE_META` on ratios_annual) — NOT simply the previous retained
     version: two facts publishes between refreshes would make a
     prev-version diff silently skip the earlier publish's entities
     (stale marts, no error). Returns {"touched_ciks": n,
@@ -190,8 +193,13 @@ def refresh_marts_incremental(
 
     versions = sinks.list_versions(facts_path)
     cur_version = versions[0]["version"] if versions else None
-    stmt_path = f"{out_dir}/statements_annual"
-    baseline = sinks.read_version_meta(stmt_path, FACTS_BASELINE_META)
+    # the baseline lives on the LAST mart a refresh commits
+    # (ratios_annual): a refresh that died between mart commits leaves
+    # it un-advanced, so the next run re-diffs and rebuilds both marts
+    # (idempotent) instead of no-opping over a half-applied refresh
+    baseline = sinks.read_version_meta(
+        f"{out_dir}/ratios_annual", FACTS_BASELINE_META
+    )
     retained = {v["version"] for v in versions}
     if cur_version is None or baseline is None or baseline not in retained:
         build_marts_from_facts(
@@ -233,10 +241,11 @@ def refresh_marts_incremental(
         ("ratios_annual", ratios, ["cik", "fiscal_year"]),
     ):
         path = f"{out_dir}/{mart}"
-        # advance the baseline pointer atomically with the rebuilt rows
+        # advance the baseline pointer atomically with the FINAL mart
+        # commit of the refresh (see the read above)
         extra = (
             {FACTS_BASELINE_META: cur_version}
-            if mart == "statements_annual" else None
+            if mart == "ratios_annual" else None
         )
         stored = sinks.read_table(spark, path)
         if stored is None:
@@ -249,15 +258,23 @@ def refresh_marts_incremental(
             # carry created_at for keys that already existed but do NOT
             # union stored touched-cik rows back in
             now = F.current_timestamp()
+            # NULL-safe key match, same invariant as sinks'
+            # _merge_with_audit: a plain equi-join would reset
+            # created_at for NULL-keyed rows on every refresh
             prior = stored.select(
-                *keycols, F.col(sinks.CREATED_AT).alias("__prior_created")
+                *[F.col(k).alias(f"__pk_{k}") for k in keycols],
+                F.col(sinks.CREATED_AT).alias("__prior_created"),
+            )
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [df[k].eqNullSafe(prior[f"__pk_{k}"]) for k in keycols],
             )
             fresh = (
-                df.join(prior, keycols, "left")
+                df.join(prior, cond, "left")
                 .withColumn(sinks.CREATED_AT,
                             F.coalesce("__prior_created", now))
                 .withColumn(sinks.UPDATED_AT, now)
-                .drop("__prior_created")
+                .drop("__prior_created", *[f"__pk_{k}" for k in keycols])
             )
             sinks.write_replace(
                 kept.unionByName(fresh.select(*stored.columns)), path,

@@ -1598,7 +1598,10 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (25% overlap), the standard context-preparation step for RAG
     indexing and fixed-window pretraining. One row per (doc, chunk)
     with a stable chunk_idx, the chunk's token count, and its text.
-    Zero-token documents emit no chunks.
+    Zero-token documents emit no chunks, and a trailing window that
+    would be FULLY CONTAINED in the previous chunk (start within
+    W - S of the end) is dropped — it would duplicate already-emitted
+    content verbatim, an indexing/training waste with no coverage gain.
 
     Scale shape: tokenize + sequence + explode + slice are all
     PER-ROW expressions -- the whole operator is one map-side pass
@@ -1612,7 +1615,17 @@ def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_toks", F.size("toks"))
         .filter(F.col("n_toks") > 0)
     )
-    starts = F.sequence(F.lit(0), F.col("n_toks") - 1, F.lit(CHUNK_STRIDE))
+    # last admissible start: beyond n_toks - (W - S) - 1 the window is
+    # a strict suffix of the previous one (fully contained); greatest
+    # keeps start 0 for short docs
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0),
+            F.col("n_toks") - F.lit(CHUNK_TOKENS - CHUNK_STRIDE) - 1,
+        ),
+        F.lit(CHUNK_STRIDE),
+    )
     return (
         base.select("doc_id", "toks", "n_toks",
                     F.explode(starts).alias("start"))
@@ -1639,8 +1652,11 @@ WITH t AS (
 ),
 b AS (SELECT doc_id, toks, len(toks) AS n_toks FROM t WHERE len(toks) > 0),
 s AS (
+  -- trailing fully-contained windows dropped (see the Spark builder)
   SELECT doc_id, toks, n_toks,
-         unnest(generate_series(0, n_toks - 1, {CHUNK_STRIDE})) AS st
+         unnest(generate_series(
+           0, greatest(0, n_toks - {CHUNK_TOKENS - CHUNK_STRIDE} - 1),
+           {CHUNK_STRIDE})) AS st
   FROM b
 )
 SELECT doc_id,

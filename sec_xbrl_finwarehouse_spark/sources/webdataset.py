@@ -8,9 +8,12 @@ Spark mapping:
 
 * one tar shard = one task — shards are the parallelism unit, exactly
   as WebDataset intends (sequential reads within a shard, shards
-  distributed across workers). The listing comes from the
-  ``binaryFile`` source with ONLY the ``path`` column projected, so
-  shard bytes are never materialized as DataFrame cells;
+  distributed across workers). For local/mounted paths the listing
+  comes from the ``binaryFile`` source with ONLY the ``path`` column
+  projected, so shard bytes are never materialized as DataFrame
+  cells; remote schemes (hdfs://, s3a://, ...) fall back to a
+  content-column read through the Hadoop FS API
+  (:func:`_members_from_content`, whole-shard task memory);
 * member extraction STREAMS: the Arrow ``mapInPandas`` kernel opens
   each shard with the stdlib ``tarfile`` in sequential-read mode and
   emits member batches incrementally (bounded by
@@ -23,14 +26,12 @@ Spark mapping:
   (shard, key); downstream media kernels (functions/multimodal.py)
   consume the payloads directly.
 
-Scale notes: shard size bounds only the per-task WORK, not memory;
+Scale notes: on the streaming (local/mounted) path shard size bounds
+only the per-task WORK, not memory; on the remote fallback it bounds
+task memory too — keep shards at the WebDataset-conventional ~1 GB.
 ``spark.sql.files.maxPartitionBytes`` does not split binary files, so
-one shard stays one task. For 100 TB corpora the shard listing itself
-is parquet-manifest-able; globs work unchanged. The kernel opens
-shards by filesystem path — on a cluster that is the DFS/fuse mount
-or object-store filesystem the executors already see; bare
-``s3://``-style URIs without a mounted filesystem raise rather than
-silently misread.
+one shard stays one task either way. For 100 TB corpora the shard
+listing itself is parquet-manifest-able; globs work unchanged.
 """
 
 from __future__ import annotations
@@ -59,7 +60,9 @@ MEMBER_BATCH_ROWS = 4096
 def _local_path(shard_uri: str) -> str:
     """Filesystem path for a ``binaryFile`` row's ``path`` URI. Local
     and DFS-mounted paths resolve; a remote scheme without a mounted
-    filesystem is an explicit error, not a garbage read."""
+    filesystem is an explicit error, not a garbage read (remote
+    schemes take the content-column fallback in
+    :func:`read_webdataset_members` instead)."""
     parsed = urlparse(shard_uri)
     if parsed.scheme in ("", "file"):
         return unquote(parsed.path) or shard_uri
@@ -68,6 +71,45 @@ def _local_path(shard_uri: str) -> str:
         "a mounted filesystem on the executors (fuse/DFS mount); bare "
         "object-store URIs are not streamed by this kernel"
     )
+
+
+def _members_from_content(
+    spark: SparkSession, path: str, batch_bytes: int, batch_rows: int
+) -> DataFrame:
+    """Hadoop-filesystem fallback for remote schemes (hdfs://, s3a://,
+    ...): the ``binaryFile`` source reads each shard's CONTENT through
+    the Hadoop FS API (one shard per row/task -- shard size bounds task
+    memory here, so keep shards at the conventional ~1 GB), and the
+    kernel parses the in-memory buffer. Local paths take the streaming
+    kernel instead, which never holds a whole shard."""
+    import io
+    import tarfile as _tarfile
+
+    shards = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("shard"), "content"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["shard", "key", "ext", "payload", "n_bytes"]
+        rows: list[tuple] = []
+        held = 0
+        for pdf in batches:
+            for shard, content in zip(pdf["shard"], pdf["content"]):
+                with _tarfile.open(fileobj=io.BytesIO(content)) as tf:
+                    for m in tf:
+                        if not m.isreg():
+                            continue
+                        key, ext = _member_key(m.name)
+                        payload = tf.extractfile(m).read()
+                        rows.append((shard, key, ext, payload, len(payload)))
+                        held += len(payload)
+                        if held >= batch_bytes or len(rows) >= batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows, held = [], 0
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return shards.mapInPandas(kernel, MEMBER_SCHEMA)
 
 
 def _member_key(name: str) -> tuple[str, str]:
@@ -92,7 +134,12 @@ def read_webdataset_members(
     extension). ``key`` is the member path with the basename truncated
     at its FIRST dot (see :func:`_member_key`). Directory entries and
     non-regular members are skipped. ``batch_bytes``/``batch_rows``
-    bound each emitted Arrow batch (and therefore peak kernel memory)."""
+    bound each emitted Arrow batch (and therefore peak kernel memory).
+    Remote schemes (hdfs://, s3a://, ...) read shard content through
+    the Hadoop FS API (:func:`_members_from_content`); local/mounted
+    paths stream and never hold a whole shard."""
+    if urlparse(path).scheme not in ("", "file"):
+        return _members_from_content(spark, path, batch_bytes, batch_rows)
     shards = spark.read.format("binaryFile").load(path).select(
         F.col("path").alias("shard")
     )

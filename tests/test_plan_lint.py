@@ -129,6 +129,28 @@ def _has_single_partition_window(plan: str) -> bool:
     return False
 
 
+def test_single_partition_window_detector_self_check(spark):
+    """Negative control for the detector itself: a literal
+    Window.partitionBy() plan MUST trip it, and a scalar two-stage
+    aggregate (plus broadcast cross join) must NOT — if Spark's plan
+    rendering drifts and the parser stops recognizing the shape, this
+    fails loudly instead of letting the lint pass vacuously."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bad = spark.range(100).withColumn(
+        "t", F.sum("id").over(Window.partitionBy())
+    )
+    assert _has_single_partition_window(
+        bad._jdf.queryExecution().executedPlan().toString()
+    )
+    tot = spark.range(100).agg(F.sum("id").alias("s"))
+    good = spark.range(100).crossJoin(F.broadcast(tot))
+    assert not _has_single_partition_window(
+        good._jdf.queryExecution().executedPlan().toString()
+    )
+
+
 def test_no_single_partition_windows_anywhere(plans):
     """A Window over ``partitionBy()`` (empty spec) plans an Exchange
     SinglePartition feeding WindowExec: every row through one task.

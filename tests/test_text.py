@@ -413,26 +413,40 @@ def test_doc_chunk_plan_is_exchange_free(spark):
 
 
 def test_doc_chunk_windows_and_overlap(spark, tmp_path):
-    """Chunk arithmetic: a 100-token doc at W=64/S=48 yields starts
-    0/48/96 with 64/52/4 tokens; consecutive chunks share W-S tokens;
-    an empty doc yields nothing."""
-    from pyspark.sql import functions as F
-
+    """Chunk arithmetic at W=64/S=48: a 100-token doc yields starts
+    0/48 (start 96 would be a strict suffix of chunk 1 — dropped);
+    consecutive chunks share W-S tokens; a 65-token doc yields a
+    second chunk carrying its one uncovered token; docs at or under W
+    (or under W-S) yield exactly one chunk; an empty doc yields
+    nothing; every token of every doc is covered."""
     from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
 
     sf = tmp_path / "sf"
     sf.mkdir()
-    text = " ".join(f"w{i}" for i in range(100))
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
     spark.createDataFrame(
-        [(1, text, "a", 0), (2, "", "a", 0)],
+        [(1, words(100), "a", 0), (2, "", "a", 0), (3, words(65), "a", 0),
+         (4, words(64), "a", 0), (5, words(10), "a", 0)],
         "doc_id long, text string, source string, n_chars int",
     ).write.parquet(str(sf / "documents.parquet"))
-    rows = {r["chunk_idx"]: r
-            for r in tq.q_doc_chunk(spark, str(sf)).collect()}
-    assert sorted(rows) == [0, 1, 2]
-    assert [rows[i]["n_chunk_tokens"] for i in (0, 1, 2)] == [64, 52, 4]
-    c0 = rows[0]["chunk_text"].split(" ")
-    c1 = rows[1]["chunk_text"].split(" ")
+    out = tq.q_doc_chunk(spark, str(sf)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+
+    d1 = by_doc[1]
+    assert sorted(d1) == [0, 1]  # start 96 dropped: contained in chunk 1
+    assert [d1[i]["n_chunk_tokens"] for i in (0, 1)] == [64, 52]
+    c0, c1 = d1[0]["chunk_text"].split(" "), d1[1]["chunk_text"].split(" ")
     assert c0[48:] == c1[:16]  # W-S = 16-token overlap
-    assert c1[0] == "w48" and rows[2]["chunk_text"].split(" ")[0] == "w96"
-    assert all(r["doc_id"] == 1 for r in rows.values())
+    assert c1[0] == "w48" and c1[-1] == "w99"  # full coverage to the end
+
+    assert 2 not in by_doc  # empty doc: no chunks
+    assert sorted(by_doc[3]) == [0, 1]  # token w64 needs a second chunk
+    assert by_doc[3][1]["n_chunk_tokens"] == 17
+    assert by_doc[3][1]["chunk_text"].split(" ")[-1] == "w64"
+    assert sorted(by_doc[4]) == [0] and by_doc[4][0]["n_chunk_tokens"] == 64
+    assert sorted(by_doc[5]) == [0] and by_doc[5][0]["n_chunk_tokens"] == 10
