@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "event_sliding_window",
     "doc_paragraph_dedup",
     "doc_mixture_sample",
+    "doc_chunk",
     "event_gap_fill",
     "event_scd2",
     "emb_prefix_rerank_topk",

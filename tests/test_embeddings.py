@@ -216,11 +216,20 @@ def test_multiprobe_recall_on_clustered_corpus(spark, tmp_path):
     centers = rng.standard_normal((eq.N_QUERIES, dim))
     vecs = [centers[i] + spread * rng.standard_normal(dim)
             for i in range(eq.N_QUERIES)]  # queries: one per cluster
+    labels = list(range(eq.N_QUERIES))
     for i in range(eq.N_QUERIES):
         for _ in range(15):
             vecs.append(centers[i] + spread * rng.standard_normal(dim))
-    vecs += list(rng.standard_normal((100, dim)))  # isotropic chaff
-    sf = _write_sf(spark, tmp_path, vecs)
+            labels.append(i)
+    chaff = list(rng.standard_normal((100, dim)))  # isotropic chaff
+    vecs += chaff
+    labels += [i % eq.N_QUERIES for i in range(len(chaff))]
+    sf = _write_sf(spark, tmp_path, vecs, labels)
     rec = eq.q_emb_ann_recall(spark, sf).collect()
     mean_recall = sum(r["recall"] for r in rec) / len(rec)
     assert mean_recall >= 0.8, mean_recall
+    # IVF on the same corpus: label-cells coincide with the clusters,
+    # so the NPROBE-pruned probe must recall the true neighbors too
+    ivf = eq.q_emb_ivf_recall(spark, sf).collect()
+    ivf_recall = sum(r["recall"] for r in ivf) / len(ivf)
+    assert ivf_recall >= 0.8, ivf_recall

@@ -79,6 +79,8 @@ QUERIES = [
     # embeddings/documents
     "event_gap_fill", "event_scd2", "emb_prefix_rerank_topk",
     "doc_mixture_sample",
+    # r8: token-window chunking — map-side explode, floor-bound at sf0.1
+    "doc_chunk",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
