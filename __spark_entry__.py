@@ -39,31 +39,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries in dict order per round.  The window ROTATES each round so
     # every query's driver verdict stays <= 2 rounds old: r5 put the
     # emb/corpus/text packs first; r6/r7 ran star/parity + events first.
-    # r8 rotates BACK to the 45 text/corpus/emb entries (2-round-stale
-    # driver rows; doc_chunk is new this round) -- doc_seq_packing
-    # PINNED FIRST because its only driver verdict ever is the r5 hash
-    # FAIL (fixed in r6, never driver-verified since) -- then 5 star
-    # queries fill the 50-entry window; the 30 rotated-out star/events
-    # entries all carry green r7 rows. All pass
+    # r8 rotates BACK to the 46 text/corpus/emb entries (2-round-stale
+    # driver rows; doc_chunk and doc_span_dedup are new this round) --
+    # doc_seq_packing PINNED FIRST because its only driver verdict ever
+    # is the r5 hash FAIL (fixed in r6, never driver-verified since) --
+    # then 4 star queries fill the 50-entry window; the 31 rotated-out
+    # star/events entries all carry green r7 rows. All pass
     # tools/check_correctness.py locally regardless of position.
     text_q = dict(text_queries.QUERIES)
     seq_packing = text_q.pop("doc_seq_packing")
     return {
         "doc_seq_packing": seq_packing,
-        # beyond-reference: text analysis + dedup (22 more)
+        # beyond-reference: text analysis + dedup (23 more)
         **text_q,
         # beyond-reference: corpus hygiene (7)
         **corpus_queries.QUERIES,
         # beyond-reference: embedding similarity search (15)
         **embedding_queries.QUERIES,
-        # 5 star/parity queries round out the 50-entry window
+        # 4 star/parity queries round out the 50-entry window
         "statements_annual": sq.q_statements_annual,
         "ratios_annual": sq.q_ratios_annual,
         "screener": sq.q_screener,                            # P6 + J2 + O2
         "window_dedup_latest": sq.q_window_dedup_latest,      # W1
-        "pivot_wide": sq.q_pivot_wide,                        # A1
         # --- window boundary (entries below carry green r7 rows) ---
         # SURVEY §2 reference-parity operators (FIXTURES.md §C mapping)
+        "pivot_wide": sq.q_pivot_wide,                        # A1
         "flow_stock_union": sq.q_flow_stock_union,            # U1 + P4
         "window_dedup_priority": sq.q_window_dedup_priority,  # W2
         "coalesce_priority": sq.q_coalesce_priority,          # A2

@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "doc_paragraph_dedup",
     "doc_mixture_sample",
     "doc_chunk",
+    "doc_span_dedup",
     "event_gap_fill",
     "event_scd2",
     "emb_prefix_rerank_topk",

@@ -1668,7 +1668,150 @@ FROM s
 """
 
 
+# ---- exact-substring span dedup (Lee et al. '22 style) ---------------------
+
+SPAN_K = 8
+
+
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring SPAN dedup (the "Deduplicating Training Data
+    Makes Language Models Better" pass, shingle-approximated): a
+    duplicated span of >= SPAN_K tokens keeps its FIRST occurrence
+    (min (doc_id, start)) and every other occurrence is EXCISED from
+    its document -- finer than document/paragraph dedup, catching
+    repeated quotes, licenses, and templated sentences embedded in
+    otherwise-distinct documents. A position is excised iff some
+    K-shingle covering it has an earlier identical occurrence anywhere
+    in the corpus; documents come back reassembled from their surviving
+    tokens with an n_removed audit count.
+
+    Scale shape, mirroring q_doc_paragraph_dedup: shingling is
+    map-side array ops; the winner election groups by
+    ``xxhash64(shingle)`` (8-byte shuffle keys; min/max shingle carried
+    as the collision check, colliding hashes -- P ~ n^2/2^64 --
+    re-resolve by exact text via a broadcast semi-join); excised
+    positions regroup per doc (dup-occurrence-sized, far below corpus
+    scale) and the token filter is map-side. Nothing quadratic; the
+    only corpus-wide shuffles are the shingle agg and the final
+    doc_id join."""
+    d = _documents(spark, sf_dir)
+    arr = _tokens(F.col("text"))
+    base = d.select("doc_id", arr.alias("toks")) \
+        .withColumn("n", F.size("toks"))
+    spans = (
+        base.filter(F.col("n") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - SPAN_K),
+                    lambda i: F.struct(
+                        i.cast("int").alias("i"),
+                        F.array_join(
+                            F.slice(F.col("toks"), i + 1, SPAN_K), " "
+                        ).alias("s"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("doc_id", F.col("c.i").alias("i"), F.col("c.s").alias("s"))
+    )
+    sp_h = spans.withColumn("hkey", F.xxhash64("s"))
+    agg = sp_h.groupBy("hkey").agg(
+        F.min(F.struct("doc_id", "i")).alias("w"),
+        F.count("*").alias("cnt"),
+        F.min("s").alias("mn"),
+        F.max("s").alias("mx"),
+    )
+    clean_dups = agg.filter(
+        (F.col("cnt") > 1) & (F.col("mn") == F.col("mx"))
+    ).select("hkey", "w")
+    bad_clean = (
+        sp_h.join(clean_dups, "hkey")
+        .filter(~((F.col("doc_id") == F.col("w.doc_id"))
+                  & (F.col("i") == F.col("w.i"))))
+        .select("doc_id", "i")
+    )
+    collided_keys = agg.filter(F.col("mn") != F.col("mx")).select("hkey")
+    coll = sp_h.join(F.broadcast(collided_keys), "hkey", "left_semi")
+    coll_w = coll.groupBy("s").agg(
+        F.min(F.struct("doc_id", "i")).alias("w"),
+        F.count("*").alias("cnt"),
+    )
+    bad_coll = (
+        coll.join(coll_w.filter(F.col("cnt") > 1), "s")
+        .filter(~((F.col("doc_id") == F.col("w.doc_id"))
+                  & (F.col("i") == F.col("w.i"))))
+        .select("doc_id", "i")
+    )
+    bad_per_doc = (
+        bad_clean.unionByName(bad_coll)
+        .groupBy("doc_id").agg(F.collect_list("i").alias("bad_i"))
+    )
+    bad_arr = F.coalesce(F.col("bad_i"), F.array().cast("array<int>"))
+    keep = F.filter(
+        F.col("toks"),
+        lambda t, p: ~F.exists(
+            bad_arr, lambda s: (s <= p) & (p < s + F.lit(SPAN_K))
+        ),
+    )
+    return (
+        base.join(bad_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(keep, " ").alias("text_dedup"),
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.col("n") - F.size(keep)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+DOC_SPAN_DEDUP_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+base AS (SELECT doc_id, l, len(l) AS n FROM tok),
+sh AS (
+  SELECT doc_id, unnest(generate_series(0, n - {SPAN_K})) AS i, l
+  FROM base WHERE n >= {SPAN_K}
+),
+occ AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(l, i + 1, i + {SPAN_K}), ' ') AS s
+  FROM sh
+),
+bad AS (
+  -- every non-first occurrence of a duplicated shingle (winner by
+  -- exact string; Spark keys on xxhash64 with exact-text collision
+  -- fallback -- identical semantics absent 64-bit collisions)
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+           row_number() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn
+    FROM occ) WHERE rn > 1
+),
+badl AS (SELECT doc_id, list(i) AS bad_i FROM bad GROUP BY 1)
+SELECT b.doc_id,
+       -- coalesce: duckdb's array_to_string of an EMPTY list is NULL,
+       -- Spark's array_join is '' (a fully-excised doc must agree)
+       coalesce(array_to_string(
+         list_filter(b.l, (x, p) ->
+           len(list_filter(coalesce(badl.bad_i, []),
+                           s -> s + 1 <= p AND p <= s + {SPAN_K})) = 0),
+         ' '), '') AS text_dedup,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - len(list_filter(b.l, (x, p) ->
+           len(list_filter(coalesce(badl.bad_i, []),
+                           s -> s + 1 <= p AND p <= s + {SPAN_K})) = 0))
+         AS BIGINT) AS n_removed
+FROM base b LEFT JOIN badl ON b.doc_id = badl.doc_id
+"""
+
+
 QUERIES = {
+    "doc_span_dedup": q_doc_span_dedup,
     "doc_chunk": q_doc_chunk,
     "doc_paragraph_dedup": q_doc_paragraph_dedup,
     "doc_exact_dedup": q_doc_exact_dedup,
@@ -1695,6 +1838,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
     "doc_chunk": DOC_CHUNK_SQL,
     "doc_paragraph_dedup": DOC_PARAGRAPH_DEDUP_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,

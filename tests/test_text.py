@@ -450,3 +450,35 @@ def test_doc_chunk_windows_and_overlap(spark, tmp_path):
     assert by_doc[3][1]["chunk_text"].split(" ")[-1] == "w64"
     assert sorted(by_doc[4]) == [0] and by_doc[4][0]["n_chunk_tokens"] == 64
     assert sorted(by_doc[5]) == [0] and by_doc[5][0]["n_chunk_tokens"] == 10
+
+
+def test_doc_span_dedup_excises_later_occurrences(spark, tmp_path):
+    """A duplicated >=K-token span keeps its first occurrence (min
+    (doc_id, start)) and is excised everywhere else — including a
+    repeat WITHIN one document; docs shorter than K are untouched."""
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    span = " ".join(f"s{i}" for i in range(tq.SPAN_K))
+    uniq1 = " ".join(f"a{i}" for i in range(tq.SPAN_K))
+    uniq2 = " ".join(f"b{i}" for i in range(tq.SPAN_K))
+    spark.createDataFrame(
+        [
+            (1, f"{uniq1} {span}", "a", 0),          # winner copy
+            (2, f"{uniq2} {span}", "a", 0),          # later copy: excised
+            (3, f"{span} {span}", "a", 0),           # internal repeat
+            (4, "tiny doc", "a", 0),                 # n < K: untouched
+        ],
+        "doc_id long, text string, source string, n_chars int",
+    ).write.parquet(str(sf / "documents.parquet"))
+    out = {r["doc_id"]: r for r in tq.q_doc_span_dedup(spark, str(sf)).collect()}
+    assert out[1]["text_dedup"] == f"{uniq1} {span}"  # winner intact
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_dedup"] == uniq2              # span excised
+    assert out[2]["n_removed"] == tq.SPAN_K
+    # doc 3: its first span occurrence lost to doc 1's (earlier doc_id),
+    # and the overlapping shingles of the doubled span are all
+    # duplicated -> the whole doc is excised
+    assert out[3]["text_dedup"] == "" and out[3]["n_removed"] == 2 * tq.SPAN_K
+    assert out[4]["text_dedup"] == "tiny doc" and out[4]["n_removed"] == 0

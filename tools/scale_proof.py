@@ -73,6 +73,10 @@ QUERIES = [
     # the operator exists for, and the hash-keyed winner election stays
     # linear in it (unlike the near-dup pair queries, which stay out).
     "doc_paragraph_dedup",
+    # r8: span dedup runs on the marker-amplified corpus for the same
+    # reason as paragraph dedup: cross-copy spans ARE the boilerplate
+    # workload, and the shingle winner election stays linear in it
+    "doc_span_dedup",
     # r5 continuation: calendar densification + SCD2 run on the 10x
     # event stream (user_id-shifted copies multiply the island count
     # linearly); staged retrieval + mixture sampling on the amplified
