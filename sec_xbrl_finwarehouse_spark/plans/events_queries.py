@@ -44,12 +44,32 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Canonical NTZ matches DuckDB, whose parquet timestamps are naive
     micros, so every downstream ts-emitting query hashes identically to
     its oracle regardless of which parquet flavor was read.
+
+    The session time zone is pinned to UTC here (runtime-settable, like
+    the nanos conf): the TIMESTAMP->NTZ cast and every
+    ``to_utc_timestamp``/``F.window`` evaluation read wall clocks
+    through the SESSION zone, so an externally-built session running in
+    e.g. America/New_York would otherwise shift every rendered ts by
+    its (DST-varying!) offset and silently diverge from the oracle's
+    naive arithmetic.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(table_path(sf_dir, "events"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return normalize_events_ts(
+        spark.read.parquet(table_path(sf_dir, "events"))
+    )
+
+
+def normalize_events_ts(e: DataFrame) -> DataFrame:
+    """The three-flavor ``ts`` dispatch of :func:`_events`, shared with
+    tools/scale_proof.py so the scaled corpus and the query path can
+    never canonicalize differently."""
     dt = dict(e.dtypes).get("ts")
     if dt == "bigint":
-        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+        e = e.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
     elif dt == "timestamp":
         e = e.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return e
@@ -60,11 +80,13 @@ def _epoch_micros(c):
 
     ``F.unix_micros`` only accepts TIMESTAMP, so NTZ input (the canonical
     ``_events`` dtype) is first pinned to an instant via
-    ``to_utc_timestamp(c, 'UTC')`` -- i.e. the naive wall clock is read AS
-    UTC, which is deterministic regardless of the session time zone and
-    matches DuckDB's ``date_diff('microsecond', ...)`` on the same naive
-    values. Every use below is a difference of two such values, so even a
-    fixed offset would cancel; the UTC pin removes the dependence anyway.
+    ``to_utc_timestamp(c, 'UTC')``. NOTE: that conversion reads the NTZ
+    wall clock through the SESSION zone first, which is why
+    :func:`_events` pins ``spark.sql.session.timeZone`` to UTC -- under
+    a non-UTC session a DST transition between two events would shift
+    their epoch DIFFERENCE (offsets do not cancel across a DST change).
+    With the session pinned the value is the naive wall clock read as
+    UTC, matching DuckDB's ``date_diff('microsecond', ...)``.
     """
     return F.unix_micros(F.to_utc_timestamp(c, "UTC"))
 
@@ -78,7 +100,11 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses with a watermark; see streaming/events_stream.py) -- one hash
     aggregation keyed (window, event_type), map-side partial combine.
     """
-    e = _events(spark, sf_dir)
+    # NULL-ts guard, mirrored in the oracle: F.window silently DROPS
+    # NULL-timestamp rows while date_trunc would keep a NULL bucket --
+    # filter explicitly on both sides so the semantics agree (and are
+    # stated) rather than diverging the day the driver ships a NULL
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
@@ -100,6 +126,7 @@ SELECT date_trunc('hour', ts) AS bucket_start,
        sum(value) AS total_value,
        avg(value) AS avg_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -115,7 +142,15 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the one ``user_id`` hash-partitioning; the per-partition sort
     is reused by both window functions (one shuffle total).
     """
-    e = _events(spark, sf_dir)
+    return sessionize(_events(spark, sf_dir))
+
+
+def sessionize(e: DataFrame) -> DataFrame:
+    """The gaps-and-islands core of :func:`q_event_sessionize` over an
+    already-loaded events frame — the unit tests drive THIS function on
+    in-memory frames, so the expression they exercise (including the
+    ``_epoch_micros`` timezone behavior) is the production one, never a
+    re-implementation that can drift."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
     new_sess = (
@@ -646,7 +681,8 @@ def q_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle expands the membership explicitly: a window START
     for every 30-min boundary in [floor30(ts) - 30min, floor30(ts)] --
     the relational spelling of the same expansion."""
-    e = _events(spark, sf_dir)
+    # NULL-ts guard mirrored in the oracle (see q_event_window_agg)
+    e = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
@@ -669,7 +705,7 @@ def q_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENT_SLIDING_WINDOW_SQL = """
 WITH expanded AS (
   SELECT t.bucket_start, e.event_type, e.user_id, e.value
-  FROM events e
+  FROM (SELECT * FROM events WHERE ts IS NOT NULL) e
   CROSS JOIN LATERAL (
     SELECT unnest([
       date_trunc('hour', e.ts)

@@ -25,21 +25,12 @@ def _events(spark, rows):
 
 
 def _sessionize(spark, df):
-    """Apply the same gaps-and-islands logic as q_event_sessionize to an
-    in-memory frame (the query function itself reads parquet)."""
-    from pyspark.sql import Window
+    """Drive the PRODUCTION gaps-and-islands core (not a re-spelled
+    copy, which once drifted to plain unix_micros and could not catch
+    timezone bugs in the real _epoch_micros expression)."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import sessionize
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    new_sess = (
-        prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_SEC * 1_000_000)
-    ).cast("long")
-    sess = df.withColumn("new_sess", new_sess).withColumn(
-        "session_seq",
-        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
-    return sess.groupBy("user_id", "session_seq").agg(F.count("*").alias("n_events"))
+    return sessionize(df)
 
 
 def test_sessionize_gap_boundary(spark):
@@ -257,3 +248,25 @@ def test_transitions_counts_and_share(spark, tmp_path):
     got = {(r["from_type"], r["to_type"]): r["n_steps"] for r in out}
     assert got == {("view", "click"): 2, ("click", "view"): 1}
     assert abs(sum(r["share"] for r in out) - 1.0) < 1e-9
+
+
+def test_event_queries_timezone_invariant(spark):
+    """An externally-built session may run in any time zone; _events
+    pins spark.sql.session.timeZone to UTC so every ts-emitting query
+    is invariant (regression: NTZ casts and epoch conversions read wall
+    clocks through the SESSION zone — under America/New_York a DST
+    transition shifts epoch DIFFERENCES, splitting/merging sessions and
+    moving window buckets)."""
+    from sec_xbrl_finwarehouse_spark.plans import events_queries as ev
+
+    sf = "/root/testdata/sf0.001"
+    base_sess = {tuple(r) for r in ev.q_event_sessionize(spark, sf).collect()}
+    base_win = {tuple(r) for r in ev.q_event_window_agg(spark, sf).collect()}
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        ny_sess = {tuple(r) for r in ev.q_event_sessionize(spark, sf).collect()}
+        ny_win = {tuple(r) for r in ev.q_event_window_agg(spark, sf).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert ny_sess == base_sess
+    assert ny_win == base_win

@@ -138,16 +138,12 @@ def build(spark, out_dir: str) -> None:
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
         if name == "events":
             # normalize ts across the parquet flavors the driver has
-            # shipped (nanos-as-long / NTZ micros / adjusted micros) so
-            # the scaled copy is always naive micros -- same rules as
-            # plans/events_queries._events
-            from pyspark.sql import functions as FF
-            dt = dict(src.dtypes).get("ts")
-            if dt == "bigint":
-                src = src.withColumn(
-                    "ts", FF.timestamp_micros(FF.expr("ts div 1000")).cast("timestamp_ntz"))
-            elif dt == "timestamp":
-                src = src.withColumn("ts", FF.col("ts").cast("timestamp_ntz"))
+            # shipped -- the SHARED dispatch, so the scaled corpus and
+            # the query path can never canonicalize differently
+            from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+                normalize_events_ts,
+            )
+            src = normalize_events_ts(src)
         parts = []
         for i in range(COPIES):
             c = src
