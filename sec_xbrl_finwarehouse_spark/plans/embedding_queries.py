@@ -66,8 +66,19 @@ def _embeddings(spark: SparkSession, sf_dir: str, parallel: bool = True) -> Data
     return e.withColumn("emb", F.col("embedding").cast("array<double>"))
 
 
-def _topk_per_query(scored: DataFrame, k: int = TOPK) -> DataFrame:
-    """Two-phase top-k by (cosine DESC, neighbor_id ASC) per query_id.
+def _topk_per_query(
+    scored: DataFrame,
+    k: int = TOPK,
+    score_col: str = "cosine",
+    ascending: bool = False,
+    carry: tuple = (),
+) -> DataFrame:
+    """Two-phase top-k by (score, neighbor_id ASC) per query_id --
+    ``score_col``/``ascending`` parameterize the metric (cosine DESC for
+    similarity, adist ASC for PQ distances) so every ranker shares ONE
+    pruning implementation; ``carry`` names extra input columns to keep
+    on the ranked output (so callers never re-join a corpus-sized table
+    just to recover a column the scan already had).
 
     Phase 1 ranks within (query_id, input partition) -- the shuffle is
     spread over n_partitions x n_queries balanced keys and everything
@@ -78,9 +89,10 @@ def _topk_per_query(scored: DataFrame, k: int = TOPK) -> DataFrame:
     Deterministic: phase-1 pruning can never evict a global top-k row,
     so the result is bit-identical to the one-window form (same oracle).
     """
+    score = F.col(score_col).asc() if ascending else F.col(score_col).desc()
     local = scored.withColumn("pid", F.spark_partition_id())
     w_local = Window.partitionBy("query_id", "pid").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        score, F.col("neighbor_id").asc()
     )
     survivors = (
         local.withColumn("lrk", F.row_number().over(w_local))
@@ -88,12 +100,12 @@ def _topk_per_query(scored: DataFrame, k: int = TOPK) -> DataFrame:
         .drop("pid", "lrk")
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+        score, F.col("neighbor_id").asc()
     )
     return (
         survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
+        .select("query_id", "rank", "neighbor_id", score_col, *carry)
     )
 
 
@@ -295,25 +307,9 @@ def q_emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     label; assignment is a broadcast cross join (centroid count is tiny
     by construction) + a per-vector argmin window."""
     e = _embeddings(spark, sf_dir)
-    dims = e.select("label", F.posexplode("emb").alias("pos", "v"))
-    cent = (
-        dims.groupBy("label", "pos").agg(F.avg("v").alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("c_label"), "centroid")
-    )
-    sqdist = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    cent = _centroids(e)
     scored = e.select("vec_id", "emb").crossJoin(F.broadcast(cent)).withColumn(
-        "sqdist", F.round(sqdist, 6)
+        "sqdist", F.round(_sqdist(F.col("emb"), F.col("centroid")), 6)
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sqdist").asc(), F.col("c_label").asc()
@@ -385,8 +381,9 @@ def _lsh_buckets_udf():
 
     @pandas_udf("array<long>")
     def buckets(emb: pd.Series) -> pd.Series:
-        dim = len(emb.iloc[0]) if len(emb) else 0
-        planes = _lsh_planes(dim)
+        if len(emb) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
+        planes = _lsh_planes(len(emb.iloc[0]))
         m = np.stack(emb.to_numpy())                     # (batch, dim)
         bits = (m @ planes.T) > 0                        # (batch, T*B)
         weights = (1 << np.arange(LSH_BITS)).astype("int64")
@@ -470,8 +467,11 @@ def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cannot drift between them. The only approximation risk vs Spark is a
 # dot product landing exactly on 0 under one engine's summation order
 # and not the other's -- measure-zero for real embeddings.
+# The header says RECURSIVE unconditionally (harmless for the
+# non-recursive consumers) so the clusters oracle's recursive walk CTE
+# composes without a fragile string replace on the header.
 _LSH_BUCKET_CTES = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 ed AS (
   SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x FROM e
 ),
@@ -574,18 +574,26 @@ def q_emb_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_LSH_NEARDUP_SQL = f"""{_LSH_BUCKET_CTES},
+# Shared candidate + thresholded-pairs CTEs ending in
+# ``pairs(v1, v2, cosine)`` -- consumed by the near-dup oracle AND the
+# clusters/semantic-dedup oracles so the pair spelling cannot drift.
+_NEARDUP_PAIRS_CTES = f"""
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
   WHERE a.vec_id < b.vec_id
-)
-SELECT cand.v1, cand.v2,
-       {_DUCK_COS.format(a='ea.emb', b='eb.emb')} AS cosine
-FROM cand
-JOIN e ea ON ea.vec_id = cand.v1
-JOIN e eb ON eb.vec_id = cand.v2
-WHERE {_DUCK_COS.format(a='ea.emb', b='eb.emb')} >= {NEARDUP_COS}
+),
+pairs AS (
+  SELECT cand.v1, cand.v2,
+         {_DUCK_COS.format(a='ea.emb', b='eb.emb')} AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.v1
+  JOIN e eb ON eb.vec_id = cand.v2
+  WHERE {_DUCK_COS.format(a='ea.emb', b='eb.emb')} >= {NEARDUP_COS}
+)"""
+
+EMB_LSH_NEARDUP_SQL = f"""{_LSH_BUCKET_CTES},{_NEARDUP_PAIRS_CTES}
+SELECT v1, v2, cosine FROM pairs
 """
 
 
@@ -617,19 +625,7 @@ def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared CTE prefix ending in ``comp(vec_id, cluster_rep)`` -- consumed
 # by both the clusters oracle and the cross-modal semantic-dedup oracle
 # so the component spelling cannot drift between them.
-_EMB_CLUSTERS_CTES = f"""{_LSH_BUCKET_CTES.replace("WITH e AS", "WITH RECURSIVE e AS", 1)},
-cand AS (
-  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
-  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
-  WHERE a.vec_id < b.vec_id
-),
-pairs AS (
-  SELECT cand.v1, cand.v2
-  FROM cand
-  JOIN e ea ON ea.vec_id = cand.v1
-  JOIN e eb ON eb.vec_id = cand.v2
-  WHERE {_DUCK_COS.format(a='ea.emb', b='eb.emb')} >= {NEARDUP_COS}
-),
+_EMB_CLUSTERS_CTES = f"""{_LSH_BUCKET_CTES},{_NEARDUP_PAIRS_CTES},
 edges AS (SELECT v1 AS a, v2 AS b FROM pairs UNION ALL SELECT v2, v1 FROM pairs),
 walk AS (
   SELECT a AS vec_id, a AS reach FROM edges
@@ -675,6 +671,34 @@ def _sqdist(a, b):
     )
 
 
+def _cells_one_row(cent: DataFrame):
+    """The centroid table folded into ONE broadcast row holding an array
+    of (c_label, centroid) structs -- the quantizer shape that makes
+    cell assignment a pure projection (see :func:`_nearest_cells`)."""
+    return F.broadcast(
+        cent.groupBy().agg(
+            F.collect_list(F.struct("c_label", "centroid")).alias("cents")
+        )
+    )
+
+
+def _nearest_cells(emb_col, k: int):
+    """k nearest cells of ``emb_col`` against the broadcast ``cents``
+    array (from :func:`_cells_one_row`): (sqdist, label) structs sorted
+    lexicographically = argmin with label tie-break, per row, with NO
+    window and NO row multiplication -- the only assignment shape that
+    works when the corpus is 100 TB (a crossJoin-explode + row_number
+    window would shuffle corpus x n_cells rows)."""
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(_sqdist(emb_col, c["centroid"]), 6).alias("sqdist"),
+            c["c_label"].alias("cell"),
+        ),
+    )
+    return F.slice(F.array_sort(scored), 1, k)
+
+
 def q_emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: label-centroids as the coarse quantizer; every corpus
     vector lives in the cell of its NEAREST centroid; each query probes
@@ -700,24 +724,7 @@ def q_emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     also the only shape that works when the corpus is 100 TB (the
     window form would shuffle corpus x n_cells rows)."""
     e = _embeddings(spark, sf_dir)
-    cents_one_row = F.broadcast(
-        _centroids(e).groupBy().agg(
-            F.collect_list(F.struct("c_label", "centroid")).alias("cents")
-        )
-    )
-
-    def _nearest_cells(emb_col, k: int):
-        # (sqdist, label) structs sorted lexicographically = argmin with
-        # label tie-break; collect_list order is irrelevant post-sort
-        scored = F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                F.round(_sqdist(emb_col, c["centroid"]), 6).alias("sqdist"),
-                c["c_label"].alias("cell"),
-            ),
-        )
-        return F.slice(F.array_sort(scored), 1, k)
-
+    cents_one_row = _cells_one_row(_centroids(e))
     assigned = (
         e.filter(F.col("vec_id") >= N_QUERIES)
         .select(F.col("vec_id").alias("neighbor_id"), "emb")
@@ -806,15 +813,14 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), "emb"
     )
-    wa = Window.partitionBy("neighbor_id").orderBy(
-        F.col("sqdist").asc(), F.col("c_label").asc()
-    )
+    # assignment via the one-row-broadcast projection (_nearest_cells):
+    # the index build is the ONE job that must touch the whole corpus,
+    # so it must not use the crossJoin + per-vector window form that
+    # multiplies and shuffles corpus x n_cells rows
     assigned = (
-        corpus.crossJoin(F.broadcast(cent))
-        .withColumn("sqdist", F.round(_sqdist(F.col("emb"), F.col("centroid")), 6))
-        .withColumn("rk", F.row_number().over(wa))
-        .filter(F.col("rk") == 1)
-        .select("neighbor_id", "emb", F.col("c_label").alias("cell"))
+        corpus.crossJoin(_cells_one_row(cent))
+        .select("neighbor_id", "emb",
+                _nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_dir}/corpus"
@@ -837,15 +843,12 @@ def q_emb_ivf_index_probe(
     queries = _embeddings(spark, sf_dir).filter(
         F.col("vec_id") < N_QUERIES
     ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("sqdist").asc(), F.col("c_label").asc()
-    )
     probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .withColumn("sqdist", F.round(_sqdist(F.col("qemb"), F.col("centroid")), 6))
-        .withColumn("rk", F.row_number().over(wp))
-        .filter(F.col("rk") <= NPROBE)
-        .select("query_id", "qemb", F.col("c_label").alias("cell"))
+        queries.crossJoin(_cells_one_row(cent))
+        .select("query_id", "qemb",
+                F.explode(F.transform(
+                    _nearest_cells(F.col("qemb"), NPROBE), lambda s: s["cell"]
+                )).alias("cell"))
     )
     stored = spark.read.parquet(f"{index_dir}/corpus")
     scored = stored.join(F.broadcast(probes), "cell").select(
@@ -1026,13 +1029,9 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
         )
     )
-    ranked = _topk_per_query(scored)
-    # re-attach the label (pruned by the shared top-k helper's output
-    # contract): broadcast the RANKED side -- it is TOPK x N_QUERIES
-    # rows by construction, while the label map is corpus-sized and must
-    # never ship as a broadcast
-    labels = corpus.select("neighbor_id", "neighbor_label")
-    return labels.join(F.broadcast(ranked), "neighbor_id").select(
+    # the label rides through the shared top-k (carry): no second
+    # corpus scan to re-attach a column the scored rows already had
+    return _topk_per_query(scored, carry=("neighbor_label",)).select(
         "query_id", "rank", "neighbor_id", "neighbor_label", "cosine"
     )
 
@@ -1204,25 +1203,7 @@ def q_emb_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id",
         F.round(adist_e6 / F.lit(1e6), 6).alias("adist"),
     )
-    # two-phase top-k by (adist ASC, neighbor_id ASC): local rank within
-    # (query, input partition), prune past k, then global rank
-    local = scored.withColumn("pid", F.spark_partition_id())
-    w_local = Window.partitionBy("query_id", "pid").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
-    )
-    survivors = (
-        local.withColumn("lrk", F.row_number().over(w_local))
-        .filter(F.col("lrk") <= TOPK)
-        .drop("pid", "lrk")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adist").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        survivors.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "rank", "neighbor_id", "adist")
-    )
+    return _topk_per_query(scored, score_col="adist", ascending=True)
 
 
 _DUCK_SUB_SQDIST_E6 = (
@@ -1415,8 +1396,15 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: both ranker subplans are the existing two-phase top-k
     pipelines (no new scan patterns); the intersection joins two
     (n_queries x k)-row results -- negligible over the ranking cost."""
+    return _recall_vs_exact(spark, sf_dir, q_emb_lsh_ann_topk)
+
+
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+    """recall@{TOPK} of ``approx_fn``'s ranking against the exact
+    brute-force top-k -- the ONE harness both recall queries share so
+    the measurement itself can never drift between them."""
     exact = q_emb_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = q_emb_lsh_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = approx_fn(spark, sf_dir).select("query_id", "neighbor_id")
     hits = (
         approx.join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -1434,19 +1422,28 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_ANN_RECALL_SQL = f"""
+def _recall_sql(approx_sql: str) -> str:
+    """Shared oracle harness: the exact ranking is a named CTE evaluated
+    ONCE (the old spelling inlined the brute-force subquery twice)."""
+    return f"""
+WITH exact AS ({EMB_ANN_TOPK_SQL}),
+approx AS ({approx_sql}),
+h AS (
+  SELECT a.query_id, count(*) AS n
+  FROM approx a
+  JOIN exact x
+    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+  GROUP BY 1
+)
 SELECT q.query_id,
        CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
        round(coalesce(h.n, 0) / {TOPK}.0, 6) AS recall
-FROM (SELECT DISTINCT query_id FROM ({EMB_ANN_TOPK_SQL})) q
-LEFT JOIN (
-  SELECT a.query_id, count(*) AS n
-  FROM ({EMB_LSH_ANN_TOPK_SQL}) a
-  JOIN ({EMB_ANN_TOPK_SQL}) x
-    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
-  GROUP BY 1
-) h USING (query_id)
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN h USING (query_id)
 """
+
+
+EMB_ANN_RECALL_SQL = _recall_sql(EMB_LSH_ANN_TOPK_SQL)
 
 
 def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,38 +1451,10 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact brute-force top-k -- same eval-harness shape as
     :func:`q_emb_ann_recall`, measuring what the nprobe/cell-count
     trade-off costs in result quality."""
-    exact = q_emb_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = q_emb_ivf_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = (
-        approx.join(exact, ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        exact.select("query_id").distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(TOPK), 6)
-            .alias("recall"),
-        )
-    )
+    return _recall_vs_exact(spark, sf_dir, q_emb_ivf_ann_topk)
 
 
-EMB_IVF_RECALL_SQL = f"""
-SELECT q.query_id,
-       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-       round(coalesce(h.n, 0) / {TOPK}.0, 6) AS recall
-FROM (SELECT DISTINCT query_id FROM ({EMB_ANN_TOPK_SQL})) q
-LEFT JOIN (
-  SELECT a.query_id, count(*) AS n
-  FROM ({EMB_IVF_ANN_TOPK_SQL}) a
-  JOIN ({EMB_ANN_TOPK_SQL}) x
-    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
-  GROUP BY 1
-) h USING (query_id)
-"""
+EMB_IVF_RECALL_SQL = _recall_sql(EMB_IVF_ANN_TOPK_SQL)
 
 
 QUERIES = {

@@ -186,16 +186,16 @@ def test_pq_ann_no_query_funnel(spark, qmap):
     assert len(re.findall(r"hashpartitioning\(query_id#\d+, \d+\)", plan)) <= 1, plan
 
 
-def test_hard_negatives_broadcasts_ranked_not_corpus(spark, qmap):
-    """The label re-attach join must broadcast the TOPK x N_QUERIES
-    ranked side -- a broadcast of the corpus-sized label map is the
-    at-scale OOM this guard pins down. The ranked subplan contains the
-    rank filter, so the BroadcastExchange must sit above a plan
-    containing row_number, and no SortMergeJoin may appear."""
+def test_hard_negatives_no_label_reattach_scan(spark, qmap):
+    """The neighbor label rides THROUGH the shared top-k (carry) -- the
+    r8 refactor removed the corpus-sized label re-attach join entirely,
+    so the plan must contain exactly TWO embeddings scans (broadcast
+    query side + corpus side) and no SortMergeJoin; a third scan means
+    the re-join crept back."""
     plan = _plan(qmap["emb_hard_negatives"](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
-    bidx = plan.find("BroadcastExchange")
-    assert bidx != -1 and "row_number" in plan[bidx:], plan[:2000]
+    n_scans = plan.count("FileScan parquet")
+    assert n_scans <= 2, f"{n_scans} scans\n" + plan[:2000]
 
 
 def test_unigram_logprob_broadcasts_lm_no_token_shuffle_join(spark, qmap):
