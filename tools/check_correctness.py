@@ -73,7 +73,15 @@ def compare(name: str, spark_df, con, pandas_fetch: bool = False) -> dict:
     res = con.sql(sql)
     ocols = [d[0] for d in res.description]
     if pandas_fetch:
-        odf = res.df()
+        # Arrow fetch with date_as_object: DuckDB DATE stays
+        # datetime.date, matching Spark's toPandas rendering.  The
+        # ``res.df()`` path upcasts DATE to datetime64 (midnight
+        # Timestamp), whose str() repr spuriously mismatches every
+        # date-emitting query (seen on the 5 day-keyed event queries);
+        # HUGEINT still degrades to float64 through Arrow, so the
+        # doc_seq_packing r5 failure class this mode exists to catch
+        # is still caught.
+        odf = res.fetch_arrow_table().to_pandas(date_as_object=True)
         ocols = list(odf.columns)
         orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
     else:
