@@ -39,13 +39,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries in dict order per round.  The window ROTATES each round so
     # every query's driver verdict stays <= 2 rounds old: r5 put the
     # emb/corpus/text packs first; r6/r7 ran star/parity + events first.
-    # r8 rotates BACK to the 46 text/corpus/emb entries (2-round-stale
-    # driver rows; doc_chunk and doc_span_dedup are new this round) --
+    # r8 rotates BACK to the text/corpus/emb entries (2-round-stale
+    # driver rows; doc_chunk, doc_span_dedup, doc_bigram_logprob,
+    # emb_ivf_pq_ann_topk and emb_ivfpq_recall are new this round) --
     # doc_seq_packing PINNED FIRST because its only driver verdict ever
     # is the r5 hash FAIL (fixed in r6, never driver-verified since) --
-    # then 4 star queries fill the 50-entry window; the 31 rotated-out
-    # star/events entries all carry green r7 rows. All pass
-    # tools/check_correctness.py locally regardless of position.
+    # then statements_annual fills the 50-entry window (1 + 23 text +
+    # 8 corpus + 17 emb = 49); the rotated-out star/events entries all
+    # carry green r7 rows. All pass tools/check_correctness.py locally
+    # regardless of position.
     text_q = dict(text_queries.QUERIES)
     seq_packing = text_q.pop("doc_seq_packing")
     return {

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "doc_repetition",
     "doc_unigram_logprob",
+    "doc_bigram_logprob",
     "doc_minhash_lsh_dedup",
     "doc_dedup_clusters",
     "doc_dedup_keep_best",
@@ -88,6 +89,7 @@ BENCH_QUERIES = [
     "emb_ivf_ann_topk",
     "emb_lsh_ann_topk",
     "emb_pq_ann_topk",
+    "emb_ivf_pq_ann_topk",
     "emb_hard_negatives",
     "doc_semantic_dedup",
     "event_sliding_window",

@@ -503,6 +503,158 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ---- bigram LM cross-entropy (KenLM-style quality proxy, order 2) ----------
+
+
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own BIGRAM language
+    model -- the order-2 step from :func:`q_doc_unigram_logprob` toward
+    the KenLM-perplexity filter CCNet actually ships: a document full of
+    individually-common tokens in improbable ORDER (shuffled text, SEO
+    keyword soup, table dumps) scores high here while sailing through
+    the unigram screen.
+
+    Scoring convention (stated, both engines agree): the FIRST token of
+    a document is scored under the unigram MLE ln(C(t)/N); every later
+    token under the conditional bigram MLE ln(C(prev,cur)/C(prev)). The
+    corpus scores ITSELF, so every scored bigram exists in the model and
+    no smoothing/backoff branch is needed -- scoring an external corpus
+    would interpolate with the unigram table (same join shape, one
+    coalesce). xent = -(sum of per-token log-probs)/n_tokens; 1-token
+    docs reduce to the unigram term, empty docs emit NULL.
+
+    Determinism: identical micro-nat quantization to the unigram query
+    -- each token's log-prob becomes floor(ln(p)*1e6 + 0.5) BIGINT and
+    the per-doc total is an order-independent integer sum.
+
+    Scale shape (two passes, zero wide exchanges of token-level data):
+    the bigram stream is built MAP-SIDE from each doc's token array
+    (transform over positions -> explode -- never a positional
+    self-join of an exploded token table, which would shuffle the whole
+    corpus on (doc_id, pos)). Pass 1 aggregates the bigram and unigram
+    count tables (both vocabulary-sized, map-side combinable) and
+    derives the conditional LM with one broadcast join of the two.
+    Pass 2 re-streams the bigrams, joins the BROADCAST LM, and
+    aggregates straight to doc_id -- the scan is hash-partitioned on
+    doc_id so the per-doc agg needs no exchange. Bigram vocabulary is
+    bigger than unigram but still Heaps-bounded far below corpus size;
+    at a truly unbroadcastable bigram table, swap the hint for a
+    shuffle join on (a, b) -- semantics unchanged."""
+    d = _documents(spark, sf_dir)
+    base = d.select("doc_id", _tokens(F.col("text")).alias("toks")) \
+        .withColumn("n", F.size("toks"))
+
+    def bigram_stream():
+        # arrays_zip of two shifted slices, NOT per-position element_at
+        # (the [[spark-element-at-in-lambda-trap]] the shingle helper
+        # documents: positional access inside a transform lambda
+        # measured ~20x slower than slice-based construction -- here it
+        # was 24 s vs 4 s at the 10x corpus)
+        pairs = F.arrays_zip(
+            F.slice(F.col("toks"), 1, F.col("n") - 1).alias("a"),
+            F.slice(F.col("toks"), 2, F.col("n") - 1).alias("b"),
+        )
+        return (
+            base.filter(F.col("n") >= 2)
+            .select("doc_id", F.explode(pairs).alias("bg"))
+            .select("doc_id", F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        )
+
+    uni = base.select("doc_id", F.explode("toks").alias("tok"))
+    cnt1 = uni.groupBy("tok").agg(F.count("*").alias("c1"))
+    tot = cnt1.agg(F.sum("c1").alias("n_corpus"))
+    lm1 = cnt1.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.floor(
+            F.log(F.col("c1") / F.col("n_corpus")) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("unats"),
+    )
+    cnt2 = bigram_stream().groupBy("a", "b").agg(F.count("*").alias("c2"))
+    lm2 = cnt2.join(
+        F.broadcast(cnt1.withColumnRenamed("tok", "a")), "a"
+    ).select(
+        "a", "b",
+        F.floor(
+            F.log(F.col("c2") / F.col("c1")) * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("unats"),
+    )
+    bsum = (
+        bigram_stream()
+        .join(F.broadcast(lm2), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.sum("unats").alias("b_unats"))
+    )
+    fsum = (
+        base.filter(F.col("n") >= 1)
+        .select("doc_id", F.element_at("toks", 1).alias("tok"))
+        .join(F.broadcast(lm1), "tok")
+        .select("doc_id", F.col("unats").alias("f_unats"))
+    )
+    total = F.when(
+        F.col("f_unats").isNotNull(),
+        F.col("f_unats") + F.coalesce(F.col("b_unats"), F.lit(0)),
+    )
+    return (
+        base.select("doc_id", "n")
+        .join(fsum, "doc_id", "left")
+        .join(bsum, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(-total / F.lit(1e6) / F.col("n"), 6).alias("xent"),
+        )
+    )
+
+
+DOC_BIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(w) AS tok FROM tok),
+cnt1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY 1),
+tot AS (SELECT sum(c1) AS n_corpus FROM cnt1),
+lm1 AS (
+  SELECT tok,
+         CAST(floor(ln(cnt1.c1 / tot.n_corpus) * 1e6 + 0.5) AS BIGINT)
+           AS unats
+  FROM cnt1 CROSS JOIN tot
+),
+bigs AS (
+  SELECT doc_id, unnest([{'a': w[i - 1], 'b': w[i]}
+                         for i in range(2, len(w) + 1)]) AS bg
+  FROM tok WHERE len(w) >= 2
+),
+cnt2 AS (SELECT bg.a AS a, bg.b AS b, count(*) AS c2 FROM bigs GROUP BY 1, 2),
+lm2 AS (
+  -- conditional MLE ln(C(a,b)/C(a)); DuckDB's / on integers is float
+  -- division, matching Spark's long/long -> double
+  SELECT cnt2.a, cnt2.b,
+         CAST(floor(ln(cnt2.c2 / cnt1.c1) * 1e6 + 0.5) AS BIGINT) AS unats
+  FROM cnt2 JOIN cnt1 ON cnt1.tok = cnt2.a
+),
+bsum AS (
+  SELECT bigs.doc_id, CAST(sum(lm2.unats) AS BIGINT) AS b_unats
+  FROM bigs JOIN lm2 ON lm2.a = bg.a AND lm2.b = bg.b
+  GROUP BY 1
+),
+fsum AS (
+  SELECT t.doc_id, lm1.unats AS f_unats
+  FROM (SELECT doc_id, w[1] AS tok FROM tok WHERE len(w) >= 1) t
+  JOIN lm1 USING (tok)
+)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       round(-(f.f_unats + coalesce(b.b_unats, 0)) / 1e6 / len(t.w), 6)
+         AS xent
+FROM tok t
+LEFT JOIN fsum f USING (doc_id)
+LEFT JOIN bsum b USING (doc_id)
+"""
+
+
 # ---- temperature-weighted mixture sampling ---------------------------------
 
 # sqrt-share quantization units: the per-source sqrt(share) weights are
@@ -634,6 +786,7 @@ QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_repetition": q_doc_repetition,
     "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_length_histogram": q_doc_length_histogram,
     "doc_pii_scan": q_doc_pii_scan,
     "doc_domain_mix": q_doc_domain_mix,
@@ -647,5 +800,6 @@ ORACLES = {
     "doc_domain_mix": DOC_DOMAIN_MIX_SQL,
     "doc_global_shuffle": DOC_GLOBAL_SHUFFLE_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
+    "doc_bigram_logprob": DOC_BIGRAM_LOGPROB_SQL,
     "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
 }

@@ -682,15 +682,17 @@ def _cells_one_row(cent: DataFrame):
     )
 
 
-def _nearest_cells(emb_col, k: int):
+def _nearest_cells(emb_col, k: int, cents_col=None):
     """k nearest cells of ``emb_col`` against the broadcast ``cents``
     array (from :func:`_cells_one_row`): (sqdist, label) structs sorted
     lexicographically = argmin with label tie-break, per row, with NO
     window and NO row multiplication -- the only assignment shape that
     works when the corpus is 100 TB (a crossJoin-explode + row_number
-    window would shuffle corpus x n_cells rows)."""
+    window would shuffle corpus x n_cells rows). ``cents_col`` lets the
+    IVFPQ query reuse its (label-sorted) codebook array as the coarse
+    quantizer -- struct order is irrelevant to the argmin."""
     scored = F.transform(
-        F.col("cents"),
+        F.col("cents") if cents_col is None else cents_col,
         lambda c: F.struct(
             F.round(_sqdist(emb_col, c["centroid"]), 6).alias("sqdist"),
             c["c_label"].alias("cell"),
@@ -1106,6 +1108,75 @@ EMB_DIM = 64
 PQ_SUB = EMB_DIM // PQ_M
 
 
+def _pq_cbooks_one_row(e: DataFrame):
+    """The PQ codebook folded into ONE broadcast row: label-SORTED
+    (c_label, centroid) structs, so a code (= position in the array) is
+    deterministic and oracle-reproducible. Shared by the flat-PQ and
+    IVF+PQ queries; because the structs are the same (label, centroid)
+    pairs :func:`_cells_one_row` holds, the IVFPQ query also feeds it to
+    :func:`_nearest_cells` as its coarse quantizer."""
+    return F.broadcast(
+        _centroids(e).groupBy().agg(
+            F.array_sort(
+                F.collect_list(F.struct("c_label", "centroid"))
+            ).alias("cbooks")
+        )
+    )
+
+
+def _pq_sub(col, m):
+    return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
+
+
+def _pq_codes(emb_col):
+    """Per subspace: index (position in the label-sorted ``cbooks``
+    array) of the nearest sub-centroid -- a pure projection over the
+    broadcast codebook, same shape as the IVF cell assignment. The
+    two-arg transform lambda receives the 0-based element index."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.array_sort(
+            F.transform(
+                F.col("cbooks"),
+                lambda c, i: F.struct(
+                    F.round(_sqdist(_pq_sub(emb_col, m), _pq_sub(c["centroid"], m)), 6)
+                    .alias("sq"),
+                    i.alias("idx"),
+                ),
+            )
+        )[0]["idx"],
+    )
+
+
+def _pq_lut(qemb_col):
+    """lut[m][c] in integer micro-units: floor(x*1e6 + 0.5) is the
+    cross-engine-stable rounding (see the int8 quantizer)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(
+            F.col("cbooks"),
+            lambda c: F.floor(
+                _sqdist(_pq_sub(qemb_col, m), _pq_sub(c["centroid"], m)) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        ),
+    )
+
+
+def _pq_adist_e6():
+    """ADC distance in integer micro-units: sum_m lut[m][code_m] --
+    {PQ_M} array lookups per candidate, an order-independent BIGINT sum
+    (NO float math over the corpus)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("lut"),
+            lambda c, row: F.element_at(row, c.cast("int") + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def q_emb_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
     (ADC) -- the FAISS-PQ layout that makes billion-vector search fit in
@@ -1136,72 +1207,22 @@ def q_emb_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook and per-query LUTs are broadcast. Two-phase top-k as
     everywhere else -- no per-query funnel."""
     e = _embeddings(spark, sf_dir)
-    cbooks_one_row = F.broadcast(
-        _centroids(e).groupBy().agg(
-            F.array_sort(
-                F.collect_list(F.struct("c_label", "centroid"))
-            ).alias("cbooks")
-        )
-    )
-
-    def _sub(col, m):
-        return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
-
-    def _codes(emb_col):
-        # per subspace: index (position in label-sorted codebook) of the
-        # nearest sub-centroid; two-arg transform lambda receives the
-        # 0-based element index
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-            lambda m: F.array_sort(
-                F.transform(
-                    F.col("cbooks"),
-                    lambda c, i: F.struct(
-                        F.round(_sqdist(_sub(emb_col, m), _sub(c["centroid"], m)), 6)
-                        .alias("sq"),
-                        i.alias("idx"),
-                    ),
-                )
-            )[0]["idx"],
-        )
-
-    def _lut(qemb_col):
-        # lut[m][c] in integer micro-units: floor(x*1e6 + 0.5) is the
-        # cross-engine-stable rounding (see the int8 quantizer)
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-            lambda m: F.transform(
-                F.col("cbooks"),
-                lambda c: F.floor(
-                    _sqdist(_sub(qemb_col, m), _sub(c["centroid"], m)) * F.lit(1e6)
-                    + F.lit(0.5)
-                ).cast("long"),
-            ),
-        )
-
+    cbooks_one_row = _pq_cbooks_one_row(e)
     encoded = (
         e.filter(F.col("vec_id") >= N_QUERIES)
         .select(F.col("vec_id").alias("neighbor_id"), "emb")
         .crossJoin(cbooks_one_row)
-        .select("neighbor_id", _codes(F.col("emb")).alias("codes"))
+        .select("neighbor_id", _pq_codes(F.col("emb")).alias("codes"))
     )
     queries = (
         e.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
         .crossJoin(cbooks_one_row)
-        .select("query_id", _lut(F.col("qemb")).alias("lut"))
-    )
-    adist_e6 = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("lut"),
-            lambda c, row: F.element_at(row, c.cast("int") + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+        .select("query_id", _pq_lut(F.col("qemb")).alias("lut"))
     )
     scored = encoded.crossJoin(F.broadcast(queries)).select(
         "query_id", "neighbor_id",
-        F.round(adist_e6 / F.lit(1e6), 6).alias("adist"),
+        F.round(_pq_adist_e6() / F.lit(1e6), 6).alias("adist"),
     )
     return _topk_per_query(scored, score_col="adist", ascending=True)
 
@@ -1261,6 +1282,193 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY adist ASC, neighbor_id ASC) AS rank
   FROM adist
+)
+WHERE rank <= {TOPK}
+"""
+
+
+# ---- IVF + PQ ANN (cell-pruned ADC search -- the FAISS IVFPQ layout) -------
+
+
+PQ_REFINE = 30    # ADC candidates per query surviving to the exact rerank
+
+
+def q_emb_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ + refine composed: the coarse quantizer prunes the
+    corpus to each query's {NPROBE} probed cells, the scan inside those
+    cells is ADC over {PQ_M}-byte PQ codes, and the top-{PQ_REFINE} ADC
+    candidates get an EXACT cosine rerank -- the FAISS
+    IVFPQ + IndexRefineFlat recipe that actually serves
+    billion-to-trillion-vector search: IVF alone still reads full float
+    vectors in probed cells; PQ alone still scans every code; ADC
+    without refine cannot separate candidates whose codes collide (with
+    this deterministic label-centroid codebook, every member of a tight
+    cluster quantizes identically -- the recall harness measured 0.36
+    on the clustered fixture without the refine stage, ~IVF-level with
+    it). Search cost: (corpus/cells * {NPROBE}) candidates x {PQ_M}
+    integer lookups, then only {PQ_REFINE} float-vector fetches per
+    query for the rerank.
+
+    All three stages reuse the oracle-proven building blocks: the cell
+    argmin is :func:`_nearest_cells` over the label-sorted codebook
+    array (pure projection, no window, no corpus multiplication), the
+    code/LUT/ADC math is the shared :func:`_pq_codes` / :func:`_pq_lut`
+    / :func:`_pq_adist_e6` (integer micro-unit sums,
+    order-independent), and the refine is the broadcast
+    candidate-gather of :func:`q_emb_prefix_rerank_topk`. The probe
+    join is cell-keyed with the tiny query side broadcast and the
+    refine pool ({N_QUERIES} x {PQ_REFINE} rows) is broadcast back
+    against the corpus for its vectors -- two corpus scans (codes +
+    gather), ZERO corpus shuffles; at 100 TB the encoded table is
+    written partitioned by cell (exactly :func:`build_ivf_index`'s
+    layout, codes instead of floats) so partition pruning skips the
+    unprobed cells, and the gather is an id-keyed point fetch (FAISS
+    stores the refine vectors beside the codes the same way). ``cell``
+    and ``adist`` ride through so cell-pruning and quantization error
+    are directly inspectable next to each exact score."""
+    e = _embeddings(spark, sf_dir)
+    cbooks_one_row = _pq_cbooks_one_row(e)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "emb"
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    encoded = (
+        corpus.crossJoin(cbooks_one_row)
+        .select(
+            "neighbor_id",
+            _nearest_cells(F.col("emb"), 1, cents_col=F.col("cbooks"))[0]["cell"]
+            .alias("cell"),
+            _pq_codes(F.col("emb")).alias("codes"),
+        )
+    )
+    probes = (
+        queries.crossJoin(cbooks_one_row)
+        .select(
+            "query_id",
+            _pq_lut(F.col("qemb")).alias("lut"),
+            F.explode(
+                F.transform(
+                    _nearest_cells(F.col("qemb"), NPROBE, cents_col=F.col("cbooks")),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+    )
+    scored = encoded.join(F.broadcast(probes), "cell").select(
+        "query_id", "neighbor_id", "cell",
+        F.round(_pq_adist_e6() / F.lit(1e6), 6).alias("adist"),
+    )
+    pool = _topk_per_query(
+        scored, k=PQ_REFINE, score_col="adist", ascending=True, carry=("cell",)
+    ).select("query_id", "neighbor_id", "adist", "cell")
+    reranked = (
+        corpus.join(F.broadcast(pool), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id", "neighbor_id", "cell", "adist",
+            F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "cosine", "adist", "cell")
+    )
+
+
+EMB_IVF_PQ_ANN_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+dim AS (
+  SELECT label, pos, avg(v) AS c
+  FROM (SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+  FROM dim GROUP BY label
+),
+cb AS (
+  SELECT m.m, cent.c_label, cent.centroid,
+         ROW_NUMBER() OVER (PARTITION BY m.m ORDER BY cent.c_label ASC) - 1 AS idx,
+         cent.centroid[m.m * {PQ_SUB} + 1 : (m.m + 1) * {PQ_SUB}] AS subcent
+  FROM cent CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+),
+assigned AS (
+  SELECT neighbor_id, cell FROM (
+    SELECT e.vec_id AS neighbor_id, cent.c_label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a='e.emb', b='cent.centroid')} ASC,
+                      cent.c_label ASC) AS rk
+    FROM e CROSS JOIN cent WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT e.vec_id AS query_id, cent.c_label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a='e.emb', b='cent.centroid')} ASC,
+                      cent.c_label ASC) AS rk
+    FROM e CROSS JOIN cent WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rk <= {NPROBE}
+),
+codes AS (
+  SELECT neighbor_id, m, idx FROM (
+    SELECT e.vec_id AS neighbor_id, cb.m, cb.idx,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, cb.m
+             ORDER BY round(list_sum([
+                        (e.emb[cb.m * {PQ_SUB} + i] - cb.subcent[i])
+                        * (e.emb[cb.m * {PQ_SUB} + i] - cb.subcent[i])
+                        for i in range(1, {PQ_SUB} + 1)]), 6) ASC,
+                      cb.c_label ASC) AS rk
+    FROM e CROSS JOIN cb WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT e.vec_id AS query_id, cb.m, cb.idx,
+         {_DUCK_SUB_SQDIST_E6.format(
+             a=f'e.emb[cb.m * {PQ_SUB} + 1 : (cb.m + 1) * {PQ_SUB}]',
+             b='cb.subcent')} AS v_e6
+  FROM e CROSS JOIN cb WHERE e.vec_id < {N_QUERIES}
+),
+adist AS (
+  SELECT l.query_id, c.neighbor_id, a.cell,
+         round(CAST(sum(l.v_e6) AS BIGINT) / 1e6, 6) AS adist
+  FROM codes c
+  JOIN assigned a USING (neighbor_id)
+  JOIN probes p ON p.cell = a.cell
+  JOIN lut l ON l.query_id = p.query_id AND l.m = c.m AND l.idx = c.idx
+  GROUP BY 1, 2, 3
+),
+pool AS (
+  SELECT query_id, neighbor_id, adist, cell
+  FROM (
+    SELECT query_id, neighbor_id, adist, cell,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, neighbor_id ASC) AS prk
+    FROM adist
+  ) WHERE prk <= {PQ_REFINE}
+),
+reranked AS (
+  SELECT p.query_id, p.neighbor_id, p.cell, p.adist,
+         {_DUCK_COS.format(a='qe.emb', b='ce.emb')} AS cosine
+  FROM pool p
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ce ON ce.vec_id = p.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine, adist, cell
+FROM (
+  SELECT query_id, neighbor_id, cosine, adist, cell,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM reranked
 )
 WHERE rank <= {TOPK}
 """
@@ -1457,9 +1665,22 @@ def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_IVF_RECALL_SQL = _recall_sql(EMB_IVF_ANN_TOPK_SQL)
 
 
+def q_emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{TOPK} of the composed IVF+PQ search against the exact
+    brute-force top-k -- the number a FAISS IVFPQ deployment actually
+    tunes, compounding BOTH approximation losses (cells the probe never
+    read x neighbors the {PQ_M}-byte codes mis-rank). Same shared
+    harness, so IVF-only vs IVF+PQ recall is directly comparable."""
+    return _recall_vs_exact(spark, sf_dir, q_emb_ivf_pq_ann_topk)
+
+
+EMB_IVFPQ_RECALL_SQL = _recall_sql(EMB_IVF_PQ_ANN_TOPK_SQL)
+
+
 QUERIES = {
     "emb_ann_recall": q_emb_ann_recall,
     "emb_ivf_recall": q_emb_ivf_recall,
+    "emb_ivfpq_recall": q_emb_ivfpq_recall,
     "emb_prefix_rerank_topk": q_emb_prefix_rerank_topk,
     "emb_ann_topk": q_emb_ann_topk,
     "emb_ivf_ann_topk": q_emb_ivf_ann_topk,
@@ -1470,6 +1691,7 @@ QUERIES = {
     "emb_dedup_clusters": q_emb_dedup_clusters,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_pq_ann_topk": q_emb_pq_ann_topk,
+    "emb_ivf_pq_ann_topk": q_emb_ivf_pq_ann_topk,
     "doc_semantic_dedup": q_doc_semantic_dedup,
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_kmeans_iter": q_emb_kmeans_iter,
@@ -1478,6 +1700,7 @@ QUERIES = {
 ORACLES = {
     "emb_ann_recall": EMB_ANN_RECALL_SQL,
     "emb_ivf_recall": EMB_IVF_RECALL_SQL,
+    "emb_ivfpq_recall": EMB_IVFPQ_RECALL_SQL,
     "emb_prefix_rerank_topk": EMB_PREFIX_RERANK_SQL,
     "emb_ann_topk": EMB_ANN_TOPK_SQL,
     "emb_ivf_ann_topk": EMB_IVF_ANN_TOPK_SQL,
@@ -1488,6 +1711,7 @@ ORACLES = {
     "emb_dedup_clusters": EMB_DEDUP_CLUSTERS_SQL,
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "emb_pq_ann_topk": EMB_PQ_ANN_TOPK_SQL,
+    "emb_ivf_pq_ann_topk": EMB_IVF_PQ_ANN_TOPK_SQL,
     "doc_semantic_dedup": DOC_SEMANTIC_DEDUP_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "emb_kmeans_iter": EMB_KMEANS_ITER_SQL,

@@ -124,3 +124,61 @@ def test_unigram_logprob_rare_tokens_score_higher(spark, tmp_path):
     assert got[2]["xent"] > got[0]["xent"]           # rare tokens -> higher xent
     assert got[3]["n_tokens"] == 0 and got[3]["xent"] is None
     assert got[0]["n_tokens"] == 6
+
+
+def test_bigram_logprob_hand_computed_and_order_sensitivity(spark, tmp_path):
+    import math
+
+    from sec_xbrl_finwarehouse_spark.plans.corpus_queries import (
+        q_doc_bigram_logprob,
+    )
+
+    rows = [
+        (0, "x y", "en", "s", 1),
+        (1, "x y", "en", "s", 1),
+        (2, "x z", "en", "s", 1),
+        (3, "y", "en", "s", 1),     # 1-token: unigram term only
+        (4, "", "en", "s", 1),      # empty: NULL xent
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in q_doc_bigram_logprob(spark, str(tmp_path)).collect()}
+
+    def unats(p):
+        return math.floor(math.log(p) * 1e6 + 0.5)
+
+    # unigrams: x:3 y:3 z:1, N=7; bigrams: (x,y):2 (x,z):1, C(x)=3
+    want0 = round(-(unats(3 / 7) + unats(2 / 3)) / 1e6 / 2, 6)
+    assert got[0]["xent"] == got[1]["xent"] == want0
+    assert got[2]["xent"] == round(-(unats(3 / 7) + unats(1 / 3)) / 1e6 / 2, 6)
+    assert got[3]["n_tokens"] == 1
+    assert got[3]["xent"] == round(-unats(3 / 7) / 1e6, 6)
+    assert got[4]["n_tokens"] == 0 and got[4]["xent"] is None
+    # rarer continuation (x->z) scores strictly higher than (x->y)
+    assert got[2]["xent"] > got[0]["xent"]
+
+
+def test_bigram_logprob_flags_shuffled_word_order(spark, tmp_path):
+    """Same unigram content, scrambled order: the bigram model must
+    score the word-salad doc strictly higher than the natural docs --
+    the signal the unigram screen is blind to."""
+    from sec_xbrl_finwarehouse_spark.plans.corpus_queries import (
+        q_doc_bigram_logprob,
+        q_doc_unigram_logprob,
+    )
+
+    natural = "the cat sat on the mat"
+    rows = [(i, natural, "en", "s", 1) for i in range(8)]
+    rows.append((8, "mat the on sat cat the", "en", "s", 1))  # permuted
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    bi = {r["doc_id"]: r["xent"] for r in q_doc_bigram_logprob(spark, str(tmp_path)).collect()}
+    uni = {r["doc_id"]: r["xent"] for r in q_doc_unigram_logprob(spark, str(tmp_path)).collect()}
+    assert bi[8] > bi[0]
+    # the unigram screen sees (nearly) identical docs — the gap between
+    # permuted and natural is far smaller than under the bigram model
+    assert abs(uni[8] - uni[0]) < (bi[8] - bi[0]) / 10

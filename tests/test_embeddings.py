@@ -171,6 +171,59 @@ def test_pq_ann_shape_and_order(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
 
 
+def test_ivfpq_equals_bruteforce_when_probing_and_refining_all(
+    spark, tmp_path, monkeypatch
+):
+    """With NPROBE >= number of cells AND a refine pool covering the
+    whole corpus, every approximation in IVF+PQ+refine is a no-op: the
+    cell pruning admits everything and the exact rerank re-scores
+    everything, so the output must equal the brute-force exact top-k
+    bit for bit (any drift means the cell join, the ADC pool cut, or
+    the rerank changed the candidate set)."""
+    rng = np.random.RandomState(17)
+    vecs = rng.standard_normal((eq.N_QUERIES + 40, eq.EMB_DIM))
+    labels = [i % 3 for i in range(len(vecs))]
+    sf = _write_sf(spark, tmp_path, vecs, labels)
+    monkeypatch.setattr(eq, "NPROBE", 3)
+    monkeypatch.setattr(eq, "PQ_REFINE", len(vecs))
+    brute = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in eq.q_emb_ann_topk(spark, sf).collect()
+    )
+    ivfpq = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in eq.q_emb_ivf_pq_ann_topk(spark, sf).collect()
+    )
+    assert brute == ivfpq
+
+
+def test_ivfpq_cell_is_neighbors_cell(spark, tmp_path):
+    """Every emitted hit's ``cell`` must be the NEIGHBOR's coarse cell
+    (the cell whose inverted list the hit was read from), and that cell
+    must be one of the query's probed cells by construction of the
+    join — cross-checked against the standalone IVF assignment."""
+    rng = np.random.RandomState(19)
+    vecs = rng.standard_normal((eq.N_QUERIES + 30, eq.EMB_DIM))
+    labels = [i % 4 for i in range(len(vecs))]
+    sf = _write_sf(spark, tmp_path, vecs, labels)
+    e = eq._embeddings(spark, sf)
+    assigned = {
+        r["neighbor_id"]: r["cell"]
+        for r in (
+            e.filter(F.col("vec_id") >= eq.N_QUERIES)
+            .select(F.col("vec_id").alias("neighbor_id"), "emb")
+            .crossJoin(eq._cells_one_row(eq._centroids(e)))
+            .select(
+                "neighbor_id",
+                eq._nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"),
+            )
+            .collect()
+        )
+    }
+    for r in eq.q_emb_ivf_pq_ann_topk(spark, sf).collect():
+        assert r["cell"] == assigned[r["neighbor_id"]]
+
+
 def test_hard_negatives_never_share_label(spark):
     from sec_xbrl_finwarehouse_spark.plans.embedding_queries import (
         _embeddings,
@@ -233,3 +286,10 @@ def test_multiprobe_recall_on_clustered_corpus(spark, tmp_path):
     ivf = eq.q_emb_ivf_recall(spark, sf).collect()
     ivf_recall = sum(r["recall"] for r in ivf) / len(ivf)
     assert ivf_recall >= 0.8, ivf_recall
+    # IVF+PQ+refine: the ADC stage alone measured 0.36 here (cluster
+    # members share codes -> ties break by id), the exact rerank of the
+    # top-PQ_REFINE pool restores IVF-level recall -- the property the
+    # refine stage exists for
+    ivfpq = eq.q_emb_ivfpq_recall(spark, sf).collect()
+    ivfpq_recall = sum(r["recall"] for r in ivfpq) / len(ivfpq)
+    assert ivfpq_recall >= 0.8, ivfpq_recall

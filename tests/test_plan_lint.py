@@ -50,6 +50,9 @@ BNLJ_ALLOWED = {
     "emb_lsh_neardup", "doc_semantic_dedup", "doc_length_histogram",
     "doc_domain_mix", "doc_tfidf_topk", "event_transitions",
     "doc_unigram_logprob", "doc_mixture_sample",
+    # r8: IVFPQ's one-row codebook array + the recall twin's exact
+    # side; bigram LM's broadcast corpus-total cross join
+    "emb_ivf_pq_ann_topk", "emb_ivfpq_recall", "doc_bigram_logprob",
 }
 
 ARROW_ALLOWED = {

@@ -186,6 +186,21 @@ def test_pq_ann_no_query_funnel(spark, qmap):
     assert len(re.findall(r"hashpartitioning\(query_id#\d+, \d+\)", plan)) <= 1, plan
 
 
+def test_ivfpq_no_funnel_no_corpus_shuffle(spark, qmap):
+    """IVF+PQ composes the two proven shapes and must keep both: the
+    cell assignment stays a per-row projection (no row_number window
+    over neighbor_id), the probe join broadcasts the query side (no
+    SortMergeJoin anywhere), and ranking is two-phase (at most one bare
+    query_id exchange). Exactly two embeddings scans: corpus + the
+    broadcast query side (the codebook subplan reuses them)."""
+    df = qmap["emb_ivf_pq_ann_topk"](spark, SF_DIR)
+    opt = _optimized(df)
+    assert "windowspecdefinition(neighbor_id" not in opt, opt
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"hashpartitioning\(query_id#\d+, \d+\)", plan)) <= 1, plan
+
+
 def test_hard_negatives_no_label_reattach_scan(spark, qmap):
     """The neighbor label rides THROUGH the shared top-k (carry) -- the
     r8 refactor removed the corpus-sized label re-attach join entirely,

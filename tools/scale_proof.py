@@ -64,7 +64,8 @@ QUERIES = [
     "window_dedup_latest", "pivot_wide",
     # r4 additions (documents now amplified with per-copy markers;
     # near-dup queries deliberately absent -- see module docstring)
-    "doc_repetition", "doc_unigram_logprob", "doc_pii_scan",
+    "doc_repetition", "doc_unigram_logprob", "doc_bigram_logprob",
+    "doc_pii_scan",
     "doc_global_shuffle", "emb_int8_quantize", "emb_pq_ann_topk",
     "event_transitions",
     # r5: paragraph dedup runs on the marker-amplified corpus ON
@@ -85,6 +86,9 @@ QUERIES = [
     "doc_mixture_sample",
     # r8: token-window chunking — map-side explode, floor-bound at sf0.1
     "doc_chunk",
+    # r8: IVF+PQ composed ANN — cell-pruned ADC scan, the FAISS IVFPQ
+    # layout; proves the composition keeps the pieces' scaling
+    "emb_ivf_pq_ann_topk",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
