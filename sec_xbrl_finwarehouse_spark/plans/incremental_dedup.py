@@ -54,16 +54,35 @@ def dedup_incremental(
     ``d2`` is always a new doc and ``d1`` is a stored doc or an
     earlier-id new doc. New doc_ids must be disjoint from stored ids
     (monotone ingest ids give this for free)."""
+    return dedup_incremental_frames(
+        new_docs,
+        spark.read.parquet(f"{index_dir}/bands"),
+        spark.read.parquet(f"{index_dir}/shingles"),
+    )
+
+
+def dedup_incremental_frames(
+    new_docs: DataFrame, old_bands: DataFrame, old_ex: DataFrame
+) -> DataFrame:
+    """:func:`dedup_incremental` with the stored index passed as frames
+    -- the form the streaming ingest sink uses, where the index lives in
+    versioned stored tables (streaming/dedup_ingest.py) rather than
+    plain parquet directories."""
     new_ex = shingles_exploded_of(new_docs)
     new_bands = minhash_bands_of(new_ex)
-    old_bands = spark.read.parquet(f"{index_dir}/bands")
-    old_ex = spark.read.parquet(f"{index_dir}/shingles")
 
     cross = (
         old_bands.alias("o")
         .join(new_bands.alias("n"),
               (F.col("o.band") == F.col("n.band"))
-              & (F.col("o.bh") == F.col("n.bh")))
+              & (F.col("o.bh") == F.col("n.bh"))
+              # strict < is vacuous under the monotone-id contract
+              # (stored ids always precede new ids) but makes a REPLAYED
+              # batch whose signatures already landed in the index
+              # (crash between the corpus and index appends of the
+              # streaming sink) re-dedup to the same answer instead of
+              # pairing batch docs against their own stored copies
+              & (F.col("o.doc_id") < F.col("n.doc_id")))
         .select(F.col("o.doc_id").alias("d1"), F.col("n.doc_id").alias("d2"))
     )
     a = new_bands.alias("a")
@@ -75,7 +94,14 @@ def dedup_incremental(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
     )
     cand = cross.unionByName(within).distinct()
-    all_ex = old_ex.unionByName(new_ex)
+    # anti-join before the union for the same replay case as the <
+    # above: if the batch's shingle rows already landed in the stored
+    # index, a plain union would double them and halve every verified
+    # Jaccard. Batch-sized broadcast, free in normal operation.
+    new_ids = new_docs.select("doc_id").distinct()
+    all_ex = old_ex.join(
+        F.broadcast(new_ids), "doc_id", "left_anti"
+    ).unionByName(new_ex)
     return (
         _jaccard_from_exploded(all_ex, cand)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
