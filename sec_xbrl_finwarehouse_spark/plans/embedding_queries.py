@@ -1115,8 +1115,15 @@ def _pq_cbooks_one_row(e: DataFrame):
     IVF+PQ queries; because the structs are the same (label, centroid)
     pairs :func:`_cells_one_row` holds, the IVFPQ query also feeds it to
     :func:`_nearest_cells` as its coarse quantizer."""
+    return _pq_cbooks_one_row_from_cent(_centroids(e))
+
+
+def _pq_cbooks_one_row_from_cent(cent: DataFrame):
+    """:func:`_pq_cbooks_one_row` from an already-built (or STORED)
+    centroid table -- the stored-index probe path reads centroids from
+    parquet instead of recomputing them from the corpus."""
     return F.broadcast(
-        _centroids(e).groupBy().agg(
+        cent.groupBy().agg(
             F.array_sort(
                 F.collect_list(F.struct("c_label", "centroid"))
             ).alias("cbooks")
@@ -1327,22 +1334,39 @@ def q_emb_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``adist`` ride through so cell-pruning and quantization error
     are directly inspectable next to each exact score."""
     e = _embeddings(spark, sf_dir)
-    cbooks_one_row = _pq_cbooks_one_row(e)
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), "emb"
     )
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
-    encoded = (
-        corpus.crossJoin(cbooks_one_row)
-        .select(
-            "neighbor_id",
-            _nearest_cells(F.col("emb"), 1, cents_col=F.col("cbooks"))[0]["cell"]
-            .alias("cell"),
-            _pq_codes(F.col("emb")).alias("codes"),
-        )
+    cbooks_one_row = _pq_cbooks_one_row(e)
+    encoded = _ivfpq_encode(corpus, cbooks_one_row)
+    return _ivfpq_search(encoded, corpus, queries, cbooks_one_row)
+
+
+def _ivfpq_encode(corpus: DataFrame, cbooks_one_row) -> DataFrame:
+    """(neighbor_id, emb) -> (neighbor_id, cell, codes): the IVFPQ
+    index row -- coarse cell + {PQ_M} PQ codes, one projection over the
+    broadcast codebook."""
+    return corpus.crossJoin(cbooks_one_row).select(
+        "neighbor_id",
+        _nearest_cells(F.col("emb"), 1, cents_col=F.col("cbooks"))[0]["cell"]
+        .alias("cell"),
+        _pq_codes(F.col("emb")).alias("codes"),
     )
+
+
+def _ivfpq_search(
+    encoded: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    cbooks_one_row,
+) -> DataFrame:
+    """The probe + ADC + refine pipeline shared by the inline query and
+    the stored-index probe: ``encoded`` is the (neighbor_id, cell,
+    codes) table (inline subplan or stored parquet), ``vectors`` the
+    (neighbor_id, emb) refine store, ``queries`` (query_id, qemb)."""
     probes = (
         queries.crossJoin(cbooks_one_row)
         .select(
@@ -1364,7 +1388,7 @@ def q_emb_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, k=PQ_REFINE, score_col="adist", ascending=True, carry=("cell",)
     ).select("query_id", "neighbor_id", "adist", "cell")
     reranked = (
-        corpus.join(F.broadcast(pool), "neighbor_id")
+        vectors.join(F.broadcast(pool), "neighbor_id")
         .join(F.broadcast(queries), "query_id")
         .select(
             "query_id", "neighbor_id", "cell", "adist",
@@ -1379,6 +1403,48 @@ def q_emb_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "rank", "neighbor_id", "cosine", "adist", "cell")
     )
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Materialize the IVFPQ layout the q_emb_ivf_pq_ann_topk docstring
+    promises at 100 TB: the corpus encoded ONCE into (neighbor_id,
+    codes) rows written hive-partitioned by coarse ``cell`` (the probe
+    reads only probed cell directories via dynamic partition pruning),
+    the full vectors beside them as the refine store (FAISS's
+    IndexRefineFlat keeps exactly this pairing), and the centroid table
+    the probe rebuilds its codebook from. The codes table is ~{PQ_M}
+    bytes of payload per vector vs {EMB_DIM * 4} for floats -- the
+    32x storage cut is the point of the layout."""
+    e = _embeddings(spark, sf_dir)
+    cent = _centroids(e)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "emb"
+    )
+    encoded = _ivfpq_encode(corpus, _pq_cbooks_one_row_from_cent(cent))
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/codes"
+    )
+    corpus.write.mode("overwrite").parquet(f"{index_dir}/vectors")
+    cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def q_emb_ivfpq_index_probe(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> DataFrame:
+    """IVFPQ+refine against the STORED index: identical output contract
+    to q_emb_ivf_pq_ann_topk, but the codes side is the pre-partitioned
+    parquet (dynamic partition pruning reads only probed cells --
+    asserted in tests/test_ivf_index.py) and the refine gather reads the
+    stored vector table by id. No corpus-wide work happens at query
+    time at all: cell assignment and encoding were paid once at build."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    cbooks_one_row = _pq_cbooks_one_row_from_cent(cent)
+    queries = _embeddings(spark, sf_dir).filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    encoded = spark.read.parquet(f"{index_dir}/codes")
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    return _ivfpq_search(encoded, vectors, queries, cbooks_one_row)
 
 
 EMB_IVF_PQ_ANN_TOPK_SQL = f"""

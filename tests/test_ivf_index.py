@@ -33,3 +33,26 @@ def test_ivf_probe_prunes_partitions(spark, tmp_path):
     df = eq.q_emb_ivf_index_probe(spark, SF_DIR, idx)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_ivfpq_index_probe_matches_inline_query(spark, tmp_path):
+    idx = str(tmp_path / "ivfpq")
+    eq.build_ivfpq_index(spark, SF_DIR, idx)
+    cells = [d for d in os.listdir(f"{idx}/codes") if d.startswith("cell=")]
+    assert len(cells) > 1
+
+    stored = eq.q_emb_ivfpq_index_probe(spark, SF_DIR, idx)
+    inline = eq.q_emb_ivf_pq_ann_topk(spark, SF_DIR)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+
+def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
+    """The stored codes scan must carry a runtime pruning filter on the
+    cell partition column -- only probed cell directories are read."""
+    idx = str(tmp_path / "ivfpq")
+    eq.build_ivfpq_index(spark, SF_DIR, idx)
+    df = eq.q_emb_ivfpq_index_probe(spark, SF_DIR, idx)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
