@@ -56,14 +56,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **text_q,
         # beyond-reference: corpus hygiene (7)
         **corpus_queries.QUERIES,
-        # beyond-reference: embedding similarity search (15)
+        # beyond-reference: embedding similarity search (17)
         **embedding_queries.QUERIES,
-        # 4 star/parity queries round out the 50-entry window
+        # statements_annual is entry 50, rounding out the driver window
         "statements_annual": sq.q_statements_annual,
+        # --- window boundary (entries below carry green r7 rows) ---
         "ratios_annual": sq.q_ratios_annual,
         "screener": sq.q_screener,                            # P6 + J2 + O2
         "window_dedup_latest": sq.q_window_dedup_latest,      # W1
-        # --- window boundary (entries below carry green r7 rows) ---
         # SURVEY §2 reference-parity operators (FIXTURES.md §C mapping)
         "pivot_wide": sq.q_pivot_wide,                        # A1
         "flow_stock_union": sq.q_flow_stock_union,            # U1 + P4

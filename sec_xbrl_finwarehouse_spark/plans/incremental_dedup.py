@@ -102,6 +102,20 @@ def dedup_incremental_frames(
     all_ex = old_ex.join(
         F.broadcast(new_ids), "doc_id", "left_anti"
     ).unionByName(new_ex)
+    # semi-join the shingle set down to CANDIDATE docs before the
+    # verifier: _jaccard_from_exploded's sizes aggregation runs over its
+    # whole input, so without this cut the per-batch cost would be
+    # index-sized (every stored doc's shingles re-counted per batch)
+    # instead of candidate-sized -- the "verification reads only
+    # candidate docs' shingle rows" promise of the module docstring.
+    # Candidate ids are pair-count-sized (broadcast); sizes stay exact
+    # because the cut is by doc_id, never within a doc's shingles.
+    cand_ids = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .unionByName(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    all_ex = all_ex.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     return (
         _jaccard_from_exploded(all_ex, cand)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

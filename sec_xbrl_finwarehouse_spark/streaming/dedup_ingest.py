@@ -90,28 +90,52 @@ def foreach_batch_dedup_ingest(
         if all(_already_committed(p, app_id, batch_id) for p in paths):
             return  # fully-committed replay: metadata no-op
         spark = batch_df.sparkSession
-        old_bands = _stored_or_empty(spark, bands_path, BANDS_SCHEMA)
-        old_ex = _stored_or_empty(spark, shingles_path, SHINGLES_SCHEMA)
-        pairs = dedup_incremental_frames(batch_df, old_bands, old_ex)
-        kept_ids = (
-            incremental_keep(batch_df, pairs)
-            .filter(F.col("keep"))
-            .select("doc_id")
-        )
-        kept_docs = batch_df.join(F.broadcast(kept_ids), "doc_id")
-        kept_ex = shingles_exploded_of(kept_docs)
-        txn = _txn_meta(app_id, batch_id)
-        sinks.append_if_absent(
-            spark, corpus_path, kept_docs, ["doc_id"],
-            audit=False, manifest_extra=txn,
-        )
-        sinks.append_if_absent(
-            spark, bands_path, minhash_bands_of(kept_ex),
-            ["doc_id", "band"], audit=False, manifest_extra=txn,
-        )
-        sinks.append_if_absent(
-            spark, shingles_path, kept_ex,
-            ["doc_id", "shingle"], audit=False, manifest_extra=txn,
-        )
+        # disable the verifier's hot-set persist for the batch: each
+        # persist() registers a CacheManager entry that only an explicit
+        # unpersist frees, so a long-running stream would leak one
+        # cached shingle set PER MICRO-BATCH (the exact long-lived-
+        # session leak class embedding_queries' LSH path documents).
+        # With the candidate-restricted verifier the recompute the
+        # persist would save is candidate-sized -- not worth the entry.
+        prior = spark.conf.get("spark.finwarehouse.hotSetStorageLevel", None)
+        spark.conf.set("spark.finwarehouse.hotSetStorageLevel", "NONE")
+        try:
+            old_bands = _stored_or_empty(spark, bands_path, BANDS_SCHEMA)
+            old_ex = _stored_or_empty(spark, shingles_path, SHINGLES_SCHEMA)
+            pairs = dedup_incremental_frames(batch_df, old_bands, old_ex)
+            # eager localCheckpoint: the dedup plan (band self-joins +
+            # Jaccard verification) runs ONCE here; the three append
+            # jobs below read the batch-sized checkpointed ids instead
+            # of re-executing the whole dedup per job. Checkpoint
+            # blocks are reclaimed by the ContextCleaner when the frame
+            # is garbage-collected after the batch -- unlike a persist,
+            # nothing needs an explicit unpersist (same lifecycle idiom
+            # as operators/connected_components.py's iteration frames).
+            kept_ids = (
+                incremental_keep(batch_df, pairs)
+                .filter(F.col("keep"))
+                .select("doc_id")
+                .localCheckpoint()
+            )
+            kept_docs = batch_df.join(F.broadcast(kept_ids), "doc_id")
+            kept_ex = shingles_exploded_of(kept_docs)
+            txn = _txn_meta(app_id, batch_id)
+            sinks.append_if_absent(
+                spark, corpus_path, kept_docs, ["doc_id"],
+                audit=False, manifest_extra=txn,
+            )
+            sinks.append_if_absent(
+                spark, bands_path, minhash_bands_of(kept_ex),
+                ["doc_id", "band"], audit=False, manifest_extra=txn,
+            )
+            sinks.append_if_absent(
+                spark, shingles_path, kept_ex,
+                ["doc_id", "shingle"], audit=False, manifest_extra=txn,
+            )
+        finally:
+            if prior is None:
+                spark.conf.unset("spark.finwarehouse.hotSetStorageLevel")
+            else:
+                spark.conf.set("spark.finwarehouse.hotSetStorageLevel", prior)
 
     return _sink
