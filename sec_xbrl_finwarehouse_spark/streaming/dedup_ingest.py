@@ -83,6 +83,13 @@ def foreach_batch_dedup_ingest(
     New doc_ids must be disjoint from previously-ingested ids and
     monotone across batches (the incremental-dedup contract; ingest
     sequence numbers give this for free).
+
+    Concurrency: one logical stream per (corpus, index) tuple — the
+    single-writer contract of the underlying versioned sinks. The
+    per-batch hot-set conf toggle below is session-scoped, so a second
+    UNRELATED stream sharing the SparkSession would observe it
+    mid-batch; run concurrent streams in separate sessions (standard
+    Structured Streaming deployment shape anyway).
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:

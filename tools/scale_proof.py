@@ -102,7 +102,17 @@ PER_QUERY_CAP_SEC = 300.0
 # (token overlap, hamming distances) is preserved, while cross-copy
 # token hashes decorrelate completely -- candidate density scales ~10x
 # linearly, exactly like ten independent shards of a bigger corpus.
-NEARDUP_QUERIES = ["doc_simhash_neardup"]
+NEARDUP_QUERIES = [
+    "doc_simhash_neardup",
+    # r8: the MinHash chain's scale datums run here too -- their DuckDB
+    # comparator is the exhaustive all-pairs oracle (O(n^2) list
+    # intersections), so expect it to hit PER_QUERY_CAP_SEC at 10x; the
+    # Spark-side absolute seconds vs sf0.1 are the super-linearity
+    # check that matters (candidate density on the Caesar corpus grows
+    # linearly by construction).
+    "doc_minhash_lsh_dedup",
+    "doc_dedup_clusters",
+]
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _DIGIT = "0123456789"
 
