@@ -284,3 +284,112 @@ def test_stream_sink_replays_never_change_outcome(spark, tmp_path, batches,
             if vals:
                 candidates = vals
         assert v in candidates, (k, v, candidates)
+
+
+# ---- span dedup vs a pure-Python reference ---------------------------------
+
+# docs built from a small PHRASE POOL so duplicated >=k-token spans
+# actually occur across generated documents (pure random tokens almost
+# never collide at span length)
+_PHRASES = [tuple(f"p{i}{j}" for j in range(4)) for i in range(3)]
+_SINGLES = [f"w{i}" for i in range(8)]
+
+phrase_docs_strategy = st.lists(
+    st.lists(
+        st.one_of(
+            st.sampled_from(_PHRASES),
+            st.tuples(st.sampled_from(_SINGLES)),
+        ),
+        min_size=0, max_size=6,
+    ),
+    min_size=1, max_size=5,
+)
+
+
+def _ref_span_dedup(docs: dict, k: int) -> dict:
+    """Pure-Python oracle for q_doc_span_dedup's contract: every
+    duplicated >=k-token span keeps its first (doc_id, start)
+    occurrence; all positions covered by a later occurrence are
+    excised; docs reassembled from surviving tokens."""
+    occ: dict = {}
+    for d in sorted(docs):
+        toks = docs[d]
+        for i in range(len(toks) - k + 1):
+            occ.setdefault(tuple(toks[i:i + k]), []).append((d, i))
+    bad: dict = {d: set() for d in docs}
+    for lst in occ.values():
+        for d, i in sorted(lst)[1:]:
+            bad[d].add(i)
+    out = {}
+    for d, toks in docs.items():
+        keep = [t for p, t in enumerate(toks)
+                if not any(s <= p < s + k for s in bad[d])]
+        out[d] = (" ".join(keep), len(toks), len(toks) - len(keep))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=phrase_docs_strategy)
+def test_span_dedup_matches_reference(spark, docs, tmp_path_factory,
+                                      monkeypatch):
+    """For ANY phrase-pool corpus, the distributed span dedup equals the
+    sequential reference implementation exactly (text, counts) --
+    including empty docs, docs shorter than the span, within-doc
+    repeats, and cross-doc boilerplate."""
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    monkeypatch.setattr(tq, "SPAN_K", 3)
+    flat = {i: [t for chunk in d for t in chunk] for i, d in enumerate(docs)}
+    tmp = tmp_path_factory.mktemp("span")
+    spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in flat.items()],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    want = _ref_span_dedup(flat, 3)
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_tokens"], r["n_removed"])
+        for r in tq.q_doc_span_dedup(spark, str(tmp)).collect()
+    }
+    assert got == want
+
+
+def _ref_chunks(toks: list, w: int, s: int) -> list:
+    """Pure-Python oracle for q_doc_chunk: stride-s windows of w tokens,
+    trailing fully-contained windows dropped."""
+    n = len(toks)
+    if n == 0:
+        return []
+    last = max(0, n - (w - s) - 1)
+    return [
+        (start // s, min(w, n - start), " ".join(toks[start:start + w]))
+        for start in range(0, last + 1, s)
+    ]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=phrase_docs_strategy)
+def test_chunk_matches_reference(spark, docs, tmp_path_factory, monkeypatch):
+    """For ANY corpus: chunk boundaries, counts, and the
+    contained-trailing-window drop match the sequential reference."""
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    monkeypatch.setattr(tq, "CHUNK_TOKENS", 5)
+    monkeypatch.setattr(tq, "CHUNK_STRIDE", 3)
+    flat = {i: [t for chunk in d for t in chunk] for i, d in enumerate(docs)}
+    tmp = tmp_path_factory.mktemp("chunk")
+    spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in flat.items()],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    want = {
+        (d, idx): (ln, txt)
+        for d, ts in flat.items()
+        for idx, ln, txt in _ref_chunks(ts, 5, 3)
+    }
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in tq.q_doc_chunk(spark, str(tmp)).collect()
+    }
+    assert got == want
