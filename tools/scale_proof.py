@@ -40,7 +40,10 @@ os.environ.setdefault(
     f"--driver-memory {os.environ.get('SPARK_DRIVER_MEMORY', '48g')} pyspark-shell",
 )
 
-COPIES = 10
+# SPARK_GRAFT_SCALE_COPIES=20 (with a fresh out_dir) produces the
+# second amplification point for the MAIN corpus, so the floor-bound
+# ratio trends become two-point measurements like the near-dup family's
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 SRC = "/root/testdata/sf0.1"
 SHIFTS = {  # table -> {column: stride}; strides exceed any source key
     "lineitem": {"l_orderkey": 10_000_000, "l_suppkey": 1_000_000},
