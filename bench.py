@@ -91,12 +91,14 @@ BENCH_QUERIES = [
     "emb_pq_ann_topk",
     "emb_ivf_pq_ann_topk",
     "emb_hard_negatives",
+    "emb_hard_negatives_ann",
     "doc_semantic_dedup",
     "event_sliding_window",
     "doc_paragraph_dedup",
     "doc_mixture_sample",
     "doc_chunk",
     "doc_span_dedup",
+    "doc_dup_ngram_frac",
     "event_gap_fill",
     "event_scd2",
     "emb_prefix_rerank_topk",

@@ -782,8 +782,131 @@ WHERE c.cum_chars - c.n_chars < b.char_budget
 """
 
 
+# ---- duplicated-n-gram fraction (RefinedWeb/Gopher quality signal) ---------
+
+# 5-word n-grams: the shortest span the published filters treat as
+# boilerplate evidence (RefinedWeb dedups 5-grams; Gopher's "fraction
+# of characters in duplicate n-grams" rules start at n=5)
+DUP_NGRAM_N = 5
+# an n-gram is "duplicated" when it appears in at least this many
+# DISTINCT documents — the inter-document boilerplate signal (intra-doc
+# repetition is doc_repetition's job)
+DUP_NGRAM_MIN_DF = 2
+
+
+def q_doc_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the RefinedWeb/Gopher
+    quality signal: what share of a document's {DUP_NGRAM_N}-gram
+    occurrences also appear in other documents. Boilerplate-heavy pages
+    (navigation chrome, license footers, templated listings) score near
+    1.0 and get filtered; original prose scores near 0.
+
+    Output: (doc_id, n_ngrams, n_dup, dup_frac) for every document;
+    docs shorter than {DUP_NGRAM_N} tokens emit n_ngrams = 0 and a NULL
+    fraction (no evidence either way — the filter's decision, not the
+    operator's).
+
+    Determinism: counts are exact BIGINTs; dup_frac is one long/long
+    IEEE division rounded to 6dp — no cross-row float accumulation.
+
+    Scale shape: the n-gram occurrence stream is built MAP-SIDE from
+    each doc's token array ({DUP_NGRAM_N} shifted slices zipped, then
+    exploded — never a positional self-join of an exploded token
+    table). Unlike the unigram/bigram LM tables, the {DUP_NGRAM_N}-gram
+    document-frequency table is near corpus-sized (most 5-grams are
+    unique), so it is NOT broadcast: occurrences shuffle once on the
+    n-gram hash, the distinct-doc count reuses that exchange, and the
+    flagged occurrences aggregate straight to doc_id — two wide
+    exchanges total, both unavoidable for an inter-document signal.
+    Skew note: a pathological n-gram appearing in millions of docs
+    inflates one reducer in the df aggregation; AQE skew-join handles
+    the join back, and the df table itself only ever carries one row
+    per n-gram."""
+    d = _documents(spark, sf_dir)
+    base = d.select("doc_id", _tokens(F.col("text")).alias("toks")) \
+        .withColumn("n", F.size("toks"))
+    width = F.col("n") - F.lit(DUP_NGRAM_N - 1)
+    # arrays_zip of DUP_NGRAM_N shifted slices (the slice-based n-gram
+    # construction the bigram LM documents: positional element_at
+    # inside a transform lambda re-evaluates per position, ~20x slower)
+    zipped = F.arrays_zip(
+        *[
+            F.slice(F.col("toks"), i + 1, width).alias(f"w{i}")
+            for i in range(DUP_NGRAM_N)
+        ]
+    )
+    occ = (
+        base.filter(F.col("n") >= DUP_NGRAM_N)
+        .select("doc_id", F.explode(zipped).alias("g"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", *[F.col(f"g.w{i}") for i in range(DUP_NGRAM_N)]
+            ).alias("ng"),
+        )
+    )
+    docfreq = occ.groupBy("ng").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    per_doc = (
+        occ.join(docfreq, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum(
+                (F.col("df") >= DUP_NGRAM_MIN_DF).cast("long")
+            ).alias("n_dup"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long")
+            .alias("n_ngrams"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+            .alias("n_dup"),
+            F.round(F.col("n_dup") / F.col("n_ngrams"), 6).alias("dup_frac"),
+        )
+    )
+
+
+DOC_DUP_NGRAM_FRAC_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         unnest([array_to_string(w[i : i + {DUP_NGRAM_N - 1}], ' ')
+                 for i in range(1, len(w) - {DUP_NGRAM_N - 2})]) AS ng
+  FROM tok WHERE len(w) >= {DUP_NGRAM_N}
+),
+docfreq AS (
+  SELECT ng, count(DISTINCT doc_id) AS df FROM occ GROUP BY 1
+),
+per_doc AS (
+  SELECT occ.doc_id,
+         CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN df >= {DUP_NGRAM_MIN_DF} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup
+  FROM occ JOIN docfreq USING (ng)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(p.n_ngrams, CAST(0 AS BIGINT)) AS n_ngrams,
+       coalesce(p.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+       round(p.n_dup * 1.0 / p.n_ngrams, 6) AS dup_frac
+FROM tok t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
+    "doc_dup_ngram_frac": q_doc_dup_ngram_frac,
     "doc_repetition": q_doc_repetition,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_bigram_logprob": q_doc_bigram_logprob,
@@ -795,6 +918,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_mixture_sample": DOC_MIXTURE_SAMPLE_SQL,
+    "doc_dup_ngram_frac": DOC_DUP_NGRAM_FRAC_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_pii_scan": DOC_PII_SCAN_SQL,
     "doc_domain_mix": DOC_DOMAIN_MIX_SQL,

@@ -1405,6 +1405,184 @@ def _ivfpq_search(
     )
 
 
+def q_emb_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining THROUGH the ANN pipeline -- the composition
+    :func:`q_emb_hard_negatives`'s docstring promises for real scale:
+    per training batch, the top-{TOPK} most-similar cross-label corpus
+    vectors are mined from the IVFPQ search path (cell-pruned ADC scan
+    + exact refine) instead of an exact corpus sweep. Mining cost per
+    batch is the ANN query cost, not a full scan.
+
+    Contract (stated, deterministic, oracle-paired): the label
+    inequality filters the ADC-scored candidates BEFORE the
+    top-{PQ_REFINE} pool cut, so the pool holds only cross-label
+    candidates and the exact rerank returns the best cross-label
+    negatives the probed cells contain. Recall vs the exact miner is
+    the IVFPQ recall story (probed-cell misses only -- the refine
+    restores in-pool exactness); for contrastive mining that trade is
+    the standard one (FAISS-mined negatives ARE index-approximate).
+    Plan shape is the IVFPQ one plus a label column riding the encoded
+    side -- corpus scanned once for codes, once for the pool gather,
+    zero corpus shuffles."""
+    e = _embeddings(spark, sf_dir)
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "emb",
+        F.col("label").alias("neighbor_label"),
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        F.col("label").alias("qlabel"),
+    )
+    cbooks_one_row = _pq_cbooks_one_row(e)
+    encoded = (
+        corpus.crossJoin(cbooks_one_row)
+        .select(
+            "neighbor_id", "neighbor_label",
+            _nearest_cells(F.col("emb"), 1, cents_col=F.col("cbooks"))[0]["cell"]
+            .alias("cell"),
+            _pq_codes(F.col("emb")).alias("codes"),
+        )
+    )
+    probes = (
+        queries.crossJoin(cbooks_one_row)
+        .select(
+            "query_id", "qlabel",
+            _pq_lut(F.col("qemb")).alias("lut"),
+            F.explode(
+                F.transform(
+                    _nearest_cells(F.col("qemb"), NPROBE, cents_col=F.col("cbooks")),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+    )
+    scored = (
+        encoded.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_label") != F.col("qlabel"))
+        .select(
+            "query_id", "neighbor_id", "neighbor_label",
+            F.round(_pq_adist_e6() / F.lit(1e6), 6).alias("adist"),
+        )
+    )
+    pool = _topk_per_query(
+        scored, k=PQ_REFINE, score_col="adist", ascending=True,
+        carry=("neighbor_label",),
+    ).select("query_id", "neighbor_id", "neighbor_label", "adist")
+    reranked = (
+        corpus.select("neighbor_id", "emb")
+        .join(F.broadcast(pool), "neighbor_id")
+        .join(F.broadcast(queries.select("query_id", "qemb")), "query_id")
+        .select(
+            "query_id", "neighbor_id", "neighbor_label", "adist",
+            F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label",
+                "cosine", "adist")
+    )
+
+
+EMB_HARD_NEGATIVES_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+dim AS (
+  SELECT label, pos, avg(v) AS c
+  FROM (SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e)
+  GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS centroid
+  FROM dim GROUP BY label
+),
+cb AS (
+  SELECT m.m, cent.c_label, cent.centroid,
+         ROW_NUMBER() OVER (PARTITION BY m.m ORDER BY cent.c_label ASC) - 1 AS idx,
+         cent.centroid[m.m * {PQ_SUB} + 1 : (m.m + 1) * {PQ_SUB}] AS subcent
+  FROM cent CROSS JOIN (SELECT unnest(range(0, {PQ_M})) AS m) m
+),
+assigned AS (
+  SELECT neighbor_id, neighbor_label, cell FROM (
+    SELECT e.vec_id AS neighbor_id, e.label AS neighbor_label,
+           cent.c_label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a='e.emb', b='cent.centroid')} ASC,
+                      cent.c_label ASC) AS rk
+    FROM e CROSS JOIN cent WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT query_id, qlabel, cell FROM (
+    SELECT e.vec_id AS query_id, e.label AS qlabel, cent.c_label AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_DUCK_SQDIST.format(a='e.emb', b='cent.centroid')} ASC,
+                      cent.c_label ASC) AS rk
+    FROM e CROSS JOIN cent WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rk <= {NPROBE}
+),
+codes AS (
+  SELECT neighbor_id, m, idx FROM (
+    SELECT e.vec_id AS neighbor_id, cb.m, cb.idx,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, cb.m
+             ORDER BY round(list_sum([
+                        (e.emb[cb.m * {PQ_SUB} + i] - cb.subcent[i])
+                        * (e.emb[cb.m * {PQ_SUB} + i] - cb.subcent[i])
+                        for i in range(1, {PQ_SUB} + 1)]), 6) ASC,
+                      cb.c_label ASC) AS rk
+    FROM e CROSS JOIN cb WHERE e.vec_id >= {N_QUERIES}
+  ) WHERE rk = 1
+),
+lut AS (
+  SELECT e.vec_id AS query_id, cb.m, cb.idx,
+         {_DUCK_SUB_SQDIST_E6.format(
+             a=f'e.emb[cb.m * {PQ_SUB} + 1 : (cb.m + 1) * {PQ_SUB}]',
+             b='cb.subcent')} AS v_e6
+  FROM e CROSS JOIN cb WHERE e.vec_id < {N_QUERIES}
+),
+adist AS (
+  SELECT l.query_id, c.neighbor_id, a.neighbor_label,
+         round(CAST(sum(l.v_e6) AS BIGINT) / 1e6, 6) AS adist
+  FROM codes c
+  JOIN assigned a USING (neighbor_id)
+  JOIN probes p ON p.cell = a.cell
+  JOIN lut l ON l.query_id = p.query_id AND l.m = c.m AND l.idx = c.idx
+  WHERE a.neighbor_label <> p.qlabel
+  GROUP BY 1, 2, 3
+),
+pool AS (
+  SELECT query_id, neighbor_id, neighbor_label, adist
+  FROM (
+    SELECT query_id, neighbor_id, neighbor_label, adist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, neighbor_id ASC) AS prk
+    FROM adist
+  ) WHERE prk <= {PQ_REFINE}
+),
+reranked AS (
+  SELECT p.query_id, p.neighbor_id, p.neighbor_label, p.adist,
+         {_DUCK_COS.format(a='qe.emb', b='ce.emb')} AS cosine
+  FROM pool p
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ce ON ce.vec_id = p.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, neighbor_label, cosine, adist
+FROM (
+  SELECT query_id, neighbor_id, neighbor_label, cosine, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM reranked
+)
+WHERE rank <= {TOPK}
+"""
+
+
 def build_ivfpq_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     """Materialize the IVFPQ layout the q_emb_ivf_pq_ann_topk docstring
     promises at 100 TB: the corpus encoded ONCE into (neighbor_id,
@@ -1758,6 +1936,7 @@ QUERIES = {
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_pq_ann_topk": q_emb_pq_ann_topk,
     "emb_ivf_pq_ann_topk": q_emb_ivf_pq_ann_topk,
+    "emb_hard_negatives_ann": q_emb_hard_negatives_ann,
     "doc_semantic_dedup": q_doc_semantic_dedup,
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_kmeans_iter": q_emb_kmeans_iter,
@@ -1778,6 +1957,7 @@ ORACLES = {
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "emb_pq_ann_topk": EMB_PQ_ANN_TOPK_SQL,
     "emb_ivf_pq_ann_topk": EMB_IVF_PQ_ANN_TOPK_SQL,
+    "emb_hard_negatives_ann": EMB_HARD_NEGATIVES_ANN_SQL,
     "doc_semantic_dedup": DOC_SEMANTIC_DEDUP_SQL,
     "emb_hard_negatives": EMB_HARD_NEGATIVES_SQL,
     "emb_kmeans_iter": EMB_KMEANS_ITER_SQL,

@@ -182,3 +182,40 @@ def test_bigram_logprob_flags_shuffled_word_order(spark, tmp_path):
     # the unigram screen sees (nearly) identical docs — the gap between
     # permuted and natural is far smaller than under the bigram model
     assert abs(uni[8] - uni[0]) < (bi[8] - bi[0]) / 10
+
+
+def test_dup_ngram_frac_hand_computed(spark, tmp_path):
+    from sec_xbrl_finwarehouse_spark.plans.corpus_queries import (
+        q_doc_dup_ngram_frac,
+    )
+
+    # doc 0 and doc 1 share their first five tokens (one shared 5-gram);
+    # doc 2 is fully distinct prose; doc 3 is shorter than n (no
+    # evidence -> NULL fraction, zero counts)
+    rows = [
+        (0, "terms of service apply here always", "en", "s", 1),
+        (1, "terms of service apply here today instead", "en", "s", 1),
+        (2, "completely original prose with unique words", "en", "s", 1),
+        (3, "too short", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in q_doc_dup_ngram_frac(spark, str(tmp_path)).collect()
+    }
+    # doc 0: 6 tokens -> 2 five-grams; "terms of service apply here" is
+    # shared with doc 1 -> 1 duplicated occurrence
+    assert got[0]["n_ngrams"] == 2 and got[0]["n_dup"] == 1
+    assert got[0]["dup_frac"] == 0.5
+    # doc 1: 7 tokens -> 3 five-grams, 1 shared
+    assert got[1]["n_ngrams"] == 3 and got[1]["n_dup"] == 1
+    assert abs(got[1]["dup_frac"] - 1 / 3) < 1e-6
+    # doc 2: 6 tokens -> 2 five-grams, none shared
+    assert got[2]["n_ngrams"] == 2 and got[2]["n_dup"] == 0
+    assert got[2]["dup_frac"] == 0.0
+    # doc 3: below n -> no evidence, NULL fraction
+    assert got[3]["n_ngrams"] == 0 and got[3]["n_dup"] == 0
+    assert got[3]["dup_frac"] is None

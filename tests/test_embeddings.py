@@ -293,3 +293,36 @@ def test_multiprobe_recall_on_clustered_corpus(spark, tmp_path):
     ivfpq = eq.q_emb_ivfpq_recall(spark, sf).collect()
     ivfpq_recall = sum(r["recall"] for r in ivfpq) / len(ivfpq)
     assert ivfpq_recall >= 0.8, ivfpq_recall
+
+
+def test_hard_negatives_ann_cross_label_and_rank_order(spark):
+    """ANN-path miner invariants: (1) every mined negative is
+    cross-label (the filter runs BEFORE the pool cut, so no same-label
+    row can survive to the rerank); (2) ranks are 1..k contiguous per
+    query with cosine non-increasing; (3) each mined cosine is bounded
+    above by the exact miner's best for that query (the ANN path can
+    only miss neighbors, never invent better ones)."""
+    sf = "/root/testdata/sf0.001"
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in eq._embeddings(spark, sf).select("vec_id", "label").collect()
+    }
+    out = eq.q_emb_hard_negatives_ann(spark, sf).collect()
+    assert len(out) > 0
+    by_q = {}
+    for r in out:
+        assert labels[r["query_id"]] != r["neighbor_label"]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    exact_best = {}
+    for r in eq.q_emb_hard_negatives(spark, sf).collect():
+        prev = exact_best.get(r["query_id"])
+        if prev is None or r["cosine"] > prev:
+            exact_best[r["query_id"]] = r["cosine"]
+    for qid, hits in by_q.items():
+        hits.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in hits] == list(range(1, len(hits) + 1))
+        cosines = [r["cosine"] for r in hits]
+        assert cosines == sorted(cosines, reverse=True)
+        # rounding in both paths is 6dp; allow one ulp of slack
+        assert cosines[0] <= exact_best[qid] + 1e-6

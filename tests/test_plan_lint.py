@@ -53,6 +53,9 @@ BNLJ_ALLOWED = {
     # r8: IVFPQ's one-row codebook array + the recall twin's exact
     # side; bigram LM's broadcast corpus-total cross join
     "emb_ivf_pq_ann_topk", "emb_ivfpq_recall", "doc_bigram_logprob",
+    # r8: ANN-path hard-negative mining rides the same one-row
+    # codebook broadcast cross join as the IVFPQ search it reuses
+    "emb_hard_negatives_ann",
 }
 
 ARROW_ALLOWED = {

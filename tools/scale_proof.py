@@ -89,9 +89,19 @@ QUERIES = [
     "doc_mixture_sample",
     # r8: token-window chunking — map-side explode, floor-bound at sf0.1
     "doc_chunk",
+    # r8: duplicated-n-gram fraction runs on the marker-amplified
+    # corpus ON PURPOSE (like paragraph/span dedup): cross-copy texts
+    # past the marker ARE the boilerplate workload, and the df-join
+    # shape stays linear in it — only the pairwise near-dup queries
+    # must stay out
+    "doc_dup_ngram_frac",
     # r8: IVF+PQ composed ANN — cell-pruned ADC scan, the FAISS IVFPQ
     # layout; proves the composition keeps the pieces' scaling
     "emb_ivf_pq_ann_topk",
+    # r8: ANN-path hard-negative mining — the IVFPQ search plus a
+    # label filter ahead of the pool cut; proves mining cost tracks the
+    # ANN query cost, not the corpus sweep, as data grows
+    "emb_hard_negatives_ann",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
