@@ -1,8 +1,10 @@
-"""WebDataset (.tar shard) ingestion — the de-facto container format
-for large-scale multimodal training data (LAION, img2dataset output,
-torchdata/webdataset loaders): samples are groups of tar members
-sharing a basename key (``000123.jpg`` + ``000123.txt`` +
-``000123.json``), sharded into many ~1 GB tars.
+"""WebDataset (.tar shard) ingestion AND export — the de-facto
+container format for large-scale multimodal training data (LAION,
+img2dataset output, torchdata/webdataset loaders): samples are groups
+of tar members sharing a basename key (``000123.jpg`` + ``000123.txt``
++ ``000123.json``), sharded into many ~1 GB tars. The writer half
+(:func:`write_webdataset_shards`) emits deterministic, key-co-located,
+atomically-renamed shards that round-trip through the reader.
 
 Spark mapping:
 
@@ -167,6 +169,140 @@ def read_webdataset_members(
             yield pd.DataFrame(rows, columns=cols)
 
     return shards.mapInPandas(kernel, MEMBER_SCHEMA)
+
+
+MANIFEST_SCHEMA = (
+    "shard string, path string, n_samples long, n_members long, n_bytes long"
+)
+
+
+def write_webdataset_shards(
+    members: DataFrame,
+    out_dir: str,
+    n_shards: int = 64,
+    prefix: str = "shard",
+) -> DataFrame:
+    """Export a member frame ``(key string, ext string, payload
+    binary)`` as WebDataset tar shards — the writer half of this
+    module's reader contract: ``read_webdataset_samples(out_dir)``
+    round-trips the samples bit-for-bit.
+
+    Determinism (content-stable across runs, engines, and cluster
+    layouts, like every sink in this package):
+
+    * shard assignment hashes the sample KEY (``pmod(xxhash64(key),
+      n_shards)``) — all of a sample's members land in ONE shard, the
+      invariant WebDataset loaders and this module's reader group by;
+    * member order inside a shard is (key, ext) — sorted within the
+      shard's partition, so a re-run writes byte-identical tars;
+    * tar metadata is pinned (mtime 0, uid/gid 0, blank names, mode
+      0o644): the output bytes are a pure function of the input rows.
+
+    Scale shape: one exchange (repartition on the shard index), then
+    each task streams its shards member-by-member through the stdlib
+    tarfile onto disk — task memory is one payload, never a shard;
+    shard tars are written to a temp name and atomically renamed, so
+    readers never observe a partial shard. ``n_shards`` sizes shards
+    the usual way (total bytes / ~1 GB). ``out_dir`` must be a path
+    every executor can write (local or DFS mount — the same
+    restriction :func:`_local_path` documents for reading).
+
+    Returns the manifest as a small DataFrame ``(shard, path,
+    n_samples, n_members, n_bytes)`` — one row per written shard
+    (n_bytes sums payloads, matching the reader's accounting)."""
+    import os
+
+    assigned = (
+        members.select("key", "ext", "payload")
+        .withColumn(
+            "shard_idx",
+            F.pmod(F.xxhash64(F.col("key")), F.lit(n_shards)).cast("int"),
+        )
+        .repartition(n_shards, "shard_idx")
+        .sortWithinPartitions("shard_idx", "key", "ext")
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import uuid as _uuid
+
+        os.makedirs(out_dir, exist_ok=True)
+        state: dict = {"idx": None}
+
+        def close_current():
+            if state["idx"] is None:
+                return None
+            state["tf"].close()
+            final = os.path.join(out_dir, f"{prefix}-{state['idx']:05d}.tar")
+            os.rename(state["tmp"], final)
+            row = (
+                f"{prefix}-{state['idx']:05d}.tar", final,
+                len(state["keys"]), state["n_members"], state["n_bytes"],
+            )
+            state["idx"] = None
+            return row
+
+        def open_shard(idx: int):
+            state["idx"] = idx
+            state["tmp"] = os.path.join(
+                out_dir, f".{prefix}-{idx:05d}.{_uuid.uuid4().hex}.tmp"
+            )
+            # mode "w": plain sequential write, no member index in memory
+            state["tf"] = tarfile.open(state["tmp"], mode="w")
+            state["keys"] = set()
+            state["n_members"] = 0
+            state["n_bytes"] = 0
+
+        manifest: list[tuple] = []
+        for pdf in batches:
+            for key, ext, payload, idx in zip(
+                pdf["key"], pdf["ext"], pdf["payload"], pdf["shard_idx"]
+            ):
+                if state["idx"] != idx:
+                    done = close_current()
+                    if done:
+                        manifest.append(done)
+                    open_shard(int(idx))
+                name = f"{key}.{ext}" if ext else str(key)
+                info = tarfile.TarInfo(name=name)
+                payload = bytes(payload)
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                info.mode = 0o644
+                state["tf"].addfile(info, io.BytesIO(payload))
+                state["keys"].add(key)
+                state["n_members"] += 1
+                state["n_bytes"] += len(payload)
+        done = close_current()
+        if done:
+            manifest.append(done)
+        yield pd.DataFrame(
+            manifest,
+            columns=["shard", "path", "n_samples", "n_members", "n_bytes"],
+        )
+
+    return assigned.mapInPandas(kernel, MANIFEST_SCHEMA)
+
+
+def write_webdataset(
+    samples: DataFrame,
+    out_dir: str,
+    n_shards: int = 64,
+    prefix: str = "shard",
+) -> DataFrame:
+    """Sample-level writer: takes the ``(key, parts: map<ext, binary>)``
+    shape :func:`read_webdataset_samples` produces (or any pipeline
+    producing samples as ext->payload maps), explodes it map-side into
+    the long member frame, and delegates to
+    :func:`write_webdataset_shards`."""
+    members = samples.select(
+        "key", F.explode("parts").alias("ext", "payload")
+    )
+    return write_webdataset_shards(
+        members, out_dir, n_shards=n_shards, prefix=prefix
+    )
 
 
 def read_webdataset_samples(spark: SparkSession, path: str) -> DataFrame:

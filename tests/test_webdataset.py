@@ -141,3 +141,76 @@ def test_member_batches_stream_incrementally(spark, tmp_path):
     assert len(rows) == 64
     assert {r["key"] for r in rows} == {f"{i:06d}" for i in range(64)}
     assert all(r["payload"] == payload for r in rows)
+
+
+def _member_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, ext string, payload binary"
+    )
+
+
+def test_write_webdataset_round_trip(spark, tmp_path):
+    from sec_xbrl_finwarehouse_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    rows = [
+        ("a/000001", "jpg", b"\xff\xd8jpgbytes"),
+        ("a/000001", "json", b'{"cap": "x"}'),
+        ("shard.v2/000002", "seg.png", _png_2x2()),  # dotted dir + 2-part ext
+        ("shard.v2/000002", "txt", b"caption two"),
+        ("000003", "txt", b"bare key"),
+    ]
+    out = str(tmp_path / "wds_out")
+    manifest = write_webdataset_shards(
+        _member_rows(spark, rows), out, n_shards=2, prefix="train"
+    ).collect()
+    assert sum(r["n_members"] for r in manifest) == 5
+    assert sum(r["n_samples"] for r in manifest) == 3
+    assert sum(r["n_bytes"] for r in manifest) == sum(len(p) for _, _, p in rows)
+    got = {
+        (r["key"],): r["parts"]
+        for r in read_webdataset_samples(spark, f"{out}/*.tar").collect()
+    }
+    want = {}
+    for key, ext, payload in rows:
+        want.setdefault((key,), {})[ext] = payload
+    assert {k: dict(v) for k, v in got.items()} == want
+
+
+def test_write_webdataset_sample_colocation_and_determinism(spark, tmp_path):
+    import hashlib
+    import os
+
+    from sec_xbrl_finwarehouse_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    rows = [
+        (f"{i:06d}", ext, (f"{i}-{ext}" * 7).encode())
+        for i in range(40)
+        for ext in ("jpg", "txt")
+    ]
+    df = _member_rows(spark, rows)
+    outs = []
+    for sub in ("w1", "w2"):
+        out = str(tmp_path / sub)
+        write_webdataset_shards(df, out, n_shards=4).collect()
+        outs.append(out)
+    # determinism: both runs produce byte-identical shard sets
+    digests = []
+    for out in outs:
+        digests.append({
+            f: hashlib.sha256(open(os.path.join(out, f), "rb").read())
+            .hexdigest()
+            for f in sorted(os.listdir(out))
+        })
+    assert digests[0] == digests[1]
+    assert len(digests[0]) >= 2  # really sharded
+    # co-location: every sample's members sit in exactly ONE shard
+    members = read_webdataset_members(spark, f"{outs[0]}/*.tar").collect()
+    shard_of = {}
+    for r in members:
+        shard_of.setdefault(r["key"], set()).add(r["shard"])
+    assert all(len(s) == 1 for s in shard_of.values())
+    assert len(members) == len(rows)
