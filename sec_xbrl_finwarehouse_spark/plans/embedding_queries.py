@@ -1345,12 +1345,16 @@ def q_emb_ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_search(encoded, corpus, queries, cbooks_one_row)
 
 
-def _ivfpq_encode(corpus: DataFrame, cbooks_one_row) -> DataFrame:
-    """(neighbor_id, emb) -> (neighbor_id, cell, codes): the IVFPQ
-    index row -- coarse cell + {PQ_M} PQ codes, one projection over the
-    broadcast codebook."""
+def _ivfpq_encode(
+    corpus: DataFrame, cbooks_one_row, carry: tuple = ()
+) -> DataFrame:
+    """(neighbor_id, emb) -> (neighbor_id, [carry...], cell, codes):
+    the IVFPQ index row -- coarse cell + {PQ_M} PQ codes, one
+    projection over the broadcast codebook. ``carry`` names extra
+    corpus columns riding the encoded side (e.g. a label for filtered
+    search)."""
     return corpus.crossJoin(cbooks_one_row).select(
-        "neighbor_id",
+        "neighbor_id", *carry,
         _nearest_cells(F.col("emb"), 1, cents_col=F.col("cbooks"))[0]["cell"]
         .alias("cell"),
         _pq_codes(F.col("emb")).alias("codes"),
@@ -1362,15 +1366,27 @@ def _ivfpq_search(
     vectors: DataFrame,
     queries: DataFrame,
     cbooks_one_row,
+    *,
+    carry: str = "cell",
+    query_carry: tuple = (),
+    scored_filter=None,
 ) -> DataFrame:
-    """The probe + ADC + refine pipeline shared by the inline query and
-    the stored-index probe: ``encoded`` is the (neighbor_id, cell,
-    codes) table (inline subplan or stored parquet), ``vectors`` the
-    (neighbor_id, emb) refine store, ``queries`` (query_id, qemb)."""
+    """The probe + ADC + refine pipeline shared by the inline query,
+    the stored-index probe, and the ANN hard-negative miner:
+    ``encoded`` is the (neighbor_id, [carry], cell, codes) table
+    (inline subplan or stored parquet), ``vectors`` the (neighbor_id,
+    emb) refine store, ``queries`` at least (query_id, qemb) plus any
+    ``query_carry`` columns riding the probe side. ``carry`` is the
+    single encoded-side column carried through the pool cut into the
+    output (the probed ``cell`` for the searches, the neighbor label
+    for the miner); ``scored_filter`` is applied to the probe join
+    BEFORE the top-{PQ_REFINE} pool cut, so a filtered search's pool
+    holds only qualifying candidates. Output columns: (query_id, rank,
+    neighbor_id, cosine, adist, <carry>)."""
     probes = (
         queries.crossJoin(cbooks_one_row)
         .select(
-            "query_id",
+            "query_id", *query_carry,
             _pq_lut(F.col("qemb")).alias("lut"),
             F.explode(
                 F.transform(
@@ -1380,18 +1396,21 @@ def _ivfpq_search(
             ).alias("cell"),
         )
     )
-    scored = encoded.join(F.broadcast(probes), "cell").select(
-        "query_id", "neighbor_id", "cell",
+    scored = encoded.join(F.broadcast(probes), "cell")
+    if scored_filter is not None:
+        scored = scored.filter(scored_filter)
+    scored = scored.select(
+        "query_id", "neighbor_id", carry,
         F.round(_pq_adist_e6() / F.lit(1e6), 6).alias("adist"),
     )
     pool = _topk_per_query(
-        scored, k=PQ_REFINE, score_col="adist", ascending=True, carry=("cell",)
-    ).select("query_id", "neighbor_id", "adist", "cell")
+        scored, k=PQ_REFINE, score_col="adist", ascending=True, carry=(carry,)
+    ).select("query_id", "neighbor_id", "adist", carry)
     reranked = (
         vectors.join(F.broadcast(pool), "neighbor_id")
-        .join(F.broadcast(queries), "query_id")
+        .join(F.broadcast(queries.select("query_id", "qemb")), "query_id")
         .select(
-            "query_id", "neighbor_id", "cell", "adist",
+            "query_id", "neighbor_id", carry, "adist",
             F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
         )
     )
@@ -1401,7 +1420,7 @@ def _ivfpq_search(
     return (
         reranked.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
-        .select("query_id", "rank", "neighbor_id", "cosine", "adist", "cell")
+        .select("query_id", "rank", "neighbor_id", "cosine", "adist", carry)
     )
 
 
@@ -1434,57 +1453,19 @@ def q_emb_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("qlabel"),
     )
     cbooks_one_row = _pq_cbooks_one_row(e)
-    encoded = (
-        corpus.crossJoin(cbooks_one_row)
-        .select(
-            "neighbor_id", "neighbor_label",
-            _nearest_cells(F.col("emb"), 1, cents_col=F.col("cbooks"))[0]["cell"]
-            .alias("cell"),
-            _pq_codes(F.col("emb")).alias("codes"),
-        )
+    encoded = _ivfpq_encode(
+        corpus, cbooks_one_row, carry=("neighbor_label",)
     )
-    probes = (
-        queries.crossJoin(cbooks_one_row)
-        .select(
-            "query_id", "qlabel",
-            _pq_lut(F.col("qemb")).alias("lut"),
-            F.explode(
-                F.transform(
-                    _nearest_cells(F.col("qemb"), NPROBE, cents_col=F.col("cbooks")),
-                    lambda s: s["cell"],
-                )
-            ).alias("cell"),
-        )
+    hits = _ivfpq_search(
+        encoded, corpus.select("neighbor_id", "emb"), queries,
+        cbooks_one_row,
+        carry="neighbor_label",
+        query_carry=("qlabel",),
+        scored_filter=F.col("neighbor_label") != F.col("qlabel"),
     )
-    scored = (
-        encoded.join(F.broadcast(probes), "cell")
-        .filter(F.col("neighbor_label") != F.col("qlabel"))
-        .select(
-            "query_id", "neighbor_id", "neighbor_label",
-            F.round(_pq_adist_e6() / F.lit(1e6), 6).alias("adist"),
-        )
-    )
-    pool = _topk_per_query(
-        scored, k=PQ_REFINE, score_col="adist", ascending=True,
-        carry=("neighbor_label",),
-    ).select("query_id", "neighbor_id", "neighbor_label", "adist")
-    reranked = (
-        corpus.select("neighbor_id", "emb")
-        .join(F.broadcast(pool), "neighbor_id")
-        .join(F.broadcast(queries.select("query_id", "qemb")), "query_id")
-        .select(
-            "query_id", "neighbor_id", "neighbor_label", "adist",
-            F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        reranked.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select("query_id", "rank", "neighbor_id", "neighbor_label",
-                "cosine", "adist")
+    return hits.select(
+        "query_id", "rank", "neighbor_id", "neighbor_label",
+        "cosine", "adist",
     )
 
 

@@ -193,24 +193,53 @@ def write_webdataset_shards(
     * shard assignment hashes the sample KEY (``pmod(xxhash64(key),
       n_shards)``) — all of a sample's members land in ONE shard, the
       invariant WebDataset loaders and this module's reader group by;
-    * member order inside a shard is (key, ext) — sorted within the
-      shard's partition, so a re-run writes byte-identical tars;
+    * member order inside a shard is (key, ext, payload) — sorted
+      within the shard's partition, the payload tiebreak making even
+      malformed inputs with duplicate (key, ext) rows reproduce
+      byte-identically (such duplicates still violate WebDataset's
+      one-ext-per-sample convention and will collide in the reader's
+      ``parts`` map — the writer keeps the bytes deterministic, it
+      cannot make the sample well-formed);
     * tar metadata is pinned (mtime 0, uid/gid 0, blank names, mode
       0o644): the output bytes are a pure function of the input rows.
 
+    Key validation: the reader (and every WebDataset loader) splits a
+    member's BASENAME at its first dot, so a key whose basename
+    contains a dot cannot round-trip — ``img.v2`` + ext ``jpg`` would
+    read back as key ``img``, ext ``v2.jpg``, and two such keys can
+    hash to different shards yet reparse to the SAME sample, breaking
+    co-location. The kernel rejects dotted key basenames with a
+    ValueError naming the key (dots in DIRECTORY components are fine;
+    the reader treats those as data).
+
+    Overwrite semantics: existing ``{prefix}-*.tar`` files and stale
+    temp files in ``out_dir`` are removed up front (driver-side), so a
+    re-run with fewer shards cannot leave phantom shards that a
+    ``*.tar`` glob would silently merge with the new output. Within a
+    run, shard tars are written to a temp name and atomically renamed,
+    so concurrent readers never observe a partial shard.
+
     Scale shape: one exchange (repartition on the shard index), then
     each task streams its shards member-by-member through the stdlib
-    tarfile onto disk — task memory is one payload, never a shard;
-    shard tars are written to a temp name and atomically renamed, so
-    readers never observe a partial shard. ``n_shards`` sizes shards
-    the usual way (total bytes / ~1 GB). ``out_dir`` must be a path
-    every executor can write (local or DFS mount — the same
-    restriction :func:`_local_path` documents for reading).
+    tarfile onto disk — task memory is one payload, never a shard.
+    ``n_shards`` sizes shards the usual way (total bytes / ~1 GB).
+    ``out_dir`` must be a path every executor can write (local or DFS
+    mount — the same restriction :func:`_local_path` documents for
+    reading).
 
     Returns the manifest as a small DataFrame ``(shard, path,
     n_samples, n_members, n_bytes)`` — one row per written shard
     (n_bytes sums payloads, matching the reader's accounting)."""
+    import glob
     import os
+
+    # pre-clean: drop this prefix's previous shards + orphaned temps so
+    # a smaller re-run cannot leave stale tars behind a *.tar glob
+    if os.path.isdir(out_dir):
+        for stale in glob.glob(os.path.join(out_dir, f"{prefix}-*.tar")):
+            os.remove(stale)
+        for tmp in glob.glob(os.path.join(out_dir, f".{prefix}-*.tmp")):
+            os.remove(tmp)
 
     assigned = (
         members.select("key", "ext", "payload")
@@ -219,7 +248,7 @@ def write_webdataset_shards(
             F.pmod(F.xxhash64(F.col("key")), F.lit(n_shards)).cast("int"),
         )
         .repartition(n_shards, "shard_idx")
-        .sortWithinPartitions("shard_idx", "key", "ext")
+        .sortWithinPartitions("shard_idx", "key", "ext", "payload")
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -258,6 +287,13 @@ def write_webdataset_shards(
             for key, ext, payload, idx in zip(
                 pdf["key"], pdf["ext"], pdf["payload"], pdf["shard_idx"]
             ):
+                if "." in posixpath.basename(str(key)):
+                    raise ValueError(
+                        f"webdataset key {key!r}: basename contains a dot "
+                        "-- the reader splits basenames at the first dot, "
+                        "so this key cannot round-trip (move the dot into "
+                        "a directory component or the ext)"
+                    )
                 if state["idx"] != idx:
                     done = close_current()
                     if done:

@@ -214,3 +214,45 @@ def test_write_webdataset_sample_colocation_and_determinism(spark, tmp_path):
         shard_of.setdefault(r["key"], set()).add(r["shard"])
     assert all(len(s) == 1 for s in shard_of.values())
     assert len(members) == len(rows)
+
+
+def test_write_webdataset_rejects_dotted_key_basename(spark, tmp_path):
+    import pytest as _pytest
+
+    from sec_xbrl_finwarehouse_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    # "img.v2" + "jpg" would reparse as key "img", ext "v2.jpg" — and
+    # a sibling key "img" could land in a DIFFERENT shard, splitting
+    # one logical sample: must be rejected, not silently written
+    df = _member_rows(spark, [("img.v2", "jpg", b"x")])
+    with _pytest.raises(Exception, match="basename contains a dot"):
+        write_webdataset_shards(df, str(tmp_path / "bad"), n_shards=2).collect()
+    # dots in DIRECTORY components are data, not separators: fine
+    ok = _member_rows(spark, [("dir.v2/000001", "jpg", b"x")])
+    m = write_webdataset_shards(ok, str(tmp_path / "ok"), n_shards=2).collect()
+    assert sum(r["n_members"] for r in m) == 1
+
+
+def test_write_webdataset_precleans_stale_shards(spark, tmp_path):
+    import os
+
+    from sec_xbrl_finwarehouse_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    out = str(tmp_path / "out")
+    big = _member_rows(
+        spark, [(f"{i:06d}", "txt", b"payload") for i in range(40)]
+    )
+    write_webdataset_shards(big, out, n_shards=4).collect()
+    first = set(os.listdir(out))
+    # re-run with FEWER shards: the first run's higher-numbered tars
+    # must not survive to be merged by a *.tar glob
+    small = _member_rows(spark, [("000001", "txt", b"only")])
+    write_webdataset_shards(small, out, n_shards=1).collect()
+    left = [f for f in os.listdir(out) if f.endswith(".tar")]
+    assert left == ["shard-00000.tar"], (first, left)
+    got = read_webdataset_samples(spark, f"{out}/*.tar").collect()
+    assert len(got) == 1 and got[0]["key"] == "000001"

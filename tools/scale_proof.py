@@ -215,10 +215,23 @@ def main() -> None:
 
     spark = get_spark("scale-proof")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # the .copies marker pins the amplification a directory was built
+    # at: silently reusing a 10x dir for a 20x run would record wrong
+    # datums, so a mismatch is a hard error, not a quiet reuse
+    marker = os.path.join(out_dir, ".copies")
     if not os.path.exists(f"{out_dir}/lineitem.parquet"):
         t0 = time.time()
         build(spark, out_dir)
+        with open(marker, "w") as fh:
+            fh.write(str(COPIES))
         print(f"built {out_dir} in {time.time() - t0:.1f}s", file=sys.stderr)
+    else:
+        built_at = int(open(marker).read()) if os.path.exists(marker) else 10
+        if built_at != COPIES:
+            raise SystemExit(
+                f"{out_dir} was built at {built_at}x but COPIES={COPIES}: "
+                "point at a fresh out_dir for a different amplification"
+            )
 
     qmap = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -257,6 +270,10 @@ def main() -> None:
             finally:
                 done.set()
             done.clear()
+            if capped:
+                # a capped run cannot improve on retry; don't burn
+                # another PER_QUERY_CAP_SEC of pure watchdog wait
+                break
         return best, capped
 
     def measure(name: str, data_dir: str, duck_con) -> dict:
@@ -312,7 +329,9 @@ def main() -> None:
                 print(json.dumps({"query": key, **results[key]}),
                       file=sys.stderr)
 
-    print(json.dumps({"sf": "sf0.1 x10 multi-file", "results": results}))
+    print(json.dumps(
+        {"sf": f"sf0.1 x{COPIES} multi-file", "results": results}
+    ))
 
 
 if __name__ == "__main__":
