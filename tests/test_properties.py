@@ -393,3 +393,62 @@ def test_chunk_matches_reference(spark, docs, tmp_path_factory, monkeypatch):
         for r in tq.q_doc_chunk(spark, str(tmp)).collect()
     }
     assert got == want
+
+
+# ---- duplicated-n-gram fraction vs a pure-Python reference -----------------
+
+
+def _ref_dup_ngram(docs: dict, n: int, min_df: int) -> dict:
+    """Pure-Python oracle for q_doc_dup_ngram_frac's contract: per doc,
+    count n-gram occurrences and how many of them have corpus document
+    frequency >= min_df (distinct docs containing the n-gram)."""
+    from collections import Counter
+
+    grams = {
+        d: [tuple(t[i:i + n]) for i in range(len(t) - n + 1)]
+        for d, t in docs.items()
+    }
+    df = Counter()
+    for gs in grams.values():
+        for g in set(gs):
+            df[g] += 1
+    out = {}
+    for d, gs in grams.items():
+        n_dup = sum(1 for g in gs if df[g] >= min_df)
+        out[d] = (len(gs), n_dup)
+    return out
+
+
+@_SETTINGS
+@given(docs=phrase_docs_strategy)
+def test_dup_ngram_frac_matches_reference(spark, docs, tmp_path_factory,
+                                          monkeypatch):
+    """For ANY phrase-pool corpus, the distributed duplicated-n-gram
+    fraction equals the sequential reference exactly — including empty
+    docs, docs shorter than n (NULL fraction), within-doc repeats
+    (occurrences counted, df deduped per doc), and cross-doc
+    boilerplate."""
+    from sec_xbrl_finwarehouse_spark.plans import corpus_queries as cq
+
+    monkeypatch.setattr(cq, "DUP_NGRAM_N", 3)
+    flat = {i: [t for chunk in d for t in chunk] for i, d in enumerate(docs)}
+    tmp = tmp_path_factory.mktemp("dupngram")
+    spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in flat.items()],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp / "documents.parquet")
+    )
+    want = _ref_dup_ngram(flat, 3, cq.DUP_NGRAM_MIN_DF)
+    got = {
+        r["doc_id"]: r
+        for r in cq.q_doc_dup_ngram_frac(spark, str(tmp)).collect()
+    }
+    assert set(got) == set(want)
+    for d, (n_g, n_dup) in want.items():
+        r = got[d]
+        assert (r["n_ngrams"], r["n_dup"]) == (n_g, n_dup), (d, r)
+        if n_g == 0:
+            assert r["dup_frac"] is None
+        else:
+            assert abs(r["dup_frac"] - n_dup / n_g) < 1e-6
