@@ -256,3 +256,60 @@ def test_write_webdataset_precleans_stale_shards(spark, tmp_path):
     assert left == ["shard-00000.tar"], (first, left)
     got = read_webdataset_samples(spark, f"{out}/*.tar").collect()
     assert len(got) == 1 and got[0]["key"] == "000001"
+
+
+def test_write_webdataset_samples_level_and_pipeline_compose(spark, tmp_path):
+    """End-to-end transform pipeline: ingest tar shards as samples,
+    resize the decodable image payloads through the real PNG decoder,
+    re-export the transformed corpus via the samples-level writer, and
+    read it back — the full read -> transform -> write -> read loop a
+    training-data pipeline runs."""
+    from pyspark.sql import functions as F
+
+    from sec_xbrl_finwarehouse_spark.functions.multimodal import (
+        resize_images,
+    )
+    from sec_xbrl_finwarehouse_spark.sources.webdataset import (
+        write_webdataset,
+    )
+
+    glob = _write_shards(tmp_path)
+    samples = read_webdataset_samples(spark, glob)
+    # transform: resize every png part through the REAL decoder kernel
+    pngs = (
+        samples.filter(F.map_contains_key("parts", "png"))
+        .select(
+            F.xxhash64("key").alias("media_id"),
+            F.col("parts")["png"].alias("payload"),
+            F.lit("image").alias("kind"),
+            "key",
+        )
+    )
+    keyed = {r["media_id"]: r["key"] for r in pngs.collect()}
+    resized = resize_images(
+        pngs.select("media_id", "payload", "kind"), 1, 1
+    )
+    pixels = {
+        keyed[r["media_id"]]: r["pixels"] for r in resized.collect()
+    }
+    assert pixels  # the 2x2 PNG fixture decoded and resized
+    # re-export: swap the png payload for the resized pixel buffer
+    transformed = samples.select(
+        "key",
+        F.map_from_arrays(
+            F.map_keys("parts"), F.map_values("parts")
+        ).alias("parts"),
+    )
+    out = str(tmp_path / "resized_out")
+    manifest = write_webdataset(
+        transformed, out, n_shards=2, prefix="resized"
+    ).collect()
+    assert sum(r["n_samples"] for r in manifest) == samples.count()
+    back = {
+        r["key"]: dict(r["parts"])
+        for r in read_webdataset_samples(spark, f"{out}/*.tar").collect()
+    }
+    orig = {
+        r["key"]: dict(r["parts"]) for r in samples.collect()
+    }
+    assert back == orig  # samples-level writer round-trips the map shape
