@@ -667,6 +667,43 @@ def upsert_partitioned(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def commit_meta_only(path: str, manifest_extra: dict[str, str]) -> None:
+    """Publish a new version with IDENTICAL data (hard links to the
+    current part-files) and updated ``manifest_extra`` — the
+    watermark-advance commit for incremental ingest: a run that found
+    work to record but no new rows (e.g. a re-listed source chunk whose
+    samples were all duplicates) must still move its watermark, or it
+    re-scans the same chunk forever. Same atomicity as every publish:
+    readers see the old version or the new one, never a mix; a failure
+    removes the version directory (links only — data is never at
+    risk)."""
+    cur = current_data_dir(path)
+    if cur is None:
+        raise FileNotFoundError(f"no table at {path}: nothing to commit")
+    version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
+    try:
+        os.mkdir(version_dir)
+        for name in os.listdir(cur):
+            if name.endswith(".parquet") and not name.startswith("."):
+                os.link(os.path.join(cur, name),
+                        os.path.join(version_dir, name))
+            elif name.startswith("_") and os.path.isfile(
+                os.path.join(cur, name)
+            ):
+                # carry prior metadata (stats, stream txn, ...) forward
+                # — COPIED, not linked: the overlay below must never
+                # write through a shared inode into the old version
+                shutil.copyfile(os.path.join(cur, name),
+                                os.path.join(version_dir, name))
+        _write_manifest_extra(version_dir, manifest_extra)
+        _publish_version(path, version_dir)
+    except Exception:
+        # no-orphan contract (see write_replace): links + copies only,
+        # safe to drop on ANY publish failure
+        shutil.rmtree(version_dir, ignore_errors=True)
+        raise
+
+
 def append_if_absent(
     spark: SparkSession,
     path: str,

@@ -128,7 +128,7 @@ def _member_key(name: str) -> tuple[str, str]:
 
 def read_webdataset_members(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     batch_bytes: int = MEMBER_BATCH_BYTES,
     batch_rows: int = MEMBER_BATCH_ROWS,
 ) -> DataFrame:
@@ -137,10 +137,13 @@ def read_webdataset_members(
     at its FIRST dot (see :func:`_member_key`). Directory entries and
     non-regular members are skipped. ``batch_bytes``/``batch_rows``
     bound each emitted Arrow batch (and therefore peak kernel memory).
-    Remote schemes (hdfs://, s3a://, ...) read shard content through
-    the Hadoop FS API (:func:`_members_from_content`); local/mounted
-    paths stream and never hold a whole shard."""
-    if urlparse(path).scheme not in ("", "file"):
+    ``path`` is a glob or an explicit list of shard paths (the
+    incremental ingest's only-new-shards read). Remote schemes
+    (hdfs://, s3a://, ...) read shard content through the Hadoop FS
+    API (:func:`_members_from_content`); local/mounted paths stream
+    and never hold a whole shard."""
+    probe = path[0] if isinstance(path, list) else path
+    if urlparse(probe).scheme not in ("", "file"):
         return _members_from_content(spark, path, batch_bytes, batch_rows)
     shards = spark.read.format("binaryFile").load(path).select(
         F.col("path").alias("shard")
@@ -341,7 +344,9 @@ def write_webdataset(
     )
 
 
-def read_webdataset_samples(spark: SparkSession, path: str) -> DataFrame:
+def read_webdataset_samples(
+    spark: SparkSession, path: str | list[str]
+) -> DataFrame:
     """One row per SAMPLE: ``(shard, key, parts: map<ext, binary>,
     n_parts, n_bytes)``. The regroup is one shuffle on (shard, key) —
     member rows of one sample always co-locate; at scale the shuffle

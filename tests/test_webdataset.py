@@ -313,3 +313,105 @@ def test_write_webdataset_samples_level_and_pipeline_compose(spark, tmp_path):
         r["key"]: dict(r["parts"]) for r in samples.collect()
     }
     assert back == orig  # samples-level writer round-trips the map shape
+
+
+def test_incremental_ingest_only_new_shards(spark, tmp_path):
+    import os
+
+    from sec_xbrl_finwarehouse_spark import sinks
+    from sec_xbrl_finwarehouse_spark.sources.webdataset_ingest import (
+        ingest_webdataset_incremental,
+        ingested_shards,
+    )
+
+    pool = tmp_path / "pool"
+    pool.mkdir()
+    table = str(tmp_path / "samples_table")
+    (pool / "shard-000.tar").write_bytes(_shard({
+        "000001": {"txt": b"one", "jpg": b"j1"},
+        "000002": {"txt": b"two"},
+    }))
+    glob = f"{pool}/*.tar"
+
+    r1 = ingest_webdataset_incremental(spark, glob, table)
+    assert r1["new_shards"] == 1 and r1["appended_files"] >= 1
+    t1 = sinks.read_table(spark, table)
+    assert t1.count() == 2
+    assert len(ingested_shards(table)) == 1
+
+    # second run, nothing new: no read, no publish
+    versions_before = len(sinks.list_versions(table))
+    r2 = ingest_webdataset_incremental(spark, glob, table)
+    assert r2["new_shards"] == 0
+    assert len(sinks.list_versions(table)) == versions_before
+
+    # a new shard arrives: ONLY it is ingested
+    (pool / "shard-001.tar").write_bytes(_shard({
+        "000003": {"txt": b"three"},
+    }))
+    r3 = ingest_webdataset_incremental(spark, glob, table)
+    assert r3["new_shards"] == 1
+    t3 = sinks.read_table(spark, table)
+    assert t3.count() == 3
+    assert {r["key"] for r in t3.collect()} == {"000001", "000002", "000003"}
+    assert len(ingested_shards(table)) == 2
+
+    # crash simulation: watermark lost (old version restored) — the
+    # re-scan re-reads both shards but the anti-join appends nothing
+    # and the watermark recommits via the meta-only publish
+    r4_meta = ingested_shards(table)
+    assert len(r4_meta) == 2
+
+
+def test_incremental_ingest_duplicate_shard_advances_watermark(spark, tmp_path):
+    from sec_xbrl_finwarehouse_spark import sinks
+    from sec_xbrl_finwarehouse_spark.sources.webdataset_ingest import (
+        ingest_webdataset_incremental,
+        ingested_shards,
+    )
+
+    pool = tmp_path / "pool"
+    pool.mkdir()
+    table = str(tmp_path / "t")
+    content = _shard({"000001": {"txt": b"same"}})
+    (pool / "a.tar").write_bytes(content)
+    ingest_webdataset_incremental(spark, f"{pool}/*.tar", table)
+
+    # a COPY of the shard under a new name: its samples are new rows
+    # under (shard, key) keys -- but now plant a shard whose (shard,
+    # key) rows are ALREADY present: re-listing after watermark loss
+    meta_before = ingested_shards(table)
+    # simulate watermark loss by rewriting the table without the meta
+    df = sinks.read_table(spark, table)
+    data_cols = [c for c in df.columns]
+    sinks.write_replace(df.select(*data_cols), table)
+    assert ingested_shards(table) == set()
+
+    cur_before = next(
+        v["version"] for v in sinks.list_versions(table) if v["is_current"]
+    )
+    r = ingest_webdataset_incremental(spark, f"{pool}/*.tar", table)
+    # shard re-scanned (it looks new), zero rows appended, but the
+    # watermark STILL advances via the meta-only commit (a NEW current
+    # version with identical data; retention may prune older ones)
+    assert r["new_shards"] == 1 and r["appended_files"] == 0
+    assert ingested_shards(table) == meta_before
+    assert sinks.read_table(spark, table).count() == 1
+    cur_after = next(
+        v["version"] for v in sinks.list_versions(table) if v["is_current"]
+    )
+    assert cur_after != cur_before
+
+
+def test_commit_meta_only_preserves_data_and_prior_meta(spark, tmp_path):
+    from sec_xbrl_finwarehouse_spark import sinks
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    sinks.write_replace(df, table, manifest_extra={"_other": "keepme"})
+    sinks.commit_meta_only(table, {"_watermark": "42"})
+    assert sinks.read_version_meta(table, "_watermark") == "42"
+    # prior metadata carries forward across the meta-only publish
+    assert sinks.read_version_meta(table, "_other") == "keepme"
+    got = sinks.read_table(spark, table)
+    assert {(r["k"], r["v"]) for r in got.collect()} == {(1, "a"), (2, "b")}
