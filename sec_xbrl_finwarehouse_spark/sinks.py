@@ -676,22 +676,45 @@ def commit_meta_only(path: str, manifest_extra: dict[str, str]) -> None:
     re-scans the same chunk forever. Same atomicity as every publish:
     readers see the old version or the new one, never a mix; a failure
     removes the version directory (links only — data is never at
-    risk)."""
+    risk).
+
+    Both flat and hive-partitioned (``col=value/`` subdirectory)
+    layouts are linked recursively — a partitioned table must not
+    silently publish an empty version (the mirror image of
+    upsert_partitioned's layout guard).
+
+    Prior ``_`` metadata files (stats, stream txn markers) are COPIED
+    forward, then overlaid with ``manifest_extra``. That carry-forward
+    is safe precisely BECAUSE the data is identical: per-file stats
+    remain exact for every linked file. Data-changing publishes
+    (append_if_absent, upsert) deliberately do NOT carry stats forward
+    — :func:`read_table_pruned` reads ONLY files listed in the stats
+    manifest, so stale stats on a version with new files would
+    silently drop them from pruned reads; dropping the manifest
+    degrades to the full-scan fallback instead."""
     cur = current_data_dir(path)
     if cur is None:
         raise FileNotFoundError(f"no table at {path}: nothing to commit")
     version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
+
+    def link_tree(src: str, dst: str) -> None:
+        for name in os.listdir(src):
+            sp = os.path.join(src, name)
+            if os.path.isdir(sp):
+                dp = os.path.join(dst, name)
+                os.makedirs(dp, exist_ok=True)
+                link_tree(sp, dp)
+            elif name.endswith(".parquet") and not name.startswith("."):
+                os.link(sp, os.path.join(dst, name))
+
     try:
         os.mkdir(version_dir)
+        link_tree(cur, version_dir)
         for name in os.listdir(cur):
-            if name.endswith(".parquet") and not name.startswith("."):
-                os.link(os.path.join(cur, name),
-                        os.path.join(version_dir, name))
-            elif name.startswith("_") and os.path.isfile(
+            if name.startswith("_") and os.path.isfile(
                 os.path.join(cur, name)
             ):
-                # carry prior metadata (stats, stream txn, ...) forward
-                # — COPIED, not linked: the overlay below must never
+                # COPIED, not linked: the overlay below must never
                 # write through a shared inode into the old version
                 shutil.copyfile(os.path.join(cur, name),
                                 os.path.join(version_dir, name))

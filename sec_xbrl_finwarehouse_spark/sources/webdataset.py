@@ -142,6 +142,11 @@ def read_webdataset_members(
     (hdfs://, s3a://, ...) read shard content through the Hadoop FS
     API (:func:`_members_from_content`); local/mounted paths stream
     and never hold a whole shard."""
+    if isinstance(path, list) and not path:
+        raise ValueError(
+            "read_webdataset_members: empty shard list -- callers "
+            "diffing their own shard sets should skip the read entirely"
+        )
     probe = path[0] if isinstance(path, list) else path
     if urlparse(probe).scheme not in ("", "file"):
         return _members_from_content(spark, path, batch_bytes, batch_rows)

@@ -22,6 +22,15 @@ a prefix; the warehouse table must pick up ONLY the new ones):
   data, updated manifest) — without it, a pure-duplicate shard would
   be re-scanned on every run forever.
 
+Metadata durability note: the two commit paths differ deliberately.
+An appending run publishes via ``append_if_absent``, which carries
+ONLY the watermark — per-file stats from a prior publish are dropped,
+because ``read_table_pruned`` reads only stats-listed files and stale
+stats on a version with NEW files would silently drop them; the table
+degrades to full-scan reads until the next stats-bearing publish. The
+duplicates-only path's ``commit_meta_only`` copies prior metadata
+forward, which is safe precisely because its data is identical.
+
 Scale notes: the shard listing and the watermark are shard-count-sized
 (tens of thousands of entries for a 100 TB pool at ~1 GB/shard — a
 driver-side set diff, not a data problem). The member read inherits
@@ -33,7 +42,6 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 from .. import sinks
 from .webdataset import read_webdataset_samples
@@ -71,9 +79,7 @@ def ingest_webdataset_incremental(
         return {"listed": len(listed), "new_shards": 0,
                 "appended_files": 0}
     samples = read_webdataset_samples(spark, new_shards).select(
-        "shard", "key", "parts",
-        F.col("n_parts").cast("int").alias("n_parts"),
-        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "shard", "key", "parts", "n_parts", "n_bytes"
     )
     watermark = {
         INGESTED_META: json.dumps(sorted(seen | set(new_shards)))

@@ -293,12 +293,20 @@ def test_write_webdataset_samples_level_and_pipeline_compose(spark, tmp_path):
         keyed[r["media_id"]]: r["pixels"] for r in resized.collect()
     }
     assert pixels  # the 2x2 PNG fixture decoded and resized
-    # re-export: swap the png payload for the resized pixel buffer
-    transformed = samples.select(
+    # re-export: REALLY swap the png payload for the resized pixel
+    # buffer (map_filter out the old entry, map_concat the new one in)
+    pix_df = spark.createDataFrame(
+        [(k, v) for k, v in pixels.items()], "key string, pixels binary"
+    )
+    transformed = samples.join(pix_df, "key", "left").select(
         "key",
-        F.map_from_arrays(
-            F.map_keys("parts"), F.map_values("parts")
-        ).alias("parts"),
+        F.when(
+            F.col("pixels").isNotNull(),
+            F.map_concat(
+                F.map_filter("parts", lambda k, v: k != F.lit("png")),
+                F.create_map(F.lit("png"), F.col("pixels")),
+            ),
+        ).otherwise(F.col("parts")).alias("parts"),
     )
     out = str(tmp_path / "resized_out")
     manifest = write_webdataset(
@@ -309,10 +317,16 @@ def test_write_webdataset_samples_level_and_pipeline_compose(spark, tmp_path):
         r["key"]: dict(r["parts"])
         for r in read_webdataset_samples(spark, f"{out}/*.tar").collect()
     }
-    orig = {
-        r["key"]: dict(r["parts"]) for r in samples.collect()
-    }
-    assert back == orig  # samples-level writer round-trips the map shape
+    orig = {r["key"]: dict(r["parts"]) for r in samples.collect()}
+    assert set(back) == set(orig)
+    for key, parts in orig.items():
+        if key in pixels:  # the transformed sample: png bytes REPLACED
+            assert back[key]["png"] == pixels[key]
+            assert back[key]["png"] != parts["png"]
+            rest = {e: p for e, p in parts.items() if e != "png"}
+            assert {e: p for e, p in back[key].items() if e != "png"} == rest
+        else:  # untouched samples round-trip bit-for-bit
+            assert back[key] == parts
 
 
 def test_incremental_ingest_only_new_shards(spark, tmp_path):
@@ -356,11 +370,8 @@ def test_incremental_ingest_only_new_shards(spark, tmp_path):
     assert {r["key"] for r in t3.collect()} == {"000001", "000002", "000003"}
     assert len(ingested_shards(table)) == 2
 
-    # crash simulation: watermark lost (old version restored) — the
-    # re-scan re-reads both shards but the anti-join appends nothing
-    # and the watermark recommits via the meta-only publish
-    r4_meta = ingested_shards(table)
-    assert len(r4_meta) == 2
+    # (watermark-loss / re-scan recovery is covered by
+    # test_incremental_ingest_duplicate_shard_advances_watermark)
 
 
 def test_incremental_ingest_duplicate_shard_advances_watermark(spark, tmp_path):
@@ -415,3 +426,31 @@ def test_commit_meta_only_preserves_data_and_prior_meta(spark, tmp_path):
     assert sinks.read_version_meta(table, "_other") == "keepme"
     got = sinks.read_table(spark, table)
     assert {(r["k"], r["v"]) for r in got.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_commit_meta_only_hive_partitioned_layout(spark, tmp_path):
+    """A meta-only commit on a hive-partitioned table must link the
+    partition subdirectories recursively — publishing an EMPTY version
+    (and letting retention prune the real data) is the silent-loss
+    failure upsert_partitioned's layout guard exists to prevent."""
+    from sec_xbrl_finwarehouse_spark import sinks
+
+    table = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "k int, v string, part string"
+    )
+    sinks.upsert_partitioned(spark, table, df, keys=("part", "k"),
+                             partition_col="part")
+    before = {
+        (r["k"], r["v"], r["part"])
+        for r in sinks.read_table(spark, table).select(
+            "k", "v", "part").collect()
+    }
+    sinks.commit_meta_only(table, {"_wm": "1"})
+    assert sinks.read_version_meta(table, "_wm") == "1"
+    after = {
+        (r["k"], r["v"], r["part"])
+        for r in sinks.read_table(spark, table).select(
+            "k", "v", "part").collect()
+    }
+    assert after == before and len(after) == 2
