@@ -285,52 +285,115 @@ FROM documents
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality signals: length, stopword ratio, non-alpha char
     ratio, repetition (1 - distinct/total tokens), plus a keep/drop flag
-    in the style of Gopher/C4 quality filters. All built-in expressions;
-    the filter composes with the scan (predicate pushdown on n_chars)."""
+    in the style of Gopher/C4 quality filters — and (r8) the REMAINING
+    published Gopher rules as first-class columns: mean word length
+    (3-10 band), symbol-to-word ratio (# and ... symbols), and the
+    line-shape ratios (bullet-started, ellipsis-ended lines).
+    ``gopher_keep`` is the full composite; the original ``keep`` is
+    unchanged so downstream consumers (doc_corpus_build) keep their
+    contract. All built-in expressions; the filter composes with the
+    scan (predicate pushdown on n_chars)."""
     d = _documents(spark, sf_dir).select(
         "doc_id", "text", _tokens(F.col("text")).alias("toks")
     )
     toks = F.col("toks")
     n_tok = F.size(toks)
+    n_tok1 = F.greatest(n_tok, F.lit(1))
     stop_ratio = (
-        F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
-        / F.greatest(n_tok, F.lit(1))
+        F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))) / n_tok1
     ).cast("double")
     nonalpha = (
         F.length(F.regexp_replace(F.lower(F.trim("text")), "[a-z0-9 ]", ""))
         / F.greatest(F.length(F.trim("text")), F.lit(1))
     ).cast("double")
-    rep = (F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1)))
+    rep = (F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok1)
+    # Gopher's remaining rules (all map-side, no extra pass):
+    # mean word length -- natural prose sits in the 3-10 char band
+    mwl = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / n_tok1
+    ).cast("double")
+    # symbol-to-word ratio: '#' chars + '...' occurrences per token
+    raw = F.col("text")
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = ((n_hash + n_ell) / n_tok1).cast("double")
+    # line-shape ratios: bullet-started and ellipsis-ended lines
+    lines = F.split(raw, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_ratio = (
+        F.size(F.filter(
+            lines,
+            lambda l: l.startswith("-") | l.startswith("*")
+            | l.startswith("•"),
+        )) / n_lines
+    ).cast("double")
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))) / n_lines
+    ).cast("double")
+    keep = (
+        (n_tok >= 10) & (n_tok <= 100000)
+        & (stop_ratio > 0.0) & (nonalpha < 0.3)
+    )
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         nonalpha.alias("nonalpha_ratio"),
         rep.alias("repetition_ratio"),
-        ((n_tok >= 10) & (n_tok <= 100000) & (stop_ratio > 0.0) & (nonalpha < 0.3))
-        .alias("keep"),
+        mwl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        keep.alias("keep"),
+        (
+            keep & (mwl >= 3.0) & (mwl <= 10.0)
+            & (symbol_ratio < 0.1)
+            & (bullet_ratio <= 0.9) & (ellipsis_ratio <= 0.3)
+        ).alias("gopher_keep"),
     )
 
 
 DOC_QUALITY_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, trim(text) AS t,
-         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  SELECT doc_id, text, trim(text) AS t,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w,
+         string_split(text, chr(10)) AS ls
   FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         (len(list_filter(w, x -> list_contains({EN_STOPWORDS!r}, x)))
+          / greatest(len(w), 1))::double AS stopword_ratio,
+         (length(regexp_replace(lower(t), '[a-z0-9 ]', '', 'g'))
+          / greatest(length(t), 1))::double AS nonalpha_ratio,
+         1.0 - len(list_distinct(w)) / greatest(len(w), 1) AS repetition_ratio,
+         (coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+          / greatest(len(w), 1))::double AS mean_word_len,
+         ((length(text) - length(replace(text, '#', ''))
+           + (length(text) - length(replace(text, '...', ''))) / 3)
+          / greatest(len(w), 1))::double AS symbol_ratio,
+         (len(list_filter(ls, x -> starts_with(x, '-')
+                                   OR starts_with(x, '*')
+                                   OR starts_with(x, '•')))
+          / greatest(len(ls), 1))::double AS bullet_ratio,
+         (len(list_filter(ls, x -> ends_with(x, '...')))
+          / greatest(len(ls), 1))::double AS ellipsis_ratio
+  FROM tok
 )
-SELECT doc_id,
-       len(w) AS n_tokens,
-       (len(list_filter(w, x -> list_contains({EN_STOPWORDS!r}, x)))
-        / greatest(len(w), 1))::double AS stopword_ratio,
-       (length(regexp_replace(lower(t), '[a-z0-9 ]', '', 'g'))
-        / greatest(length(t), 1))::double AS nonalpha_ratio,
-       1.0 - len(list_distinct(w)) / greatest(len(w), 1) AS repetition_ratio,
-       (len(w) >= 10 AND len(w) <= 100000
-        AND (len(list_filter(w, x -> list_contains({EN_STOPWORDS!r}, x)))
-             / greatest(len(w), 1))::double > 0.0
-        AND (length(regexp_replace(lower(t), '[a-z0-9 ]', '', 'g'))
-             / greatest(length(t), 1))::double < 0.3) AS keep
-FROM tok
+SELECT doc_id, n_tokens, stopword_ratio, nonalpha_ratio, repetition_ratio,
+       mean_word_len, symbol_ratio, bullet_ratio, ellipsis_ratio,
+       (n_tokens >= 10 AND n_tokens <= 100000
+        AND stopword_ratio > 0.0 AND nonalpha_ratio < 0.3) AS keep,
+       (n_tokens >= 10 AND n_tokens <= 100000
+        AND stopword_ratio > 0.0 AND nonalpha_ratio < 0.3
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_ratio < 0.1
+        AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3) AS gopher_keep
+FROM m
 """
 
 

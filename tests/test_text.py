@@ -482,3 +482,40 @@ def test_doc_span_dedup_excises_later_occurrences(spark, tmp_path):
     # duplicated -> the whole doc is excised
     assert out[3]["text_dedup"] == "" and out[3]["n_removed"] == 2 * tq.SPAN_K
     assert out[4]["text_dedup"] == "tiny doc" and out[4]["n_removed"] == 0
+
+
+def test_quality_gopher_rules(spark, tmp_path):
+    """The r8 Gopher columns flag what the base rules miss: hash-spam,
+    bullet-list pages, ellipsis-heavy teasers, and long-token salad all
+    pass `keep` (enough tokens, stopwords present, mostly alpha) but
+    fail `gopher_keep` on their specific rule."""
+    from sec_xbrl_finwarehouse_spark.plans.text_queries import q_doc_quality
+
+    base = "the cat sat on the mat and then the dog sat too"
+    rows = [
+        (0, base, "en", "s", 1),                                 # clean prose
+        (1, base + " " + "#" * 30, "en", "s", 1),                # hash spam
+        (2, "\n".join(["- the item ok"] * 10), "en", "s", 1),    # bullet list
+        (3, "\n".join([f"the news today {i}..." for i in range(10)]),
+         "en", "s", 1),                                          # ellipsis bait
+        (4, "the " + " ".join(["incomprehensibilities"] * 12), "en", "s", 1),
+        (5, "", "en", "s", 1),                                   # empty
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in q_doc_quality(spark, str(tmp_path)).collect()}
+    assert got[0]["keep"] and got[0]["gopher_keep"]
+    assert 3.0 <= got[0]["mean_word_len"] <= 10.0
+    # hash spam: keep passes (nonalpha counts '#' though... it fails
+    # nonalpha only past 30%), symbol_ratio must trip regardless
+    assert got[1]["symbol_ratio"] > 0.1 and not got[1]["gopher_keep"]
+    assert got[2]["keep"] and got[2]["bullet_ratio"] == 1.0
+    assert not got[2]["gopher_keep"]
+    assert got[3]["keep"] and got[3]["ellipsis_ratio"] == 1.0
+    assert not got[3]["gopher_keep"]
+    assert got[4]["keep"] and got[4]["mean_word_len"] > 10.0
+    assert not got[4]["gopher_keep"]
+    assert not got[5]["keep"] and not got[5]["gopher_keep"]
+    assert got[5]["mean_word_len"] == 0.0
