@@ -984,7 +984,121 @@ FROM runs
 """
 
 
+# ---- KMV distinct sketch (oracle-exact approximate counting) ---------------
+
+# sketch size: estimate stderr ~ 1/sqrt(k-2) ~ 12.7%; raise k for
+# tighter estimates (cost is k rows per group, nothing else)
+KMV_K = 64
+# md5-hex prefix length mapped to a fraction: 12 nibbles = 48 bits,
+# exactly representable in a double in BOTH engines
+KMV_HEX = 12
+
+
+def q_event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event_type via a K-Minimum-Values
+    sketch — the mergeable-sketch counting family (HLL's cousin) with a
+    twist the native ``approx_count_distinct`` can't offer: the sketch
+    arithmetic here is DETERMINISTIC AND ENGINE-PORTABLE (md5-derived
+    hash fractions, estimate = (k-1)/v_k where v_k is the k-th smallest
+    distinct hash), so the DuckDB oracle reproduces the estimate
+    BIT-EXACTLY — approximate in statistics, exact in verification.
+    Groups with fewer than {KMV_K} distinct users report exactly (the
+    sketch holds every hash). ``n_exact`` and ``rel_err`` ride along as
+    the built-in accuracy audit.
+
+    Determinism: md5 is stable everywhere; the {KMV_HEX}-nibble prefix
+    is an exact 48-bit integer in a double; ties on equal hashes cannot
+    occur below md5-collision scale, so the k-th smallest is unique.
+
+    Scale shape: one distinct aggregation (the honest cost of any
+    distinct-count audit; the pure-sketch production form folds hashes
+    map-side and shuffles only k values per group), then the SAME
+    two-phase k-smallest pruning as the embedding rankers — phase 1
+    ranks within (event_type, input partition) and discards past rank
+    {KMV_K} before the type-keyed exchange, so no window partition ever
+    holds a type's full distinct-hash set. At 100 TB swap the audit's
+    distinct agg for the map-side fold; the estimator is unchanged."""
+    e = _events(spark, sf_dir)
+    d = e.select("event_type", "user_id").distinct()
+    h = d.select(
+        "event_type",
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    )
+    cnt = h.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    local = h.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("event_type", "pid").orderBy(
+        F.col("h").asc()
+    )
+    survivors = (
+        local.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= KMV_K)
+        .drop("pid", "lrk")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
+    topk = (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+    )
+    frac = (
+        F.conv(F.substring("h", 1, KMV_HEX), 16, 10).cast("double")
+        / F.lit(float(16 ** KMV_HEX))
+    )
+    kth = topk.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == KMV_K, frac)).alias("v_k")
+    )
+    est = F.when(
+        F.col("n_exact") >= KMV_K,
+        F.round(F.lit(float(KMV_K - 1)) / F.col("v_k"), 4),
+    ).otherwise(F.col("n_exact").cast("double"))
+    return (
+        cnt.join(kth, "event_type")
+        .select(
+            "event_type", "n_exact",
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+EVENT_KMV_DISTINCT_SQL = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM d
+),
+cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+  FROM h GROUP BY 1
+),
+rk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+  FROM h
+),
+kth AS (
+  SELECT event_type,
+         list_sum([(strpos('0123456789abcdef', h[i]) - 1)
+                   * 16 ** ({KMV_HEX} - i)
+                   for i in range(1, {KMV_HEX} + 1)])
+           / 16 ** {KMV_HEX} AS v_k
+  FROM rk WHERE rk = {KMV_K}
+),
+est AS (
+  SELECT c.event_type, c.n_exact,
+         CASE WHEN c.n_exact >= {KMV_K}
+              THEN round({KMV_K - 1} / k.v_k, 4)
+              ELSE CAST(c.n_exact AS DOUBLE) END AS kmv_estimate
+  FROM cnt c LEFT JOIN kth k USING (event_type)
+)
+SELECT event_type, n_exact, kmv_estimate,
+       round(abs(kmv_estimate - n_exact) / n_exact, 6) AS rel_err
+FROM est
+"""
+
+
 QUERIES = {
+    "event_kmv_distinct": q_event_kmv_distinct,
     "event_gap_fill": q_event_gap_fill,
     "event_scd2": q_event_scd2,
     "event_window_agg": q_event_window_agg,
@@ -1006,6 +1120,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_kmv_distinct": EVENT_KMV_DISTINCT_SQL,
     "event_gap_fill": EVENT_GAP_FILL_SQL,
     "event_scd2": EVENT_SCD2_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,

@@ -270,3 +270,32 @@ def test_event_queries_timezone_invariant(spark):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     assert ny_sess == base_sess
     assert ny_win == base_win
+
+
+def test_kmv_distinct_sketch_accuracy_and_small_exactness(spark, tmp_path):
+    """KMV sketch audit: a group with fewer than k distinct users
+    reports exactly; a 500-user group's estimate lands within the
+    sketch's statistical band (stderr ~ 1/sqrt(k-2) ~ 12.7% at k=64 --
+    the md5 hashes are fixed, so this is a deterministic assertion,
+    not a flaky one)."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        KMV_K,
+        q_event_kmv_distinct,
+    )
+
+    rows = [(i, i, "big", float(i % 60), 1.0) for i in range(500)]
+    rows += [(1000 + i, i % 10, "small", float(i), 1.0) for i in range(30)]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in q_event_kmv_distinct(spark, str(tmp_path)).collect()
+    }
+    small = got["small"]
+    assert small["n_exact"] == 10 < KMV_K
+    assert small["kmv_estimate"] == 10.0 and small["rel_err"] == 0.0
+    big = got["big"]
+    assert big["n_exact"] == 500
+    # ~4 sigma at k=64 (this corpus's fixed md5 draw sits at ~2.7
+    # sigma: estimate 674.8 -- deterministic, not flaky)
+    assert big["rel_err"] < 0.5, big
+    assert abs(abs(big["kmv_estimate"] - 500) / 500 - big["rel_err"]) < 1e-6
