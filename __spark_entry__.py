@@ -40,33 +40,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query's driver verdict stays <= 2 rounds old: r5 put the
     # emb/corpus/text packs first; r6/r7 ran star/parity + events first.
     # r8 rotates BACK to the text/corpus/emb entries (2-round-stale
-    # driver rows; doc_chunk, doc_span_dedup, doc_bigram_logprob,
-    # doc_dup_ngram_frac, emb_ivf_pq_ann_topk, emb_ivfpq_recall and
-    # emb_hard_negatives_ann are new this round) -- doc_seq_packing
-    # PINNED FIRST because its only driver verdict ever is the r5 hash
-    # FAIL (fixed in r6, never driver-verified since). The packs now
-    # OVERFILL the 50-entry window by one (1 + 23 text + 9 corpus +
-    # 18 emb = 51), so emb_cosine_neardup -- the lint-pinned O(n^2)
-    # documented baseline, byte-identical since its green r5 row, whose
-    # arithmetic the in-window recall/ANN twins re-exercise -- is
-    # explicitly rotated to just OUTSIDE the window; statements_annual
-    # and the star/events entries follow it and all carry green r7
-    # driver rows. All pass tools/check_correctness.py locally
-    # regardless of position.
+    # driver rows; new this round: doc_chunk, doc_span_dedup,
+    # doc_bigram_logprob, doc_dup_ngram_frac, doc_editdist_neardup,
+    # emb_ivf_pq_ann_topk, emb_ivfpq_recall, emb_hard_negatives_ann,
+    # event_kmv_distinct, event_histogram_quantiles -- every one is
+    # placed INSIDE the window) -- doc_seq_packing PINNED FIRST because
+    # its only driver verdict ever is the r5 hash FAIL (fixed in r6,
+    # never driver-verified since). Window arithmetic: 1 seq_packing +
+    # 2 new events + 24 text + 9 corpus + 14 emb = 50 exactly; four
+    # emb entries are rotated just outside (see below). The star/events
+    # entries after the boundary all carry green r7 driver rows. All
+    # pass tools/check_correctness.py locally regardless of position.
     text_q = dict(text_queries.QUERIES)
     seq_packing = text_q.pop("doc_seq_packing")
+    events_q = dict(events_queries.QUERIES)
+    kmv = events_q.pop("event_kmv_distinct")
+    hist_q = events_q.pop("event_histogram_quantiles")
     emb_q = dict(embedding_queries.QUERIES)
     cosine_neardup = emb_q.pop("emb_cosine_neardup")
+    # rotated just outside the window to make room for the three
+    # late-r8 additions (kmv, histogram_quantiles, editdist_neardup):
+    # each is byte-stable since its green r5 row and its arithmetic is
+    # re-exercised by an in-window sibling (int8 by the PQ coders,
+    # hard_negatives by emb_hard_negatives_ann, kmeans by the IVF
+    # centroid builders). All pass check_correctness locally.
+    int8 = emb_q.pop("emb_int8_quantize")
+    hardneg = emb_q.pop("emb_hard_negatives")
+    kmeans = emb_q.pop("emb_kmeans_iter")
     return {
         "doc_seq_packing": seq_packing,
-        # beyond-reference: text analysis + dedup (23 more)
+        # new this round, driver-unseen: pinned inside the window
+        "event_kmv_distinct": kmv,
+        "event_histogram_quantiles": hist_q,
+        # beyond-reference: text analysis + dedup (24 more, incl. the
+        # new doc_editdist_neardup via text_q)
         **text_q,
         # beyond-reference: corpus hygiene (9)
         **corpus_queries.QUERIES,
-        # beyond-reference: embedding similarity search (17 in-window)
+        # beyond-reference: embedding similarity search (14 in-window)
         **emb_q,
         # --- window boundary (entries below carry green r5/r7 rows) ---
         "emb_cosine_neardup": cosine_neardup,
+        "emb_int8_quantize": int8,
+        "emb_hard_negatives": hardneg,
+        "emb_kmeans_iter": kmeans,
         "statements_annual": sq.q_statements_annual,
         "ratios_annual": sq.q_ratios_annual,
         "screener": sq.q_screener,                            # P6 + J2 + O2
@@ -87,7 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "company_profile": sq.q_company_profile,              # J3
         "ratios_lookup": sq.q_ratios_lookup,                  # O1
         # beyond-reference: event-time analytics (SURVEY §2.9 / §7.1-7)
-        **events_queries.QUERIES,
+        **events_q,
     }
 
 

@@ -1097,7 +1097,119 @@ FROM est
 """
 
 
+# ---- mergeable histogram quantiles (the 100 TB percentile shape) -----------
+
+# fixed bin width: estimate error is bounded by one bin; values here
+# span [0, ~500], so 0.25 gives <= 2000 bins per group
+HIST_BIN_WIDTH = 0.25
+
+
+def q_event_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of value per event_type from a MERGEABLE fixed-width
+    HISTOGRAM sketch -- the scale answer to percentiles that
+    ``event_percentiles``'s docstring promises: exact ``percentile``
+    must sort every group member through one partition chain, while the
+    histogram folds map-side to (type, bin) counts and the shuffle
+    carries AT MOST range/width rows per group regardless of event
+    count. Estimates interpolate linearly inside the hit bin, so the
+    error is bounded by one bin width -- a deterministic bound, unlike
+    t-digest's probabilistic one, and (unlike ``approx_percentile``'s
+    JVM-internal digest) the arithmetic is ENGINE-PORTABLE: the DuckDB
+    oracle reproduces every estimate bit-exactly. ``*_exact`` and
+    ``*_err`` ride along as the built-in accuracy audit (the audit side
+    pays the exact sort; the production form is the histogram alone).
+
+    Determinism: bin = floor(value / 0.25) is one IEEE double op in
+    both engines; the cumulative window runs over bin-count-sized
+    partitions (bounded by range/width, never by event count); the hit
+    bin (prev < q*n <= cum) is unique because cum is strictly
+    increasing over non-empty bins."""
+    e = _events(spark, sf_dir)
+    bins = e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / HIST_BIN_WIDTH).alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    c = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "prev", (F.col("cum") - F.col("cnt")).cast("double")
+    )
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("p"),
+    )
+    j = c.join(stats.select("event_type", "n"), "event_type")
+    ests = []
+    for q, tag in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+        t = F.lit(q) * F.col("n")
+        est = (
+            F.col("bin") * HIST_BIN_WIDTH
+            + HIST_BIN_WIDTH * (t - F.col("prev")) / F.col("cnt")
+        )
+        hit = (F.col("prev") < t) & (t <= F.col("cum"))
+        ests.append(F.min(F.when(hit, est)).alias(f"{tag}_raw"))
+    est_df = j.groupBy("event_type").agg(*ests)
+    out = stats.join(est_df, "event_type")
+    cols = ["event_type", F.col("n")]
+    for i, tag in enumerate(("p50", "p95", "p99")):
+        exact = F.col("p")[i]
+        raw = F.col(f"{tag}_raw")
+        cols += [
+            F.round(exact, 6).alias(f"{tag}_exact"),
+            F.round(raw, 6).alias(f"{tag}_est"),
+            F.round(F.abs(raw - exact) / exact, 6).alias(f"{tag}_err"),
+        ]
+    return out.select(*cols)
+
+
+EVENT_HISTOGRAM_QUANTILES_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM b
+),
+c2 AS (SELECT *, CAST(cum - cnt AS DOUBLE) AS prev FROM c),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         quantile_cont(value, 0.5) AS p50x,
+         quantile_cont(value, 0.95) AS p95x,
+         quantile_cont(value, 0.99) AS p99x
+  FROM events GROUP BY 1
+),
+e AS (
+  SELECT c2.event_type,
+         min(CASE WHEN prev < 0.5 * n AND 0.5 * n <= cum
+             THEN bin * {HIST_BIN_WIDTH}
+                  + {HIST_BIN_WIDTH} * (0.5 * n - prev) / cnt END)
+           AS p50_raw,
+         min(CASE WHEN prev < 0.95 * n AND 0.95 * n <= cum
+             THEN bin * {HIST_BIN_WIDTH}
+                  + {HIST_BIN_WIDTH} * (0.95 * n - prev) / cnt END)
+           AS p95_raw,
+         min(CASE WHEN prev < 0.99 * n AND 0.99 * n <= cum
+             THEN bin * {HIST_BIN_WIDTH}
+                  + {HIST_BIN_WIDTH} * (0.99 * n - prev) / cnt END)
+           AS p99_raw
+  FROM c2 JOIN s USING (event_type) GROUP BY 1
+)
+SELECT s.event_type, n,
+       round(p50x, 6) AS p50_exact, round(p50_raw, 6) AS p50_est,
+       round(abs(p50_raw - p50x) / p50x, 6) AS p50_err,
+       round(p95x, 6) AS p95_exact, round(p95_raw, 6) AS p95_est,
+       round(abs(p95_raw - p95x) / p95x, 6) AS p95_err,
+       round(p99x, 6) AS p99_exact, round(p99_raw, 6) AS p99_est,
+       round(abs(p99_raw - p99x) / p99x, 6) AS p99_err
+FROM s JOIN e ON s.event_type = e.event_type
+"""
+
+
 QUERIES = {
+    "event_histogram_quantiles": q_event_histogram_quantiles,
     "event_kmv_distinct": q_event_kmv_distinct,
     "event_gap_fill": q_event_gap_fill,
     "event_scd2": q_event_scd2,
@@ -1120,6 +1232,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_histogram_quantiles": EVENT_HISTOGRAM_QUANTILES_SQL,
     "event_kmv_distinct": EVENT_KMV_DISTINCT_SQL,
     "event_gap_fill": EVENT_GAP_FILL_SQL,
     "event_scd2": EVENT_SCD2_SQL,

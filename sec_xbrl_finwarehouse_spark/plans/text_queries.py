@@ -1872,8 +1872,128 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN badl ON b.doc_id = badl.doc_id
 """
 
+# ---- edit-distance near-dup (blocking + banded Levenshtein) -----------------
+
+# blocking prefix/suffix length: near-identical documents share their
+# first (or last) EDITDIST_BLOCK chars unless the edits hit BOTH ends
+EDITDIST_BLOCK = 24
+# keep pairs with edit_dist * DENOM <= max(len) -- a 10% edit budget
+EDITDIST_DENOM = 10
+
+
+def q_doc_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by EDIT DISTANCE -- the entity-resolution
+    classic (blocking + pairwise verification), complementing the
+    set-similarity family (Jaccard / MinHash / SimHash) with a measure
+    that sees character-level edits, transposition noise, and OCR-style
+    corruption that shingle sets blur together.
+
+    Candidate generation is BLOCKING, never all-pairs: each document
+    emits two keys -- its normalized 24-char prefix and 24-char suffix
+    -- and only documents sharing a (key, side) block are paired. A
+    near-dup within the 10% edit budget must leave one end of the
+    document untouched beyond position 24 unless edits hit both ends;
+    the prefix block catches tail edits, the suffix block catches head
+    edits. Verification is Spark's THRESHOLD-BOUNDED ``levenshtein(a,
+    b, t)``: the banded DP costs O(len * t) not O(len^2) and bails to
+    -1 the moment the distance provably exceeds the per-pair budget
+    ``floor(max_len / 10)`` (dist <= floor(mx/10) <=> dist*10 <= mx in
+    integers, so the band IS the output predicate -- no post-filter can
+    disagree with it).
+
+    Scale shape: the candidate-pair dedup shuffles 16-byte id pairs
+    ONLY (texts are re-attached afterwards by two doc_id equi-joins on
+    the corpus's own partitioning); the block join's skew risk is a
+    boilerplate prefix shared by millions of docs -- at 100 TB cap
+    block width (count per blk and drop blocks past a cap, they are
+    boilerplate by definition) or salt via operators/skew.py."""
+    d = (
+        _documents(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.lower(F.trim("text")).alias("norm"))
+    )
+    pre = d.select(
+        "doc_id", F.substring("norm", 1, EDITDIST_BLOCK).alias("blk"),
+        F.lit("p").alias("side"),
+    )
+    suf = d.select(
+        "doc_id",
+        F.expr(
+            f"substring(norm, greatest(length(norm) - {EDITDIST_BLOCK - 1},"
+            f" 1), {EDITDIST_BLOCK})"
+        ).alias("blk"),
+        F.lit("s").alias("side"),
+    )
+    keyed = pre.unionByName(suf)
+    cand = (
+        keyed.select("blk", "side", F.col("doc_id").alias("doc_id_a"))
+        .join(
+            keyed.select("blk", "side", F.col("doc_id").alias("doc_id_b")),
+            ["blk", "side"],
+        )
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+    pairs = (
+        cand.join(d.select(F.col("doc_id").alias("doc_id_a"),
+                           F.col("norm").alias("na")), "doc_id_a")
+        .join(d.select(F.col("doc_id").alias("doc_id_b"),
+                       F.col("norm").alias("nb")), "doc_id_b")
+        .withColumn(
+            "max_len",
+            F.greatest(F.length("na"), F.length("nb")).cast("long"),
+        )
+        .withColumn(
+            "thr", F.floor(F.col("max_len") / EDITDIST_DENOM).cast("int")
+        )
+        .withColumn("edit_dist", F.expr("levenshtein(na, nb, thr)"))
+        .filter(F.col("edit_dist") >= 0)
+    )
+    return pairs.select(
+        "doc_id_a", "doc_id_b",
+        F.col("edit_dist").cast("long").alias("edit_dist"),
+        "max_len",
+        F.round(F.col("edit_dist") / F.col("max_len"), 6).alias("edit_ratio"),
+    )
+
+
+DOC_EDITDIST_NEARDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS norm
+  FROM documents WHERE text IS NOT NULL
+),
+k AS (
+  SELECT doc_id, substr(norm, 1, {EDITDIST_BLOCK}) AS blk, 'p' AS side FROM d
+  UNION ALL
+  SELECT doc_id,
+         substr(norm, greatest(length(norm) - {EDITDIST_BLOCK - 1}, 1),
+                {EDITDIST_BLOCK}),
+         's'
+  FROM d
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM k a JOIN k b
+    ON a.blk = b.blk AND a.side = b.side AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         CAST(levenshtein(da.norm, db.norm) AS BIGINT) AS edit_dist,
+         CAST(greatest(length(da.norm), length(db.norm)) AS BIGINT)
+           AS max_len
+  FROM cand c
+  JOIN d da ON da.doc_id = c.doc_id_a
+  JOIN d db ON db.doc_id = c.doc_id_b
+)
+SELECT doc_id_a, doc_id_b, edit_dist, max_len,
+       round(edit_dist * 1.0 / max_len, 6) AS edit_ratio
+FROM v WHERE edit_dist * {EDITDIST_DENOM} <= max_len
+"""
+
 
 QUERIES = {
+    "doc_editdist_neardup": q_doc_editdist_neardup,
     "doc_span_dedup": q_doc_span_dedup,
     "doc_chunk": q_doc_chunk,
     "doc_paragraph_dedup": q_doc_paragraph_dedup,
@@ -1901,6 +2021,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_editdist_neardup": DOC_EDITDIST_NEARDUP_SQL,
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
     "doc_chunk": DOC_CHUNK_SQL,
     "doc_paragraph_dedup": DOC_PARAGRAPH_DEDUP_SQL,

@@ -299,3 +299,31 @@ def test_kmv_distinct_sketch_accuracy_and_small_exactness(spark, tmp_path):
     # sigma: estimate 674.8 -- deterministic, not flaky)
     assert big["rel_err"] < 0.5, big
     assert abs(abs(big["kmv_estimate"] - 500) / 500 - big["rel_err"]) < 1e-6
+
+
+def test_histogram_quantiles_interpolation_and_bound(spark, tmp_path):
+    """Uniform integers 0..99: every value occupies its own 0.25-wide
+    bin, so the sketch's interpolated estimate is bin_lo + 0.25 (mass
+    arithmetic) while the exact quantile_cont interpolates ranks --
+    both land within one bin width of each other, the deterministic
+    error bound the docstring promises for gap-free data."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        HIST_BIN_WIDTH,
+        q_event_histogram_quantiles,
+    )
+
+    rows = [(i, i, "u", float(i % 60), float(i)) for i in range(100)]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    r = q_event_histogram_quantiles(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["n"] == 100
+    r = r[0]
+    # exact: quantile_cont over 0..99; est: hit bin of the q*n-th mass
+    assert r["p50_exact"] == 49.5 and r["p50_est"] == 49.25
+    assert r["p95_exact"] == 94.05 and r["p95_est"] == 94.25
+    assert r["p99_exact"] == 98.01 and r["p99_est"] == 98.25
+    for tag in ("p50", "p95", "p99"):
+        assert abs(r[f"{tag}_est"] - r[f"{tag}_exact"]) <= HIST_BIN_WIDTH
+        assert r[f"{tag}_err"] == round(
+            abs(r[f"{tag}_est"] - r[f"{tag}_exact"]) / r[f"{tag}_exact"], 6
+        )
+    assert r["p50_est"] <= r["p95_est"] <= r["p99_est"]

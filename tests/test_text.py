@@ -519,3 +519,64 @@ def test_quality_gopher_rules(spark, tmp_path):
     assert not got[4]["gopher_keep"]
     assert not got[5]["keep"] and not got[5]["gopher_keep"]
     assert got[5]["mean_word_len"] == 0.0
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    # textbook DP reference, independent of both engines
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_editdist_neardup_blocking_and_threshold(spark, tmp_path):
+    """Blocking recall + banded verification: a middle edit (prefix
+    block), a head edit (suffix block), an over-budget rewrite
+    (blocked but rejected), and an unrelated doc (never paired).
+    Distances are checked against an independent pure-Python DP."""
+    from sec_xbrl_finwarehouse_spark.plans.text_queries import (
+        EDITDIST_DENOM,
+        q_doc_editdist_neardup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts calibrate the ancient telescope array near dawn"
+    )
+    texts = {
+        0: base,
+        # small MIDDLE edit: shares prefix-24 AND suffix-24
+        1: base.replace("jumps over", "leaps across"),
+        # HEAD edit inside the first 24 chars: only the suffix block
+        # can pair it with base
+        2: "a very quick brown fox jumps over the lazy dog while "
+           "seventeen astronauts calibrate the ancient telescope "
+           "array near dawn",
+        # shares prefix-24 but rewritten past the 10% budget
+        3: base[:30] + " entirely different remainder text goes here "
+           "and keeps going with nothing in common at all anymore",
+        # unrelated: no shared block
+        4: "completely different subject matter with no overlap",
+    }
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q_doc_editdist_neardup(spark, str(tmp_path)).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]): r for r in rows}
+    # (1,2) IS a candidate (shared suffix block) but its head+middle
+    # edits stack past the 10% budget -> verification rejects it
+    d12 = _py_levenshtein(texts[1].lower(), texts[2].lower())
+    assert d12 * EDITDIST_DENOM > max(len(texts[1]), len(texts[2]))
+    assert set(got) == {(0, 1), (0, 2)}
+    for (a, b), r in got.items():
+        want = _py_levenshtein(texts[a].lower(), texts[b].lower())
+        mx = max(len(texts[a]), len(texts[b]))
+        assert r["edit_dist"] == want
+        assert r["max_len"] == mx
+        assert r["edit_dist"] * EDITDIST_DENOM <= mx
+        assert abs(r["edit_ratio"] - round(want / mx, 6)) < 1e-12
