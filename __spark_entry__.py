@@ -42,13 +42,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r8 rotates BACK to the text/corpus/emb entries (2-round-stale
     # driver rows; new this round: doc_chunk, doc_span_dedup,
     # doc_bigram_logprob, doc_dup_ngram_frac, doc_editdist_neardup,
-    # emb_ivf_pq_ann_topk, emb_ivfpq_recall, emb_hard_negatives_ann,
-    # event_kmv_distinct, event_histogram_quantiles -- every one is
-    # placed INSIDE the window) -- doc_seq_packing PINNED FIRST because
-    # its only driver verdict ever is the r5 hash FAIL (fixed in r6,
-    # never driver-verified since). Window arithmetic: 1 seq_packing +
-    # 2 new events + 24 text + 9 corpus + 14 emb = 50 exactly; four
-    # emb entries are rotated just outside (see below). The star/events
+    # doc_weighted_sample, emb_ivf_pq_ann_topk, emb_ivfpq_recall,
+    # emb_hard_negatives_ann, event_kmv_distinct, event_kmv_overlap,
+    # event_histogram_quantiles -- every one is placed INSIDE the
+    # window) -- doc_seq_packing PINNED FIRST because its only driver
+    # verdict ever is the r5 hash FAIL (fixed in r6, never
+    # driver-verified since). Window arithmetic: 1 seq_packing + 3 new
+    # events + 25 text + 9 corpus + 12 emb = 50 exactly; six emb
+    # entries are rotated just outside (see below). The star/events
     # entries after the boundary all carry green r7 driver rows. All
     # pass tools/check_correctness.py locally regardless of position.
     text_q = dict(text_queries.QUERIES)
@@ -56,34 +57,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_q = dict(events_queries.QUERIES)
     kmv = events_q.pop("event_kmv_distinct")
     hist_q = events_q.pop("event_histogram_quantiles")
+    kmv_overlap = events_q.pop("event_kmv_overlap")
     emb_q = dict(embedding_queries.QUERIES)
     cosine_neardup = emb_q.pop("emb_cosine_neardup")
-    # rotated just outside the window to make room for the three
-    # late-r8 additions (kmv, histogram_quantiles, editdist_neardup):
-    # each is byte-stable since its green r5 row and its arithmetic is
-    # re-exercised by an in-window sibling (int8 by the PQ coders,
-    # hard_negatives by emb_hard_negatives_ann, kmeans by the IVF
-    # centroid builders). All pass check_correctness locally.
+    # rotated just outside the window to make room for the five
+    # late-r8 additions (kmv, kmv_overlap, histogram_quantiles,
+    # editdist_neardup, weighted_sample): each carries a green r5 row
+    # and its arithmetic is re-exercised by an in-window sibling (int8
+    # by the PQ coders, hard_negatives by emb_hard_negatives_ann,
+    # kmeans by the IVF centroid builders, emb_dedup_clusters and
+    # doc_semantic_dedup's Hash-Min/LSH-cosine cores by the in-window
+    # doc_dedup_clusters + emb_lsh_neardup). All pass
+    # tools/check_correctness.py locally.
     int8 = emb_q.pop("emb_int8_quantize")
     hardneg = emb_q.pop("emb_hard_negatives")
     kmeans = emb_q.pop("emb_kmeans_iter")
+    emb_clusters = emb_q.pop("emb_dedup_clusters")
+    semantic = emb_q.pop("doc_semantic_dedup")
     return {
         "doc_seq_packing": seq_packing,
         # new this round, driver-unseen: pinned inside the window
         "event_kmv_distinct": kmv,
         "event_histogram_quantiles": hist_q,
-        # beyond-reference: text analysis + dedup (24 more, incl. the
-        # new doc_editdist_neardup via text_q)
+        "event_kmv_overlap": kmv_overlap,
+        # beyond-reference: text analysis + dedup (25 more, incl. the
+        # new doc_editdist_neardup + doc_weighted_sample via text_q)
         **text_q,
         # beyond-reference: corpus hygiene (9)
         **corpus_queries.QUERIES,
-        # beyond-reference: embedding similarity search (14 in-window)
+        # beyond-reference: embedding similarity search (12 in-window)
         **emb_q,
         # --- window boundary (entries below carry green r5/r7 rows) ---
         "emb_cosine_neardup": cosine_neardup,
         "emb_int8_quantize": int8,
         "emb_hard_negatives": hardneg,
         "emb_kmeans_iter": kmeans,
+        "emb_dedup_clusters": emb_clusters,
+        "doc_semantic_dedup": semantic,
         "statements_annual": sq.q_statements_annual,
         "ratios_annual": sq.q_ratios_annual,
         "screener": sq.q_screener,                            # P6 + J2 + O2

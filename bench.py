@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "event_gap_fill",
     "event_scd2",
     "emb_prefix_rerank_topk",
+    "event_kmv_distinct",
+    "event_histogram_quantiles",
+    "doc_editdist_neardup",
 ]
 
 

@@ -1097,6 +1097,183 @@ FROM est
 """
 
 
+# ---- KMV sketch set algebra: intersection estimate --------------------------
+
+
+def q_event_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimates for every event_type pair from the
+    SAME KMV/theta sketches ``event_kmv_distinct`` builds -- the sketch
+    set-ALGEBRA half of the family (Theta-sketch intersection): sketch
+    = hashes strictly below theta (theta = the k-th smallest hash
+    fraction, or 1.0 when the type holds fewer than k distinct users,
+    in which case the sketch is exact). A hash shared by two sketches
+    is below BOTH thetas, hence below theta_ab = min(theta_a, theta_b),
+    so |A intersect B| ~= |shared sketch hashes| / theta_ab -- computed
+    from k-sized sketches alone, never from the full user sets. The
+    exact intersection rides along as the audit (that side pays a real
+    user_id self-join; the production form keeps only the sketches).
+
+    Scale shape: sketches are k rows per type (two-phase k-smallest
+    pruning, same as event_kmv_distinct); the sketch-sketch join and
+    the theta table are sketch-sized, so estimating ALL T^2/2 pair
+    overlaps costs O(T * k) state -- the whole point of mergeable
+    sketches at 100 TB. Determinism: md5 everywhere, strict <
+    comparisons, no ties below md5-collision scale; the DuckDB oracle
+    reproduces every estimate bit-exactly."""
+    e = _events(spark, sf_dir)
+    d = e.select("event_type", "user_id").distinct()
+    h = d.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    )
+    n_by_type = h.groupBy("event_type").agg(F.count("*").alias("n"))
+    local = h.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("event_type", "pid").orderBy("h")
+    survivors = (
+        local.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= KMV_K)
+        .drop("pid", "lrk")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    frac = (
+        F.conv(F.substring("h", 1, KMV_HEX), 16, 10).cast("double")
+        / F.lit(float(16 ** KMV_HEX))
+    )
+    ranked = (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
+        .withColumn("frac", frac)
+    )
+    theta = (
+        ranked.groupBy("event_type")
+        .agg(F.max(F.when(F.col("rk") == KMV_K, F.col("frac"))).alias("v_k"))
+        .join(n_by_type, "event_type")
+        .select(
+            "event_type",
+            F.when(F.col("n") >= KMV_K, F.col("v_k"))
+            .otherwise(F.lit(1.0))
+            .alias("theta"),
+        )
+    )
+    sk = ranked.join(F.broadcast(theta), "event_type").filter(
+        F.col("frac") < F.col("theta")
+    )
+    shared = (
+        sk.select(F.col("event_type").alias("type_a"), "h",
+                  F.col("theta").alias("theta_a"))
+        .join(
+            sk.select(F.col("event_type").alias("type_b"), "h",
+                      F.col("theta").alias("theta_b")),
+            "h",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("c"),
+            F.least(F.min("theta_a"), F.min("theta_b")).alias("theta_ab"),
+        )
+    )
+    exact = (
+        d.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(d.select(F.col("event_type").alias("type_b"), "user_id"),
+              "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    spine = (
+        n_by_type.select(F.col("event_type").alias("type_a"))
+        .crossJoin(
+            F.broadcast(n_by_type.select(F.col("event_type").alias("type_b")))
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    est = F.round(
+        F.coalesce(F.col("c"), F.lit(0)).cast("double")
+        / F.coalesce(F.col("theta_ab"), F.lit(1.0)),
+        4,
+    )
+    return (
+        spine.join(exact, ["type_a", "type_b"], "left")
+        .join(shared, ["type_a", "type_b"], "left")
+        .select(
+            "type_a", "type_b",
+            F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
+            est.alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.coalesce(F.col("n_exact"), F.lit(0)))
+                / F.greatest(F.coalesce(F.col("n_exact"), F.lit(0)),
+                             F.lit(1)),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+_KMV_FRAC_SQL = (
+    f"list_sum([(strpos('0123456789abcdef', h[i]) - 1)"
+    f" * 16 ** ({KMV_HEX} - i)"
+    f" for i in range(1, {KMV_HEX} + 1)]) / 16 ** {KMV_HEX}"
+)
+
+EVENT_KMV_OVERLAP_SQL = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM d),
+n AS (SELECT event_type, count(*) AS n FROM h GROUP BY 1),
+rk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rk
+  FROM h
+),
+fr AS (
+  SELECT event_type, h, rk, {_KMV_FRAC_SQL} AS frac
+  FROM rk WHERE rk <= {KMV_K}
+),
+th AS (
+  SELECT f.event_type,
+         CASE WHEN any_value(n.n) >= {KMV_K}
+              THEN max(CASE WHEN f.rk = {KMV_K} THEN f.frac END)
+              ELSE 1.0 END AS theta
+  FROM fr f JOIN n ON f.event_type = n.event_type
+  GROUP BY f.event_type
+),
+sk AS (
+  SELECT f.event_type, f.h, f.frac, t.theta
+  FROM fr f JOIN th t USING (event_type)
+  WHERE f.frac < t.theta
+),
+c AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS c, least(min(a.theta), min(b.theta)) AS theta_ab
+  FROM sk a JOIN sk b ON a.h = b.h AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+x AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_exact
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM n a JOIN n b ON a.event_type < b.event_type
+),
+est AS (
+  SELECT p.type_a, p.type_b,
+         CAST(coalesce(x.n_exact, 0) AS BIGINT) AS n_exact,
+         round(CAST(coalesce(c.c, 0) AS DOUBLE)
+               / coalesce(c.theta_ab, 1.0), 4) AS kmv_estimate
+  FROM spine p
+  LEFT JOIN x USING (type_a, type_b)
+  LEFT JOIN c USING (type_a, type_b)
+)
+SELECT type_a, type_b, n_exact, kmv_estimate,
+       round(abs(kmv_estimate - n_exact) / greatest(n_exact, 1), 6)
+         AS rel_err
+FROM est
+"""
+
+
 # ---- mergeable histogram quantiles (the 100 TB percentile shape) -----------
 
 # fixed bin width: estimate error is bounded by one bin; values here
@@ -1211,6 +1388,7 @@ FROM s JOIN e ON s.event_type = e.event_type
 QUERIES = {
     "event_histogram_quantiles": q_event_histogram_quantiles,
     "event_kmv_distinct": q_event_kmv_distinct,
+    "event_kmv_overlap": q_event_kmv_overlap,
     "event_gap_fill": q_event_gap_fill,
     "event_scd2": q_event_scd2,
     "event_window_agg": q_event_window_agg,
@@ -1234,6 +1412,7 @@ QUERIES = {
 ORACLES = {
     "event_histogram_quantiles": EVENT_HISTOGRAM_QUANTILES_SQL,
     "event_kmv_distinct": EVENT_KMV_DISTINCT_SQL,
+    "event_kmv_overlap": EVENT_KMV_OVERLAP_SQL,
     "event_gap_fill": EVENT_GAP_FILL_SQL,
     "event_scd2": EVENT_SCD2_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,

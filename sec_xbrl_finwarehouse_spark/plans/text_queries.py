@@ -1872,6 +1872,71 @@ SELECT b.doc_id,
 FROM base b LEFT JOIN badl ON b.doc_id = badl.doc_id
 """
 
+# ---- weighted sampling without replacement (Efraimidis-Spirakis) -----------
+
+WSAMPLE_K = 50
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, Efraimidis-Spirakis A-ES
+    (Inf. Proc. Letters '06): each doc draws u ~ Uniform(0,1) and the
+    top-K documents by key u^(1/w) -- equivalently ln(u)/w, the form
+    used here -- are EXACTLY a weight-proportional sample without
+    replacement. Weight = n_chars (char-budget-proportional inclusion,
+    the per-doc analogue of doc_mixture_sample's source budgets). The
+    draw is derandomized the way this repo always does it: u is the
+    48-bit md5(doc_id) prefix mapped to a fraction, so the sample is
+    reproducible across runs AND engines.
+
+    Determinism beyond the draw: the key is ROUNDED to 9 decimals
+    before ranking (ln differs in the last ulp between libm and the
+    JVM -- the doc_tfidf_topk lesson) and ties break on doc_id, so the
+    top-K cut is engine-exact.
+
+    Scale shape: one map-side projection then a distributed top-K
+    (TakeOrderedAndProject) -- no shuffle of the corpus, no global
+    sort; the A-ES key is THE standard trick for one-pass distributed
+    weighted reservoirs, and the same plan serves per-partition
+    reservoir merges at 100 TB."""
+    d = _documents(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        ).cast("double")
+        / F.lit(float(16 ** 12))
+    )
+    key = F.round(F.log(F.greatest(u, F.lit(1e-15))) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", "source", "n_chars",
+                 key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_K)
+    )
+
+
+DOC_WEIGHTED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE text IS NOT NULL AND n_chars > 0
+),
+k AS (
+  SELECT doc_id, lang, source, n_chars,
+         round(ln(greatest(
+             list_sum([(strpos('0123456789abcdef', h[i]) - 1)
+                       * 16 ** (12 - i) for i in range(1, 13)])
+               / 16 ** 12,
+             1e-15)) / n_chars, 9) AS sample_key
+  FROM d
+)
+SELECT * FROM k
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {WSAMPLE_K}
+"""
+
+
 # ---- edit-distance near-dup (blocking + banded Levenshtein) -----------------
 
 # blocking prefix/suffix length: near-identical documents share their
@@ -1993,6 +2058,7 @@ FROM v WHERE edit_dist * {EDITDIST_DENOM} <= max_len
 
 
 QUERIES = {
+    "doc_weighted_sample": q_doc_weighted_sample,
     "doc_editdist_neardup": q_doc_editdist_neardup,
     "doc_span_dedup": q_doc_span_dedup,
     "doc_chunk": q_doc_chunk,
@@ -2021,6 +2087,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_editdist_neardup": DOC_EDITDIST_NEARDUP_SQL,
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
     "doc_chunk": DOC_CHUNK_SQL,

@@ -327,3 +327,40 @@ def test_histogram_quantiles_interpolation_and_bound(spark, tmp_path):
             abs(r[f"{tag}_est"] - r[f"{tag}_exact"]) / r[f"{tag}_exact"], 6
         )
     assert r["p50_est"] <= r["p95_est"] <= r["p99_est"]
+
+
+def test_kmv_overlap_small_exact_and_big_band(spark, tmp_path):
+    """Theta-sketch intersection audit: two sub-k types estimate their
+    overlap exactly (theta=1.0, sketches exact); two 500-user types
+    with a 250-user overlap land inside the sketch's statistical band.
+    A zero-overlap pair still appears, estimated 0."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        KMV_K,
+        q_event_kmv_overlap,
+    )
+
+    rows = [(i, i, "big_a", float(i % 60), 1.0) for i in range(500)]
+    rows += [(1000 + i, 250 + i, "big_b", float(i % 60), 1.0)
+             for i in range(500)]
+    rows += [(2000 + i, i, "small_a", float(i), 1.0) for i in range(20)]
+    rows += [(2100 + i, 10 + i, "small_b", float(i), 1.0)
+             for i in range(20)]
+    rows += [(2200 + i, 900000 + i, "lonely", float(i), 1.0)
+             for i in range(5)]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in q_event_kmv_overlap(spark, str(tmp_path)).collect()
+    }
+    # all 10 unordered type pairs present
+    assert len(got) == 10
+    small = got[("small_a", "small_b")]
+    assert small["n_exact"] == 10 < KMV_K
+    assert small["kmv_estimate"] == 10.0 and small["rel_err"] == 0.0
+    big = got[("big_a", "big_b")]
+    assert big["n_exact"] == 250
+    # theta-intersection stderr is wide at k=64; the fixed md5 draw is
+    # deterministic, so this is a pinned assertion, not a flaky one
+    assert big["rel_err"] < 0.6, big
+    lonely = got[("big_a", "lonely")]
+    assert lonely["n_exact"] == 0 and lonely["kmv_estimate"] == 0.0

@@ -56,6 +56,10 @@ BNLJ_ALLOWED = {
     # r8: ANN-path hard-negative mining rides the same one-row
     # codebook broadcast cross join as the IVFPQ search it reuses
     "emb_hard_negatives_ann",
+    # r8: the KMV overlap's type-pair spine is a broadcast cross join
+    # of two per-type aggregates (rows = distinct event types, bounded
+    # by the type vocabulary, never by event count)
+    "event_kmv_overlap",
 }
 
 ARROW_ALLOWED = {

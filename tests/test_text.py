@@ -580,3 +580,38 @@ def test_editdist_neardup_blocking_and_threshold(spark, tmp_path):
         assert r["max_len"] == mx
         assert r["edit_dist"] * EDITDIST_DENOM <= mx
         assert abs(r["edit_ratio"] - round(want / mx, 6)) < 1e-12
+
+
+def test_weighted_sample_is_top_k_by_aes_key(spark, tmp_path):
+    """A-ES sample: agrees with an independent pure-Python computation
+    of the u^(1/w) keys (log form), and the selection is biased toward
+    heavier (longer) docs: the sampled mean weight exceeds the corpus
+    mean weight on this fixture."""
+    import hashlib
+    import math
+
+    from sec_xbrl_finwarehouse_spark.plans.text_queries import (
+        WSAMPLE_K,
+        q_doc_weighted_sample,
+    )
+
+    n_chars = {i: 20 + (i * 37) % 400 for i in range(300)}
+    spark.createDataFrame(
+        [(i, "x" * n_chars[i], "en", "s", n_chars[i]) for i in range(300)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def key(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        u = int(h[:12], 16) / 16 ** 12
+        return round(math.log(max(u, 1e-15)) / n_chars[i], 9)
+
+    want = sorted(range(300), key=lambda i: (-key(i), i))[:WSAMPLE_K]
+    rows = q_doc_weighted_sample(spark, str(tmp_path)).collect()
+    got = [r["doc_id"] for r in rows]
+    assert got == want
+    for r in rows:
+        assert r["sample_key"] == key(r["doc_id"])
+    samp_mean = sum(n_chars[i] for i in got) / len(got)
+    corpus_mean = sum(n_chars.values()) / len(n_chars)
+    assert samp_mean > corpus_mean

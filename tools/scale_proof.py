@@ -102,6 +102,13 @@ QUERIES = [
     # label filter ahead of the pool cut; proves mining cost tracks the
     # ANN query cost, not the corpus sweep, as data grows
     "emb_hard_negatives_ann",
+    # r8: sketch family — KMV distinct (shuffle k-sized per group after
+    # the distinct audit) and histogram quantiles (shuffle bounded by
+    # range/width); user_id-shifted event copies multiply the distinct
+    # population linearly, the honest sketch workload
+    "event_kmv_distinct",
+    "event_kmv_overlap",
+    "event_histogram_quantiles",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
@@ -117,6 +124,11 @@ PER_QUERY_CAP_SEC = 300.0
 # linearly, exactly like ten independent shards of a bigger corpus.
 NEARDUP_QUERIES = [
     "doc_simhash_neardup",
+    # r8: edit-distance blocking near-dup -- the Caesar translation
+    # preserves within-copy Levenshtein distances exactly (character
+    # bijection) while cross-copy prefixes/suffixes decorrelate, so
+    # candidate density scales linearly like the other near-dup ops.
+    "doc_editdist_neardup",
     # r8: the MinHash chain's scale datums run here too -- their DuckDB
     # comparator is the exhaustive all-pairs oracle (O(n^2) list
     # intersections), so expect it to hit PER_QUERY_CAP_SEC at 10x; the
