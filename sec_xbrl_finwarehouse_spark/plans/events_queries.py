@@ -994,6 +994,50 @@ KMV_K = 64
 KMV_HEX = 12
 
 
+def kmv_frac_col(col: str = "h"):
+    """The md5-hex column mapped to a [0,1) fraction — the sketch's
+    hash-value arithmetic, shared by every KMV consumer (distinct
+    estimate, overlap algebra, streaming estimate) so the three can
+    never drift apart. ``_KMV_FRAC_SQL`` below is its oracle twin."""
+    return (
+        F.conv(F.substring(col, 1, KMV_HEX), 16, 10).cast("double")
+        / F.lit(float(16 ** KMV_HEX))
+    )
+
+
+def kmv_k_smallest(h: DataFrame, group_cols: list[str],
+                   k: int = KMV_K) -> DataFrame:
+    """k smallest DISTINCT ``h`` values per group, ranked (``rk``
+    column retained) — the sketch builder shared by the batch queries
+    and streaming/kmv_stream.py. Two-phase pruning: phase 1 ranks
+    within (group, input partition) and discards past rank k BEFORE
+    the group-keyed exchange, so no window partition ever holds a
+    group's full distinct-hash set."""
+    d = h.select(*group_cols, "h").distinct()
+    local = d.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy(*group_cols, "pid").orderBy(
+        F.col("h").asc()
+    )
+    survivors = (
+        local.withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= k)
+        .drop("pid", "lrk")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (
+        survivors.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+# oracle twin of kmv_frac_col: duckdb hex-prefix -> [0,1) fraction
+_KMV_FRAC_SQL = (
+    f"list_sum([(strpos('0123456789abcdef', h[i]) - 1)"
+    f" * 16 ** ({KMV_HEX} - i)"
+    f" for i in range(1, {KMV_HEX} + 1)]) / 16 ** {KMV_HEX}"
+)
+
+
 def q_event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event_type via a K-Minimum-Values
     sketch — the mergeable-sketch counting family (HLL's cousin) with a
@@ -1025,26 +1069,9 @@ def q_event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("user_id").cast("string")).alias("h"),
     )
     cnt = h.groupBy("event_type").agg(F.count("*").alias("n_exact"))
-    local = h.withColumn("pid", F.spark_partition_id())
-    w_local = Window.partitionBy("event_type", "pid").orderBy(
-        F.col("h").asc()
-    )
-    survivors = (
-        local.withColumn("lrk", F.row_number().over(w_local))
-        .filter(F.col("lrk") <= KMV_K)
-        .drop("pid", "lrk")
-    )
-    w = Window.partitionBy("event_type").orderBy(F.col("h").asc())
-    topk = (
-        survivors.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= KMV_K)
-    )
-    frac = (
-        F.conv(F.substring("h", 1, KMV_HEX), 16, 10).cast("double")
-        / F.lit(float(16 ** KMV_HEX))
-    )
+    topk = kmv_k_smallest(h, ["event_type"])
     kth = topk.groupBy("event_type").agg(
-        F.max(F.when(F.col("rk") == KMV_K, frac)).alias("v_k")
+        F.max(F.when(F.col("rk") == KMV_K, kmv_frac_col())).alias("v_k")
     )
     est = F.when(
         F.col("n_exact") >= KMV_K,
@@ -1077,11 +1104,7 @@ rk AS (
   FROM h
 ),
 kth AS (
-  SELECT event_type,
-         list_sum([(strpos('0123456789abcdef', h[i]) - 1)
-                   * 16 ** ({KMV_HEX} - i)
-                   for i in range(1, {KMV_HEX} + 1)])
-           / 16 ** {KMV_HEX} AS v_k
+  SELECT event_type, {_KMV_FRAC_SQL} AS v_k
   FROM rk WHERE rk = {KMV_K}
 ),
 est AS (
@@ -1126,22 +1149,8 @@ def q_event_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
     )
     n_by_type = h.groupBy("event_type").agg(F.count("*").alias("n"))
-    local = h.withColumn("pid", F.spark_partition_id())
-    w_local = Window.partitionBy("event_type", "pid").orderBy("h")
-    survivors = (
-        local.withColumn("lrk", F.row_number().over(w_local))
-        .filter(F.col("lrk") <= KMV_K)
-        .drop("pid", "lrk")
-    )
-    w = Window.partitionBy("event_type").orderBy("h")
-    frac = (
-        F.conv(F.substring("h", 1, KMV_HEX), 16, 10).cast("double")
-        / F.lit(float(16 ** KMV_HEX))
-    )
-    ranked = (
-        survivors.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= KMV_K)
-        .withColumn("frac", frac)
+    ranked = kmv_k_smallest(h, ["event_type"]).withColumn(
+        "frac", kmv_frac_col()
     )
     theta = (
         ranked.groupBy("event_type")
@@ -1208,12 +1217,6 @@ def q_event_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-_KMV_FRAC_SQL = (
-    f"list_sum([(strpos('0123456789abcdef', h[i]) - 1)"
-    f" * 16 ** ({KMV_HEX} - i)"
-    f" for i in range(1, {KMV_HEX} + 1)]) / 16 ** {KMV_HEX}"
-)
 
 EVENT_KMV_OVERLAP_SQL = f"""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -1971,7 +1971,17 @@ def q_doc_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus's own partitioning); the block join's skew risk is a
     boilerplate prefix shared by millions of docs -- at 100 TB cap
     block width (count per blk and drop blocks past a cap, they are
-    boilerplate by definition) or salt via operators/skew.py."""
+    boilerplate by definition) or salt via operators/skew.py.
+
+    Distance unit: UTF-8 BYTES, not code points -- DuckDB's
+    levenshtein counts bytes while Spark's counts code points, so the
+    engine-portable definition (and the one this operator ships) is
+    the byte-sequence distance: the Spark side routes the text through
+    an encode(utf-8)/decode(iso-8859-1) byte-transparent projection
+    (each byte becomes exactly one char) before the DP, and max_len is
+    the byte length on both sides. For ASCII corpora the two units
+    coincide; for multi-byte text a code-point edit costs its encoded
+    width, which only TIGHTENS the relative budget."""
     d = (
         _documents(spark, sf_dir)
         .filter(F.col("text").isNotNull())
@@ -2005,14 +2015,17 @@ def q_doc_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("norm").alias("na")), "doc_id_a")
         .join(d.select(F.col("doc_id").alias("doc_id_b"),
                        F.col("norm").alias("nb")), "doc_id_b")
+        # byte-transparent projection: UTF-8 bytes, one char per byte
+        .withColumn("ba", F.decode(F.encode("na", "utf-8"), "iso-8859-1"))
+        .withColumn("bb", F.decode(F.encode("nb", "utf-8"), "iso-8859-1"))
         .withColumn(
             "max_len",
-            F.greatest(F.length("na"), F.length("nb")).cast("long"),
+            F.greatest(F.length("ba"), F.length("bb")).cast("long"),
         )
         .withColumn(
             "thr", F.floor(F.col("max_len") / EDITDIST_DENOM).cast("int")
         )
-        .withColumn("edit_dist", F.expr("levenshtein(na, nb, thr)"))
+        .withColumn("edit_dist", F.expr("levenshtein(ba, bb, thr)"))
         .filter(F.col("edit_dist") >= 0)
     )
     return pairs.select(
@@ -2043,10 +2056,12 @@ cand AS (
     ON a.blk = b.blk AND a.side = b.side AND a.doc_id < b.doc_id
 ),
 v AS (
+  -- duckdb's levenshtein is byte-based already; max_len must be the
+  -- BYTE length to match (strlen, not the char-based length)
   SELECT c.doc_id_a, c.doc_id_b,
          CAST(levenshtein(da.norm, db.norm) AS BIGINT) AS edit_dist,
-         CAST(greatest(length(da.norm), length(db.norm)) AS BIGINT)
-           AS max_len
+         CAST(greatest(strlen(da.norm), strlen(db.norm))
+              AS BIGINT) AS max_len
   FROM cand c
   JOIN d da ON da.doc_id = c.doc_id_a
   JOIN d db ON db.doc_id = c.doc_id_b

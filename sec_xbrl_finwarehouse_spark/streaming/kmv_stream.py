@@ -40,44 +40,28 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import sinks
-from ..plans.events_queries import KMV_HEX, KMV_K
+from ..plans.events_queries import KMV_K, kmv_frac_col, kmv_k_smallest
 from .stream_sink import _already_committed, _txn_meta
 
 SKETCH_SCHEMA = "group_key string, h string"
 
 
-def _k_smallest_per_group(df: DataFrame, k: int) -> DataFrame:
-    """k smallest DISTINCT hashes per group, with the same two-phase
-    pruning as the batch query: rank within (group, input partition)
-    and discard past k before the group-keyed exchange, so no window
-    partition ever holds a group's full hash set."""
-    d = df.select("group_key", "h").distinct()
-    local = d.withColumn("pid", F.spark_partition_id())
-    w_local = Window.partitionBy("group_key", "pid").orderBy("h")
-    survivors = (
-        local.withColumn("lrk", F.row_number().over(w_local))
-        .filter(F.col("lrk") <= k)
-        .drop("pid", "lrk")
-    )
-    w = Window.partitionBy("group_key").orderBy("h")
-    return (
-        survivors.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("rk")
-    )
-
-
 def merge_kmv_sketch(
     stored: DataFrame, batch: DataFrame, k: int = KMV_K
 ) -> DataFrame:
-    """The semilattice merge: k smallest distinct hashes of the union.
+    """The semilattice merge: k smallest distinct hashes of the union,
+    built by the SAME ``kmv_k_smallest`` the batch queries use (one
+    implementation -> the tested stream-vs-batch bit-equality can
+    never drift).
 
     ``stored`` is sketch-sized (k per group); ``batch`` is pre-hashed
     (group_key, h) rows of any size. Keeping the k smallest of
     (k smallest of A) union B equals the k smallest of (A union B) --
     the truncation loses only hashes that could never re-enter the
     sketch -- which is what makes incremental maintenance lossless."""
-    return _k_smallest_per_group(stored.unionByName(batch), k)
+    return kmv_k_smallest(
+        stored.unionByName(batch), ["group_key"], k
+    ).drop("rk")
 
 
 def hashes_of(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
@@ -131,14 +115,10 @@ def kmv_estimate(spark: SparkSession, path: str, k: int = KMV_K) -> DataFrame:
     same arithmetic, as the batch ``event_kmv_distinct``."""
     sk = sinks.read_table(spark, path)
     w = Window.partitionBy("group_key").orderBy("h")
-    frac = (
-        F.conv(F.substring("h", 1, KMV_HEX), 16, 10).cast("double")
-        / F.lit(float(16 ** KMV_HEX))
-    )
     ranked = sk.withColumn("rk", F.row_number().over(w))
     agg = ranked.groupBy("group_key").agg(
         F.count("*").alias("n_sketch"),
-        F.max(F.when(F.col("rk") == k, frac)).alias("v_k"),
+        F.max(F.when(F.col("rk") == k, kmv_frac_col())).alias("v_k"),
     )
     est = F.when(
         F.col("n_sketch") >= k,

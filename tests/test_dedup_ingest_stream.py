@@ -65,7 +65,7 @@ def _run_stream(spark, tmp_path, sink_fn):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120 s"
 
 
 def _assert_converged(spark, corpus, bands, shingles):

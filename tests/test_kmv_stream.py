@@ -126,7 +126,7 @@ def test_streaming_end_to_end_availablenow(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120 s"
     counts = {
         r["group_key"]: r["n"]
         for r in sinks.read_table(spark, path)

@@ -533,12 +533,41 @@ def _py_levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _py_editdist_neardup(texts, block, denom):
+    """Independent pure-Python implementation of the full operator:
+    char-based prefix/suffix blocking, BYTE-based banded verification."""
+    norm = {i: t.lower().strip() for i, t in texts.items()}
+    cand = set()
+    for side, key in (("p", lambda s: s[:block]),
+                      ("s", lambda s: s[-block:] if len(s) >= block else s)):
+        blocks = {}
+        for i, s in norm.items():
+            blocks.setdefault(key(s), []).append(i)
+        for ids in blocks.values():
+            cand |= {(a, b) for a in ids for b in ids if a < b}
+    out = {}
+    for a, b in cand:
+        ba, bb = norm[a].encode(), norm[b].encode()
+        dist = _py_levenshtein(ba.decode("latin1"), bb.decode("latin1"))
+        mx = max(len(ba), len(bb))
+        if dist * denom <= mx:
+            out[(a, b)] = (dist, mx, round(dist / mx, 6))
+    return out
+
+
 def test_editdist_neardup_blocking_and_threshold(spark, tmp_path):
-    """Blocking recall + banded verification: a middle edit (prefix
-    block), a head edit (suffix block), an over-budget rewrite
-    (blocked but rejected), and an unrelated doc (never paired).
-    Distances are checked against an independent pure-Python DP."""
+    """Blocking recall + banded verification against an independent
+    pure-Python implementation of the whole operator: a true MIDDLE
+    edit past char 24 (caught by the prefix block with both blocks
+    shared), a HEAD edit inside the first 24 chars (suffix block is
+    the only recall path), an over-budget rewrite (blocked but
+    rejected), an unrelated doc (never paired), and a non-ASCII pair
+    locking the byte-based distance unit on both engines."""
+    import duckdb
+
     from sec_xbrl_finwarehouse_spark.plans.text_queries import (
+        DOC_EDITDIST_NEARDUP_SQL,
+        EDITDIST_BLOCK,
         EDITDIST_DENOM,
         q_doc_editdist_neardup,
     )
@@ -549,8 +578,9 @@ def test_editdist_neardup_blocking_and_threshold(spark, tmp_path):
     )
     texts = {
         0: base,
-        # small MIDDLE edit: shares prefix-24 AND suffix-24
-        1: base.replace("jumps over", "leaps across"),
+        # MIDDLE edit at char ~75 (past the 24-char block): shares
+        # prefix-24 AND suffix-24 with base
+        1: base.replace("calibrate", "recalibrate"),
         # HEAD edit inside the first 24 chars: only the suffix block
         # can pair it with base
         2: "a very quick brown fox jumps over the lazy dog while "
@@ -561,25 +591,45 @@ def test_editdist_neardup_blocking_and_threshold(spark, tmp_path):
            "and keeps going with nothing in common at all anymore",
         # unrelated: no shared block
         4: "completely different subject matter with no overlap",
+        # non-ASCII near-dup pair: multi-byte accents make byte and
+        # code-point distances DIFFER; both engines must report bytes
+        5: "café gâteau crème brûlée menu " * 4,
+        6: ("café gâteau crème brûlée menu " * 3
+            + "cafe gateau creme brulee menu "),
     }
+    want = _py_editdist_neardup(texts, EDITDIST_BLOCK, EDITDIST_DENOM)
+    # the fixture exercises every advertised path:
+    assert (0, 1) in want and (0, 2) in want and (5, 6) in want
+    assert texts[1].lower()[:24] == texts[0][:24]      # prefix shared
+    assert texts[2].lower()[:24] != texts[0][:24]      # suffix-only
+    assert all(3 not in p and 4 not in p for p in want)
+    d56_bytes, _, _ = want[(5, 6)]
+    d56_cp = _py_levenshtein(texts[5].lower(), texts[6].lower())
+    assert d56_bytes > d56_cp  # the units genuinely differ here
+
     spark.createDataFrame(
         [(i, t, "en", "s", len(t)) for i, t in texts.items()],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.parquet(str(tmp_path / "documents.parquet"))
     rows = q_doc_editdist_neardup(spark, str(tmp_path)).collect()
-    got = {(r["doc_id_a"], r["doc_id_b"]): r for r in rows}
-    # (1,2) IS a candidate (shared suffix block) but its head+middle
-    # edits stack past the 10% budget -> verification rejects it
-    d12 = _py_levenshtein(texts[1].lower(), texts[2].lower())
-    assert d12 * EDITDIST_DENOM > max(len(texts[1]), len(texts[2]))
-    assert set(got) == {(0, 1), (0, 2)}
-    for (a, b), r in got.items():
-        want = _py_levenshtein(texts[a].lower(), texts[b].lower())
-        mx = max(len(texts[a]), len(texts[b]))
-        assert r["edit_dist"] == want
-        assert r["max_len"] == mx
-        assert r["edit_dist"] * EDITDIST_DENOM <= mx
-        assert abs(r["edit_ratio"] - round(want / mx, 6)) < 1e-12
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]):
+            (r["edit_dist"], r["max_len"], r["edit_ratio"])
+        for r in rows
+    }
+    assert got == want
+
+    # the DuckDB oracle agrees on the same parquet (incl. non-ASCII)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        (a, b): (d, m, r)
+        for a, b, d, m, r in con.execute(DOC_EDITDIST_NEARDUP_SQL).fetchall()
+    }
+    assert oracle == want
 
 
 def test_weighted_sample_is_top_k_by_aes_key(spark, tmp_path):
