@@ -44,12 +44,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_bigram_logprob, doc_dup_ngram_frac, doc_editdist_neardup,
     # doc_weighted_sample, emb_ivf_pq_ann_topk, emb_ivfpq_recall,
     # emb_hard_negatives_ann, event_kmv_distinct, event_kmv_overlap,
-    # event_histogram_quantiles -- every one is placed INSIDE the
-    # window) -- doc_seq_packing PINNED FIRST because its only driver
-    # verdict ever is the r5 hash FAIL (fixed in r6, never
-    # driver-verified since). Window arithmetic: 1 seq_packing + 3 new
-    # events + 25 text + 9 corpus + 12 emb = 50 exactly; six emb
-    # entries are rotated just outside (see below). The star/events
+    # event_histogram_quantiles, event_bloom_semijoin -- every one is
+    # placed INSIDE the window) -- doc_seq_packing PINNED FIRST because
+    # its only driver verdict ever is the r5 hash FAIL (fixed in r6,
+    # never driver-verified since). Window arithmetic: 1 seq_packing +
+    # 4 new events + 25 text + 9 corpus + 11 emb = 50 exactly; seven
+    # emb entries are rotated just outside (see below; nearest_centroid
+    # is exercised by every IVF query's cell-argmin). The star/events
     # entries after the boundary all carry green r7 driver rows. All
     # pass tools/check_correctness.py locally regardless of position.
     text_q = dict(text_queries.QUERIES)
@@ -58,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kmv = events_q.pop("event_kmv_distinct")
     hist_q = events_q.pop("event_histogram_quantiles")
     kmv_overlap = events_q.pop("event_kmv_overlap")
+    bloom = events_q.pop("event_bloom_semijoin")
     emb_q = dict(embedding_queries.QUERIES)
     cosine_neardup = emb_q.pop("emb_cosine_neardup")
     # rotated just outside the window to make room for the five
@@ -74,12 +76,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     kmeans = emb_q.pop("emb_kmeans_iter")
     emb_clusters = emb_q.pop("emb_dedup_clusters")
     semantic = emb_q.pop("doc_semantic_dedup")
+    centroid = emb_q.pop("emb_nearest_centroid")
     return {
         "doc_seq_packing": seq_packing,
         # new this round, driver-unseen: pinned inside the window
         "event_kmv_distinct": kmv,
         "event_histogram_quantiles": hist_q,
         "event_kmv_overlap": kmv_overlap,
+        "event_bloom_semijoin": bloom,
         # beyond-reference: text analysis + dedup (25 more, incl. the
         # new doc_editdist_neardup + doc_weighted_sample via text_q)
         **text_q,
@@ -94,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_iter": kmeans,
         "emb_dedup_clusters": emb_clusters,
         "doc_semantic_dedup": semantic,
+        "emb_nearest_centroid": centroid,
         "statements_annual": sq.q_statements_annual,
         "ratios_annual": sq.q_ratios_annual,
         "screener": sq.q_screener,                            # P6 + J2 + O2

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "event_kmv_distinct",
     "event_histogram_quantiles",
     "doc_editdist_neardup",
+    "event_bloom_semijoin",
 ]
 
 

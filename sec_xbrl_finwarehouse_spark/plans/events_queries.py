@@ -1277,6 +1277,155 @@ FROM est
 """
 
 
+# ---- Bloom-filter semi-join (runtime-filter pruning, FP-audited) ------------
+
+BLOOM_M = 4096  # bits
+BLOOM_J = 3     # hash functions
+
+
+def q_event_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN REDUCTION with a built-in false-positive
+    audit -- the manual, engine-portable form of the runtime filters
+    Spark injects under ``spark.sql.optimizer.runtime.bloomFilter``:
+    build a {BLOOM_M}-bit / {BLOOM_J}-hash Bloom set from the
+    purchasing users (the selective build side), probe every
+    (event_type, user) against it, and report per type how many users
+    pass, how many truly purchased (exact semi-join, the audit side),
+    and the false-positive rate among true negatives.
+
+    Why this matters at 100 TB: a semi-join against a selective dim
+    normally shuffles the FULL probe side on the join key; shipping a
+    kilobyte-scale bit set to every task instead prunes the probe
+    map-side, and rows that fail the filter never enter the exchange.
+    The bit set here is a DataFrame of set bit positions (<= {BLOOM_M}
+    rows) broadcast to the probe -- the same dataflow shape as the
+    engine-internal filter, but with deterministic md5-derived
+    positions both engines reproduce bit-exactly.
+
+    A user passes iff all {BLOOM_J} positions are set; membership is
+    checked by exploding the probe's positions against the broadcast
+    bit table and requiring {BLOOM_J} DISTINCT probe indices to match
+    (count of distinct i, not count of rows, so within-user position
+    collisions cannot double-count). Build-side members always pass
+    (Bloom filters have no false negatives -- asserted by the oracle
+    since purchase rows must show fp impossible there)."""
+    e = _events(spark, sf_dir)
+    d = e.select("event_type", "user_id").distinct()
+    build = (
+        d.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct()
+    )
+    idx = F.explode(F.array(*[F.lit(i) for i in range(1, BLOOM_J + 1)]))
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("i"), F.col("user_id").cast("string")
+                    )
+                ),
+                1, KMV_HEX,
+            ),
+            16, 10,
+        ).cast("long")
+        % BLOOM_M
+    )
+    bits = (
+        build.select("user_id", idx.alias("i"))
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+    probe = d.select("event_type", "user_id", idx.alias("i")).withColumn(
+        "pos", pos
+    )
+    passed = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("event_type", "user_id")
+        .agg(F.countDistinct("i").alias("nhit"))
+        .filter(F.col("nhit") == BLOOM_J)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_pass"))
+    )
+    truth = (
+        d.join(build, "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_true"))
+    )
+    totals = d.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    fp = F.coalesce(F.col("n_pass"), F.lit(0)) - F.coalesce(
+        F.col("n_true"), F.lit(0)
+    )
+    neg = F.col("n_users") - F.coalesce(F.col("n_true"), F.lit(0))
+    return (
+        totals.join(passed, "event_type", "left")
+        .join(truth, "event_type", "left")
+        .select(
+            "event_type",
+            "n_users",
+            F.coalesce(F.col("n_pass"), F.lit(0)).alias("n_pass"),
+            F.coalesce(F.col("n_true"), F.lit(0)).alias("n_true"),
+            fp.alias("n_false_pos"),
+            F.round(
+                fp / F.greatest(neg, F.lit(1)), 6
+            ).alias("fp_rate"),
+        )
+    )
+
+
+_BLOOM_POS_SQL = (
+    f"CAST(list_sum([(strpos('0123456789abcdef', h[x]) - 1)"
+    f" * 16 ** ({KMV_HEX} - x)"
+    f" for x in range(1, {KMV_HEX} + 1)]) AS BIGINT) % {BLOOM_M}"
+)
+
+EVENT_BLOOM_SEMIJOIN_SQL = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+build AS (
+  SELECT DISTINCT user_id FROM d WHERE event_type = 'purchase'
+),
+bh AS (
+  SELECT md5(concat(t.i, ':', CAST(b.user_id AS VARCHAR))) AS h
+  FROM build b, range(1, {BLOOM_J + 1}) t(i)
+),
+bits AS (SELECT DISTINCT {_BLOOM_POS_SQL} AS pos FROM bh),
+ph AS (
+  SELECT d.event_type, d.user_id, t.i,
+         md5(concat(t.i, ':', CAST(d.user_id AS VARCHAR))) AS h
+  FROM d, range(1, {BLOOM_J + 1}) t(i)
+),
+pp AS (SELECT event_type, user_id, i, {_BLOOM_POS_SQL} AS pos FROM ph),
+passed AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pass
+  FROM (
+    SELECT p.event_type, p.user_id
+    FROM pp p JOIN bits ON p.pos = bits.pos
+    GROUP BY 1, 2
+    HAVING count(DISTINCT p.i) = {BLOOM_J}
+  ) GROUP BY 1
+),
+truth AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+  FROM d WHERE user_id IN (SELECT user_id FROM build)
+  GROUP BY 1
+),
+totals AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+  FROM d GROUP BY 1
+)
+SELECT t.event_type, t.n_users,
+       CAST(coalesce(p.n_pass, 0) AS BIGINT) AS n_pass,
+       CAST(coalesce(x.n_true, 0) AS BIGINT) AS n_true,
+       CAST(coalesce(p.n_pass, 0) - coalesce(x.n_true, 0) AS BIGINT)
+         AS n_false_pos,
+       round((coalesce(p.n_pass, 0) - coalesce(x.n_true, 0))
+             / greatest(t.n_users - coalesce(x.n_true, 0), 1), 6)
+         AS fp_rate
+FROM totals t
+LEFT JOIN passed p USING (event_type)
+LEFT JOIN truth x USING (event_type)
+"""
+
+
 # ---- mergeable histogram quantiles (the 100 TB percentile shape) -----------
 
 # fixed bin width: estimate error is bounded by one bin; values here
@@ -1392,6 +1541,7 @@ QUERIES = {
     "event_histogram_quantiles": q_event_histogram_quantiles,
     "event_kmv_distinct": q_event_kmv_distinct,
     "event_kmv_overlap": q_event_kmv_overlap,
+    "event_bloom_semijoin": q_event_bloom_semijoin,
     "event_gap_fill": q_event_gap_fill,
     "event_scd2": q_event_scd2,
     "event_window_agg": q_event_window_agg,
@@ -1416,6 +1566,7 @@ ORACLES = {
     "event_histogram_quantiles": EVENT_HISTOGRAM_QUANTILES_SQL,
     "event_kmv_distinct": EVENT_KMV_DISTINCT_SQL,
     "event_kmv_overlap": EVENT_KMV_OVERLAP_SQL,
+    "event_bloom_semijoin": EVENT_BLOOM_SEMIJOIN_SQL,
     "event_gap_fill": EVENT_GAP_FILL_SQL,
     "event_scd2": EVENT_SCD2_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,

@@ -364,3 +364,39 @@ def test_kmv_overlap_small_exact_and_big_band(spark, tmp_path):
     assert big["rel_err"] < 0.6, big
     lonely = got[("big_a", "lonely")]
     assert lonely["n_exact"] == 0 and lonely["kmv_estimate"] == 0.0
+
+
+def test_bloom_semijoin_no_false_negatives_and_fp_audit(spark, tmp_path):
+    """Bloom semi-join invariants on a corpus with known membership:
+    every true member passes (no false negatives -- the purchase row
+    itself must show n_pass == n_true == n_users), non-members can
+    only ever ADD passes (n_pass >= n_true), and the fp audit columns
+    are mutually consistent. With 100 build users in 4096 bits / 3
+    hashes the expected fp rate is ~(1-e^{-300/4096})^3 ~ 0.04%, so
+    the deterministic md5 draw staying under 5% is a safe pin."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        q_event_bloom_semijoin,
+    )
+
+    rows = [(i, i, "purchase", float(i % 60), 1.0) for i in range(100)]
+    # 'view': 100 purchasers + 900 non-purchasers
+    rows += [(1000 + i, i, "view", float(i % 60), 1.0) for i in range(100)]
+    rows += [(2000 + i, 10000 + i, "view", float(i % 60), 1.0)
+             for i in range(900)]
+    # 'error': disjoint from the build side entirely
+    rows += [(4000 + i, 90000 + i, "error", float(i % 60), 1.0)
+             for i in range(200)]
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_type"]: r
+           for r in q_event_bloom_semijoin(spark, str(tmp_path)).collect()}
+    p = got["purchase"]
+    assert (p["n_users"], p["n_pass"], p["n_true"], p["n_false_pos"]) == (
+        100, 100, 100, 0
+    )
+    v = got["view"]
+    assert v["n_users"] == 1000 and v["n_true"] == 100
+    assert v["n_pass"] >= v["n_true"]
+    assert v["n_false_pos"] == v["n_pass"] - v["n_true"]
+    assert v["fp_rate"] == round(v["n_false_pos"] / 900, 6) < 0.05
+    e = got["error"]
+    assert e["n_true"] == 0 and e["fp_rate"] < 0.05

@@ -109,6 +109,9 @@ QUERIES = [
     "event_kmv_distinct",
     "event_kmv_overlap",
     "event_histogram_quantiles",
+    # r8: bloom semi-join — build and probe sides both scale linearly
+    # with the user_id-shifted copies; the bit table stays 4096 rows
+    "event_bloom_semijoin",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
