@@ -44,17 +44,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_bigram_logprob, doc_dup_ngram_frac, doc_editdist_neardup,
     # doc_weighted_sample, emb_ivf_pq_ann_topk, emb_ivfpq_recall,
     # emb_hard_negatives_ann, event_kmv_distinct, event_kmv_overlap,
-    # event_histogram_quantiles, event_bloom_semijoin -- every one is
-    # placed INSIDE the window) -- doc_seq_packing PINNED FIRST because
-    # its only driver verdict ever is the r5 hash FAIL (fixed in r6,
-    # never driver-verified since). Window arithmetic: 1 seq_packing +
-    # 4 new events + 25 text + 9 corpus + 11 emb = 50 exactly; seven
-    # emb entries are rotated just outside (see below; nearest_centroid
-    # is exercised by every IVF query's cell-argmin). The star/events
-    # entries after the boundary all carry green r7 driver rows. All
-    # pass tools/check_correctness.py locally regardless of position.
+    # event_histogram_quantiles, event_bloom_semijoin,
+    # doc_minhash_jaccard_est -- every one is placed INSIDE the window)
+    # -- doc_seq_packing PINNED FIRST because its only driver verdict
+    # ever is the r5 hash FAIL (fixed in r6, never driver-verified
+    # since). Window arithmetic: 1 seq_packing + 4 new events + 25 text
+    # + 9 corpus + 11 emb = 50 exactly; seven emb entries and
+    # doc_jaccard_pairs are rotated just outside (see below;
+    # nearest_centroid is exercised by every IVF query's cell-argmin).
+    # The star/events entries after the boundary all carry green r5/r7
+    # driver rows. All pass tools/check_correctness.py locally
+    # regardless of position.
     text_q = dict(text_queries.QUERIES)
     seq_packing = text_q.pop("doc_seq_packing")
+    # identical output contract AND oracle as the in-window
+    # doc_minhash_lsh_dedup (the exhaustive baseline twin, byte-stable
+    # since its green r7 row) -- rotated just outside for the new
+    # doc_minhash_jaccard_est, which re-exercises the same pair
+    # arithmetic plus the signature estimator
+    jaccard_pairs = text_q.pop("doc_jaccard_pairs")
     events_q = dict(events_queries.QUERIES)
     kmv = events_q.pop("event_kmv_distinct")
     hist_q = events_q.pop("event_histogram_quantiles")
@@ -99,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_dedup_clusters": emb_clusters,
         "doc_semantic_dedup": semantic,
         "emb_nearest_centroid": centroid,
+        "doc_jaccard_pairs": jaccard_pairs,
         "statements_annual": sq.q_statements_annual,
         "ratios_annual": sq.q_ratios_annual,
         "screener": sq.q_screener,                            # P6 + J2 + O2

@@ -844,6 +844,157 @@ def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_MINHASH_LSH_SQL = DOC_JACCARD_PAIRS_SQL
 
 
+# ---- MinHash accuracy audit (estimated vs exact Jaccard) -------------------
+
+def q_doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ACCURACY AUDIT: for every verified near-dup pair, the
+    Jaccard ESTIMATE a pure signature comparison would report (share of
+    agreeing minhash values -- the estimator whose concentration makes
+    the whole LSH family work) beside the exact Jaccard, with the
+    absolute error. This is the text-side twin of the embedding pack's
+    ``emb_ann_recall`` harness: the sketch's statistical claim
+    (stderr = sqrt(J(1-J)/{MINHASH_HASHES}) ~ 0.044 at J=0.5) becomes a
+    measured, oracle-verified column instead of a docstring assertion.
+
+    The audit signatures are md5-BASED (base hash = 48-bit md5 prefix
+    mod p, then the same affine MINHASH_COEFFS family), not the
+    xxhash64 signatures of the production dedup path: xxhash64 exists
+    only JVM-side, while md5 is bit-identical in both engines, so the
+    DuckDB oracle reproduces every estimate exactly. The estimator's
+    statistics are hash-agnostic (any 2-independent family), so the
+    audit's error numbers speak for the production path too.
+
+    Scale shape: signatures are computed ONLY for documents that
+    appear in a verified pair (broadcast semi-join on the pair-doc
+    ids), so the audit costs O(pairs x shingles-per-doc), independent
+    of corpus size; the pair set itself comes from the LSH path's
+    banded candidates, never from an all-pairs join."""
+    ex = _persist_hot(_doc_shingles_exploded(spark, sf_dir))
+    # same pair pipeline as q_doc_minhash_lsh_dedup, but sharing THIS
+    # persisted shingle set (calling the query would re-scan + re-persist
+    # its own copy; measured ~2x the whole audit)
+    bands = _persist_hot(minhash_bands_of(ex))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    pairs = (
+        _jaccard_from_exploded(ex, cand)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+    )
+    docs = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    hp = ex.join(F.broadcast(docs), "doc_id", "left_semi").select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10)
+            .cast("long") % MINHASH_PRIME
+        ).alias("sh"),
+    )
+    sig = hp.groupBy("doc_id").agg(
+        F.array(*[
+            F.min(
+                (F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            )
+            for a, b in MINHASH_COEFFS
+        ]).alias("sig")
+    )
+    j = (
+        pairs.join(
+            sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sa")),
+            "d1",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sb")),
+            "d2",
+        )
+    )
+    agree = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = agree / F.lit(float(MINHASH_HASHES))
+    return j.select(
+        "d1", "d2", "jaccard",
+        est.alias("jaccard_est"),
+        F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+_MH_HEX_TO_INT = (
+    "CAST(list_sum([(strpos('0123456789abcdef', h[x]) - 1)"
+    " * 16 ** (12 - x) for x in range(1, 13)]) AS BIGINT)"
+)
+_MH_SIG_COLS = ",\n         ".join(
+    f"min(({a} * sh + {b}) % {MINHASH_PRIME}) AS h{i}"
+    for i, (a, b) in enumerate(MINHASH_COEFFS)
+)
+# list_sum over a flat list literal: a 128-term "+" chain trips
+# duckdb's binder recursion limit (max 128), a list binds flat
+_MH_AGREE = "list_sum([" + ", ".join(
+    f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(MINHASH_HASHES)
+) + "])"
+
+DOC_MINHASH_JACCARD_EST_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < {SHINGLE_K} THEN []::varchar[]
+              ELSE list_distinct([array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')
+                                  for i in range(1, len(w) - {SHINGLE_K - 2})])
+         END AS shingles
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         (len(list_intersect(a.shingles, b.shingles))::double
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE (len(list_intersect(a.shingles, b.shingles))::double
+         / (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles))))
+        >= {JACCARD_THRESHOLD}
+),
+pdocs AS (SELECT d1 AS doc_id FROM pairs UNION SELECT d2 FROM pairs),
+hp AS (
+  SELECT doc_id, {_MH_HEX_TO_INT} % {MINHASH_PRIME} AS sh
+  FROM (
+    SELECT s.doc_id, md5(unnest(s.shingles)) AS h
+    FROM sh s JOIN pdocs USING (doc_id)
+  )
+),
+sig AS (
+  SELECT doc_id,
+         {_MH_SIG_COLS}
+  FROM hp GROUP BY doc_id
+),
+e AS (
+  SELECT p.d1, p.d2, p.jaccard,
+         ({_MH_AGREE}) / {MINHASH_HASHES}.0 AS jaccard_est
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.d1
+  JOIN sig b ON b.doc_id = p.d2
+)
+SELECT d1, d2, jaccard, jaccard_est,
+       round(abs(jaccard_est - jaccard), 6) AS abs_err
+FROM e
+"""
+
+
 # ---- dedup clusters (connected components over near-dup pairs) -------------
 
 CC_MAX_ITERS = 20
@@ -2089,6 +2240,7 @@ QUERIES = {
     "doc_containment_pairs": q_doc_containment_pairs,
     "doc_ngram_novelty": q_doc_ngram_novelty,
     "doc_minhash_lsh_dedup": q_doc_minhash_lsh_dedup,
+    "doc_minhash_jaccard_est": q_doc_minhash_jaccard_est,
     "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_neardup": q_doc_simhash_neardup,
@@ -2118,6 +2270,7 @@ ORACLES = {
     "doc_containment_pairs": DOC_CONTAINMENT_PAIRS_SQL,
     "doc_ngram_novelty": DOC_NGRAM_NOVELTY_SQL,
     "doc_minhash_lsh_dedup": DOC_MINHASH_LSH_SQL,
+    "doc_minhash_jaccard_est": DOC_MINHASH_JACCARD_EST_SQL,
     "doc_dedup_clusters": DOC_DEDUP_CLUSTERS_SQL,
     "doc_simhash": DOC_SIMHASH_SQL,
     "doc_simhash_neardup": DOC_SIMHASH_NEARDUP_SQL,

@@ -665,3 +665,49 @@ def test_weighted_sample_is_top_k_by_aes_key(spark, tmp_path):
     samp_mean = sum(n_chars[i] for i in got) / len(got)
     corpus_mean = sum(n_chars.values()) / len(n_chars)
     assert samp_mean > corpus_mean
+
+
+def test_minhash_jaccard_est_matches_python_reference(spark, tmp_path):
+    """The audit's md5-affine signature estimate agrees exactly with an
+    independent pure-Python computation, and lands within the sketch's
+    statistical band of the exact Jaccard (stderr ~ 0.044 at 128
+    hashes; the fixed md5 draw makes the assertion deterministic)."""
+    import hashlib
+
+    from sec_xbrl_finwarehouse_spark.plans import text_queries as tq
+
+    base = [f"w{i}" for i in range(40)]
+    texts = {
+        0: " ".join(base),
+        1: " ".join(base[:36] + ["x1", "x2", "x3", "x4"]),  # J ~ 0.5+
+        2: " ".join(f"q{i}" for i in range(40)),            # unrelated
+    }
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = tq.q_doc_minhash_jaccard_est(spark, str(tmp_path)).collect()
+    assert {(r["d1"], r["d2"]) for r in rows} == {(0, 1)}
+    r = rows[0]
+
+    def shingles(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + tq.SHINGLE_K])
+                for i in range(len(w) - tq.SHINGLE_K + 1)}
+
+    def sig(t):
+        out = []
+        for a, b in tq.MINHASH_COEFFS:
+            out.append(min(
+                (a * (int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+                      % tq.MINHASH_PRIME) + b) % tq.MINHASH_PRIME
+                for s in shingles(t)
+            ))
+        return out
+    sa, sb = sig(texts[0]), sig(texts[1])
+    want_est = sum(x == y for x, y in zip(sa, sb)) / tq.MINHASH_HASHES
+    s0, s1 = shingles(texts[0]), shingles(texts[1])
+    want_j = len(s0 & s1) / len(s0 | s1)
+    assert r["jaccard_est"] == want_est
+    assert r["jaccard"] == want_j
+    assert r["abs_err"] == round(abs(want_est - want_j), 6) < 0.15
