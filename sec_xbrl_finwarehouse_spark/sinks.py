@@ -695,36 +695,83 @@ def commit_meta_only(path: str, manifest_extra: dict[str, str]) -> None:
     cur = current_data_dir(path)
     if cur is None:
         raise FileNotFoundError(f"no table at {path}: nothing to commit")
+    _publish_linked_version(path, cur, manifest_extra)
+
+
+def _link_parquet_tree(src: str, dst: str) -> None:
+    """Hard-link every part-file (flat or hive-partitioned layout)
+    from ``src`` into ``dst`` -- the zero-copy data share behind
+    meta-only commits and restores."""
+    for name in os.listdir(src):
+        sp = os.path.join(src, name)
+        if os.path.isdir(sp):
+            dp = os.path.join(dst, name)
+            os.makedirs(dp, exist_ok=True)
+            _link_parquet_tree(sp, dp)
+        elif name.endswith(".parquet") and not name.startswith("."):
+            os.link(sp, os.path.join(dst, name))
+
+
+def _publish_linked_version(
+    path: str, src_dir: str, manifest_extra: dict[str, str],
+    retain: int = 2,
+) -> str:
+    """Publish a new version whose data is hard links to ``src_dir``'s
+    part-files, carrying ``src_dir``'s ``_`` metadata forward and
+    overlaying ``manifest_extra``. Returns the new version name."""
     version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
-
-    def link_tree(src: str, dst: str) -> None:
-        for name in os.listdir(src):
-            sp = os.path.join(src, name)
-            if os.path.isdir(sp):
-                dp = os.path.join(dst, name)
-                os.makedirs(dp, exist_ok=True)
-                link_tree(sp, dp)
-            elif name.endswith(".parquet") and not name.startswith("."):
-                os.link(sp, os.path.join(dst, name))
-
     try:
         os.mkdir(version_dir)
-        link_tree(cur, version_dir)
-        for name in os.listdir(cur):
+        _link_parquet_tree(src_dir, version_dir)
+        for name in os.listdir(src_dir):
             if name.startswith("_") and os.path.isfile(
-                os.path.join(cur, name)
+                os.path.join(src_dir, name)
             ):
                 # COPIED, not linked: the overlay below must never
                 # write through a shared inode into the old version
-                shutil.copyfile(os.path.join(cur, name),
+                shutil.copyfile(os.path.join(src_dir, name),
                                 os.path.join(version_dir, name))
         _write_manifest_extra(version_dir, manifest_extra)
-        _publish_version(path, version_dir)
+        _publish_version(path, version_dir, retain=retain)
+        return os.path.basename(version_dir)
     except Exception:
         # no-orphan contract (see write_replace): links + copies only,
         # safe to drop on ANY publish failure
         shutil.rmtree(version_dir, ignore_errors=True)
         raise
+
+
+def restore(path: str, version: str) -> str:
+    """RESTORE a retained superseded version as the new CURRENT table
+    -- the table-format rollback (Delta ``RESTORE`` / Iceberg
+    rollback): the bad publish stays in history (auditable), and the
+    restore is itself a NEW version whose data is hard links to the
+    restored version's part-files -- zero bytes copied, zero mutated,
+    and the usual atomic pointer swap (readers see the pre-restore or
+    post-restore table, never a mix). Returns the new version name.
+
+    ``_`` metadata is carried forward from the RESTORED version (its
+    stats describe exactly the linked files), then a ``_restored_from``
+    marker records provenance. Restoring the current version is
+    rejected -- there is nothing to roll back.
+
+    Retention: a restore NEVER prunes -- every currently retained
+    version (including the one being rolled back, the audit evidence)
+    survives; later data publishes re-apply their own ``retain``
+    windows, and ``vacuum`` reclaims on demand."""
+    vdir = os.path.join(path, version)
+    if not os.path.isdir(vdir) or not version.startswith("v_"):
+        raise FileNotFoundError(
+            f"version {version!r} not retained at {path}; "
+            f"available: {[v['version'] for v in list_versions(path)]}"
+        )
+    cur = current_data_dir(path)
+    if cur is not None and os.path.basename(cur) == version:
+        raise ValueError(f"{version!r} is already current: nothing to restore")
+    return _publish_linked_version(
+        path, vdir, {"_restored_from": version},
+        retain=len(_versions_newest_first(path)) + 1,
+    )
 
 
 def append_if_absent(

@@ -721,3 +721,36 @@ def test_read_table_pruned_date_stats(spark, tmp_path):
     assert {r["d"] for r in fallback.collect()} == want
     # nothing skipped: every file read (never mis-prune on str-vs-date)
     assert len(fallback.inputFiles()) == n_total
+
+
+def test_restore_rolls_back_as_new_version(spark, tmp_path):
+    """RESTORE: a retained superseded version becomes current again via
+    a NEW hard-linked version (history grows, nothing is mutated); the
+    provenance marker names the source; restoring current is rejected;
+    an unretained name raises."""
+    path = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "good")], "id int, v string")
+    v2 = spark.createDataFrame([(1, "bad"), (2, "oops")], "id int, v string")
+    sinks.write_replace(v1, path, retain=3)
+    good = next(x["version"] for x in sinks.list_versions(path)
+                if x["is_current"])
+    sinks.write_replace(v2, path, retain=3)
+    assert {r["v"] for r in sinks.read_table(spark, path).collect()} == \
+        {"bad", "oops"}
+
+    new_v = sinks.restore(path, good)
+    assert {r["v"] for r in sinks.read_table(spark, path).collect()} == \
+        {"good"}
+    cur = sinks.current_data_dir(path)
+    assert os.path.basename(cur) == new_v != good
+    with open(os.path.join(cur, "_restored_from"), encoding="utf-8") as f:
+        assert f.read() == good
+    # the restored-FROM version is still retained and identical
+    assert {r["v"] for r in
+            sinks.read_table(spark, path, version=good).collect()} == \
+        {"good"}
+
+    with pytest.raises(ValueError):
+        sinks.restore(path, new_v)          # already current
+    with pytest.raises(FileNotFoundError):
+        sinks.restore(path, "v_nonexistent")

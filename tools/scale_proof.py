@@ -112,6 +112,9 @@ QUERIES = [
     # r8: bloom semi-join — build and probe sides both scale linearly
     # with the user_id-shifted copies; the bit table stays 4096 rows
     "event_bloom_semijoin",
+    # r8: A-ES weighted sampling — per-doc key + TakeOrdered, marker
+    # amplification leaves the draw arithmetic untouched
+    "doc_weighted_sample",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
@@ -140,6 +143,10 @@ NEARDUP_QUERIES = [
     # linearly by construction).
     "doc_minhash_lsh_dedup",
     "doc_dedup_clusters",
+    # r8: the MinHash accuracy audit rides the same banded-candidate
+    # pipeline (audit cost O(pairs)); its oracle is the exhaustive
+    # all-pairs join, expected to hit the cap like the dedup twins
+    "doc_minhash_jaccard_est",
 ]
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _DIGIT = "0123456789"
