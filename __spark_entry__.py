@@ -45,16 +45,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_weighted_sample, emb_ivf_pq_ann_topk, emb_ivfpq_recall,
     # emb_hard_negatives_ann, event_kmv_distinct, event_kmv_overlap,
     # event_histogram_quantiles, event_bloom_semijoin,
-    # doc_minhash_jaccard_est -- every one is placed INSIDE the window)
-    # -- doc_seq_packing PINNED FIRST because its only driver verdict
-    # ever is the r5 hash FAIL (fixed in r6, never driver-verified
-    # since). Window arithmetic: 1 seq_packing + 4 new events + 25 text
-    # + 9 corpus + 11 emb = 50 exactly; seven emb entries and
-    # doc_jaccard_pairs are rotated just outside (see below;
-    # nearest_centroid is exercised by every IVF query's cell-argmin).
-    # The star/events entries after the boundary all carry green r5/r7
-    # driver rows. All pass tools/check_correctness.py locally
-    # regardless of position.
+    # doc_minhash_jaccard_est, doc_ccnet_bucket -- every one is placed
+    # INSIDE the window) -- doc_seq_packing PINNED FIRST because its
+    # only driver verdict ever is the r5 hash FAIL (fixed in r6, never
+    # driver-verified since). Window arithmetic: 1 seq_packing + 4 new
+    # events + 25 text + 10 corpus + 10 emb = 50 exactly; eight emb
+    # entries and doc_jaccard_pairs are rotated just outside (see
+    # below; nearest_centroid is exercised by every IVF query's
+    # cell-argmin, lsh_neardup's projection/bucketing by the in-window
+    # emb_lsh_ann_topk). The star/events entries after the boundary all
+    # carry green r5/r7 driver rows. All pass
+    # tools/check_correctness.py locally regardless of position.
     text_q = dict(text_queries.QUERIES)
     seq_packing = text_q.pop("doc_seq_packing")
     # identical output contract AND oracle as the in-window
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     emb_clusters = emb_q.pop("emb_dedup_clusters")
     semantic = emb_q.pop("doc_semantic_dedup")
     centroid = emb_q.pop("emb_nearest_centroid")
+    lsh_neardup = emb_q.pop("emb_lsh_neardup")
     return {
         "doc_seq_packing": seq_packing,
         # new this round, driver-unseen: pinned inside the window
@@ -108,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_semantic_dedup": semantic,
         "emb_nearest_centroid": centroid,
         "doc_jaccard_pairs": jaccard_pairs,
+        "emb_lsh_neardup": lsh_neardup,
         "statements_annual": sq.q_statements_annual,
         "ratios_annual": sq.q_ratios_annual,
         "screener": sq.q_screener,                            # P6 + J2 + O2

@@ -503,6 +503,63 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ---- CCNet head/middle/tail buckets over the LM score ----------------------
+
+
+def q_doc_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet SELECTION stage the LM score exists for: documents
+    bucketed into head / middle / tail by corpus-relative perplexity
+    TERCILES (CCNet trains on "head", samples "middle", drops "tail").
+    Composes :func:`q_doc_unigram_logprob`'s already-quantized,
+    already-rounded ``xent`` with two threshold comparisons -- the
+    bucketing itself adds no new per-token work.
+
+    Thresholds are the exact 1/3 and 2/3 quantiles of the non-NULL
+    scores, computed as ONE scalar aggregate over the doc-count-sized
+    score table and broadcast-crossed back (never an ntile/global-sort
+    window, which would funnel every document through one task). At
+    extreme doc counts swap the exact percentile for the histogram
+    estimator (events_queries.q_event_histogram_quantiles' arithmetic)
+    -- the bucketing comparisons are unchanged. Empty docs (NULL xent)
+    get their own 'empty' bucket: CCNet drops them, and an explicit
+    label keeps that decision visible downstream."""
+    x = q_doc_unigram_logprob(spark, sf_dir)
+    th = (
+        x.filter(F.col("xent").isNotNull())
+        .agg(
+            F.expr(
+                "percentile(xent, array(CAST(1.0/3.0 AS DOUBLE),"
+                " CAST(2.0/3.0 AS DOUBLE)))"
+            ).alias("t")
+        )
+    )
+    bucket = (
+        F.when(F.col("xent").isNull(), F.lit("empty"))
+        .when(F.col("xent") <= F.col("t")[0], F.lit("head"))
+        .when(F.col("xent") <= F.col("t")[1], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return x.crossJoin(F.broadcast(th)).select(
+        "doc_id", "n_tokens", "xent", bucket.alias("bucket")
+    )
+
+
+DOC_CCNET_BUCKET_SQL = f"""
+WITH x AS ({DOC_UNIGRAM_LOGPROB_SQL}),
+th AS (
+  SELECT quantile_cont(xent, 1.0/3.0) AS t1,
+         quantile_cont(xent, 2.0/3.0) AS t2
+  FROM x WHERE xent IS NOT NULL
+)
+SELECT doc_id, n_tokens, xent,
+       CASE WHEN xent IS NULL THEN 'empty'
+            WHEN xent <= t1 THEN 'head'
+            WHEN xent <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM x CROSS JOIN th
+"""
+
+
 # ---- bigram LM cross-entropy (KenLM-style quality proxy, order 2) ----------
 
 
@@ -909,6 +966,7 @@ QUERIES = {
     "doc_dup_ngram_frac": q_doc_dup_ngram_frac,
     "doc_repetition": q_doc_repetition,
     "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_ccnet_bucket": q_doc_ccnet_bucket,
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_length_histogram": q_doc_length_histogram,
     "doc_pii_scan": q_doc_pii_scan,
@@ -924,6 +982,7 @@ ORACLES = {
     "doc_domain_mix": DOC_DOMAIN_MIX_SQL,
     "doc_global_shuffle": DOC_GLOBAL_SHUFFLE_SQL,
     "doc_unigram_logprob": DOC_UNIGRAM_LOGPROB_SQL,
+    "doc_ccnet_bucket": DOC_CCNET_BUCKET_SQL,
     "doc_bigram_logprob": DOC_BIGRAM_LOGPROB_SQL,
     "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
 }

@@ -219,3 +219,43 @@ def test_dup_ngram_frac_hand_computed(spark, tmp_path):
     # doc 3: below n -> no evidence, NULL fraction
     assert got[3]["n_ngrams"] == 0 and got[3]["n_dup"] == 0
     assert got[3]["dup_frac"] is None
+
+
+def test_ccnet_buckets_are_terciles_and_rank_consistent(spark, tmp_path):
+    """Bucketing invariants on a corpus with a clear quality gradient:
+    common-token docs land in 'head', rare-token soup in 'tail', the
+    bucket sizes split the scored docs into terciles, and an empty doc
+    gets the explicit 'empty' bucket. Rank consistency: every head
+    xent <= every middle xent <= every tail xent."""
+    from sec_xbrl_finwarehouse_spark.plans.corpus_queries import (
+        q_doc_ccnet_bucket,
+    )
+
+    common = "the cat sat on the mat and the dog sat too"
+    texts = {}
+    for i in range(6):
+        texts[i] = common                               # head candidates
+    for i in range(6, 12):
+        texts[i] = common + f" extra{i} word{i}"        # middle-ish
+    for i in range(12, 18):
+        texts[i] = " ".join(f"zz{i}_{j}" for j in range(12))  # rare soup
+    texts[18] = ""                                      # empty
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q_doc_ccnet_bucket(spark, str(tmp_path)).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert {r["doc_id"] for r in by_bucket["empty"]} == {18}
+    scored = [r for r in rows if r["bucket"] != "empty"]
+    assert len(scored) == 18 and len(by_bucket["head"]) == 6
+    h = max(r["xent"] for r in by_bucket["head"])
+    m_lo = min(r["xent"] for r in by_bucket["middle"])
+    m_hi = max(r["xent"] for r in by_bucket["middle"])
+    t_lo = min(r["xent"] for r in by_bucket["tail"])
+    assert h <= m_lo and m_hi <= t_lo
+    # the rare-token soup is all tail; the repeated common doc all head
+    assert {r["doc_id"] for r in by_bucket["tail"]} >= set(range(12, 18))
+    assert {r["doc_id"] for r in by_bucket["head"]} <= set(range(6))

@@ -60,6 +60,9 @@ BNLJ_ALLOWED = {
     # of two per-type aggregates (rows = distinct event types, bounded
     # by the type vocabulary, never by event count)
     "event_kmv_overlap",
+    # r8: CCNet bucketing broadcast-crosses a one-row tercile aggregate
+    # (and inherits the unigram LM's allowed broadcast cross join)
+    "doc_ccnet_bucket",
 }
 
 ARROW_ALLOWED = {
