@@ -500,3 +500,51 @@ def test_webdataset_write_read_round_trip(spark, samples, tmp_path_factory):
         for r in read_webdataset_samples(spark, f"{out}/*.tar").collect()
     }
     assert back == samples
+
+
+kmv_batches = st.lists(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 200)),
+        min_size=0, max_size=40,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(batches=kmv_batches, order=st.randoms(use_true_random=False))
+@_SETTINGS
+def test_kmv_merge_is_order_and_replay_invariant(spark, batches, order):
+    """The semilattice property streaming/kmv_stream.py's delivery
+    story rests on, under generated inputs: merging batches in ANY
+    order, with ANY batch replayed, yields the same sketch as one
+    merge of everything -- including empty batches, duplicate values
+    within and across batches, and groups that never reach k."""
+    from sec_xbrl_finwarehouse_spark.streaming.kmv_stream import (
+        SKETCH_SCHEMA,
+        hashes_of,
+        merge_kmv_sketch,
+    )
+
+    k = 8  # small k so generated data crosses the truncation boundary
+
+    def frame(rows):
+        return hashes_of(
+            spark.createDataFrame(rows, "g string, u long")
+            if rows else
+            spark.createDataFrame([], "g string, u long"),
+            "g", "u",
+        )
+
+    empty = spark.createDataFrame([], SKETCH_SCHEMA)
+    # incremental, shuffled order, with the first batch replayed at the end
+    sequence = list(batches)
+    order.shuffle(sequence)
+    sequence.append(batches[0])
+    acc = empty
+    for b in sequence:
+        acc = merge_kmv_sketch(acc, frame(b), k)
+    got = sorted(map(tuple, acc.collect()))
+    # one-shot reference over the concatenation
+    all_rows = [r for b in batches for r in b]
+    want = sorted(map(tuple, merge_kmv_sketch(empty, frame(all_rows), k).collect()))
+    assert got == want
