@@ -741,6 +741,36 @@ def _publish_linked_version(
         raise
 
 
+def clone(src_path: str, dst_path: str, version: str | None = None) -> str:
+    """SHALLOW CLONE: materialize a table (or one retained version of
+    it) at a NEW path by hard-linking its part-files -- the Delta
+    ``SHALLOW CLONE`` analogue for dev/test forks and snapshot
+    hand-offs: zero bytes copied, the clone is immediately a
+    first-class versioned table (its own ``_CURRENT``, its own
+    publishes, its own retention), and writes to either table never
+    affect the other (every publish creates NEW files; linked inodes
+    are only ever deleted, never mutated, under the immutable-version
+    contract). ``_`` metadata is carried from the source version (its
+    stats describe exactly the linked files) plus a ``_cloned_from``
+    provenance marker. Returns the clone's version name."""
+    src = (
+        os.path.join(src_path, version)
+        if version is not None
+        else current_data_dir(src_path)
+    )
+    if src is None or not os.path.isdir(src):
+        raise FileNotFoundError(
+            f"nothing to clone at {src_path} (version={version!r})"
+        )
+    if os.path.exists(os.path.join(dst_path, _POINTER)):
+        raise FileExistsError(f"table already exists at {dst_path}")
+    os.makedirs(dst_path, exist_ok=True)
+    return _publish_linked_version(
+        dst_path, src,
+        {"_cloned_from": f"{src_path}@{os.path.basename(src)}"},
+    )
+
+
 def restore(path: str, version: str) -> str:
     """RESTORE a retained superseded version as the new CURRENT table
     -- the table-format rollback (Delta ``RESTORE`` / Iceberg

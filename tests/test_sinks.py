@@ -754,3 +754,35 @@ def test_restore_rolls_back_as_new_version(spark, tmp_path):
         sinks.restore(path, new_v)          # already current
     with pytest.raises(FileNotFoundError):
         sinks.restore(path, "v_nonexistent")
+
+
+def test_clone_is_independent_zero_copy_table(spark, tmp_path):
+    """SHALLOW CLONE: the clone serves the source's data immediately,
+    carries provenance, and diverges independently -- a publish to the
+    clone never changes the source and vice versa. Cloning onto an
+    existing table is rejected."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    sinks.write_replace(
+        spark.createDataFrame([(1, "a")], "id int, v string"), src
+    )
+    v = sinks.clone(src, dst)
+    assert [r["v"] for r in sinks.read_table(spark, dst).collect()] == ["a"]
+    cur = sinks.current_data_dir(dst)
+    assert os.path.basename(cur) == v
+    with open(os.path.join(cur, "_cloned_from"), encoding="utf-8") as f:
+        assert f.read().startswith(src + "@v_")
+    # divergence: write to the clone, source untouched (and vice versa)
+    sinks.write_replace(
+        spark.createDataFrame([(2, "clone-only")], "id int, v string"), dst
+    )
+    sinks.write_replace(
+        spark.createDataFrame([(3, "src-only")], "id int, v string"), src
+    )
+    assert [r["v"] for r in sinks.read_table(spark, dst).collect()] == \
+        ["clone-only"]
+    assert [r["v"] for r in sinks.read_table(spark, src).collect()] == \
+        ["src-only"]
+    with pytest.raises(FileExistsError):
+        sinks.clone(src, dst)
+    with pytest.raises(FileNotFoundError):
+        sinks.clone(str(tmp_path / "nope"), str(tmp_path / "d2"))
