@@ -45,14 +45,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_weighted_sample, emb_ivf_pq_ann_topk, emb_ivfpq_recall,
     # emb_hard_negatives_ann, event_kmv_distinct, event_kmv_overlap,
     # event_histogram_quantiles, event_bloom_semijoin,
-    # doc_minhash_jaccard_est, doc_ccnet_bucket -- every one is placed
-    # INSIDE the window) -- doc_seq_packing PINNED FIRST because its
-    # only driver verdict ever is the r5 hash FAIL (fixed in r6, never
-    # driver-verified since). Window arithmetic: 1 seq_packing + 4 new
-    # events + 25 text + 10 corpus + 10 emb = 50 exactly; eight emb
-    # entries and doc_jaccard_pairs are rotated just outside (see
-    # below; nearest_centroid is exercised by every IVF query's
-    # cell-argmin, lsh_neardup's projection/bucketing by the in-window
+    # doc_minhash_jaccard_est, doc_ccnet_bucket, doc_editdist_clusters
+    # -- every one is placed INSIDE the window) -- doc_seq_packing
+    # PINNED FIRST because its only driver verdict ever is the r5 hash
+    # FAIL (fixed in r6, never driver-verified since). Window
+    # arithmetic: 1 seq_packing + 4 new events + 25 text + 10 corpus +
+    # 10 emb = 50 exactly; eight emb entries, doc_jaccard_pairs, and
+    # doc_containment_pairs are rotated just outside (see below;
+    # nearest_centroid is exercised by every IVF query's cell-argmin,
+    # lsh_neardup's projection/bucketing by the in-window
     # emb_lsh_ann_topk). The star/events entries after the boundary all
     # carry green r5/r7 driver rows. All pass
     # tools/check_correctness.py locally regardless of position.
@@ -64,6 +65,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # doc_minhash_jaccard_est, which re-exercises the same pair
     # arithmetic plus the signature estimator
     jaccard_pairs = text_q.pop("doc_jaccard_pairs")
+    # one-sided-containment sibling of the in-window banded-candidate
+    # family (byte-stable since its green r7 row) -- rotated just
+    # outside for doc_editdist_clusters, whose two halves (editdist
+    # pairs, Hash-Min components) are BOTH in-window
+    containment = text_q.pop("doc_containment_pairs")
     events_q = dict(events_queries.QUERIES)
     kmv = events_q.pop("event_kmv_distinct")
     hist_q = events_q.pop("event_histogram_quantiles")
@@ -111,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_nearest_centroid": centroid,
         "doc_jaccard_pairs": jaccard_pairs,
         "emb_lsh_neardup": lsh_neardup,
+        "doc_containment_pairs": containment,
         "statements_annual": sq.q_statements_annual,
         "ratios_annual": sq.q_ratios_annual,
         "screener": sq.q_screener,                            # P6 + J2 + O2

@@ -2223,9 +2223,80 @@ FROM v WHERE edit_dist * {EDITDIST_DENOM} <= max_len
 """
 
 
+def q_doc_editdist_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entity-resolution chain COMPLETED: blocking -> banded
+    verification (:func:`q_doc_editdist_neardup`) -> transitive
+    CLUSTERING, every document labeled with its connected component's
+    min doc_id and ``keep`` marking the canonical record -- the same
+    pairwise-to-decision step :func:`q_doc_dedup_clusters` performs for
+    the Jaccard family, riding the same shared Hash-Min operator
+    (operators/connected_components.py: edge-sized iteration width,
+    localCheckpoint lineage truncation, scalar fixpoint action).
+    Documents outside every pair (including NULL-text docs, which the
+    pair query excludes) keep themselves via the left join."""
+    pairs = q_doc_editdist_neardup(spark, sf_dir).select(
+        F.col("doc_id_a").alias("d1"), F.col("doc_id_b").alias("d2")
+    )
+    labels = hash_min_components(pairs, CC_MAX_ITERS).withColumnRenamed(
+        "node_id", "doc_id"
+    )
+    docs = _documents(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .withColumn("cluster_rep", F.coalesce("rep", "doc_id"))
+        .select(
+            "doc_id",
+            "cluster_rep",
+            (F.col("cluster_rep") == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+DOC_EDITDIST_CLUSTERS_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lower(trim(text)) AS norm
+  FROM documents WHERE text IS NOT NULL
+),
+k AS (
+  SELECT doc_id, substr(norm, 1, {EDITDIST_BLOCK}) AS blk, 'p' AS side FROM d
+  UNION ALL
+  SELECT doc_id,
+         substr(norm, greatest(length(norm) - {EDITDIST_BLOCK - 1}, 1),
+                {EDITDIST_BLOCK}),
+         's'
+  FROM d
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM k a JOIN k b
+    ON a.blk = b.blk AND a.side = b.side AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.d1, c.d2
+  FROM cand c
+  JOIN d da ON da.doc_id = c.d1
+  JOIN d db ON db.doc_id = c.d2
+  WHERE levenshtein(da.norm, db.norm) * {EDITDIST_DENOM}
+        <= greatest(strlen(da.norm), strlen(db.norm))
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+walk AS (
+  SELECT a AS doc_id, a AS reach FROM edges
+  UNION
+  SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (SELECT doc_id, min(reach) AS cluster_rep FROM walk GROUP BY doc_id)
+SELECT x.doc_id,
+       coalesce(c.cluster_rep, x.doc_id) AS cluster_rep,
+       coalesce(c.cluster_rep, x.doc_id) = x.doc_id AS keep
+FROM documents x LEFT JOIN comp c USING (doc_id)
+"""
+
+
 QUERIES = {
     "doc_weighted_sample": q_doc_weighted_sample,
     "doc_editdist_neardup": q_doc_editdist_neardup,
+    "doc_editdist_clusters": q_doc_editdist_clusters,
     "doc_span_dedup": q_doc_span_dedup,
     "doc_chunk": q_doc_chunk,
     "doc_paragraph_dedup": q_doc_paragraph_dedup,
@@ -2256,6 +2327,7 @@ QUERIES = {
 ORACLES = {
     "doc_weighted_sample": DOC_WEIGHTED_SAMPLE_SQL,
     "doc_editdist_neardup": DOC_EDITDIST_NEARDUP_SQL,
+    "doc_editdist_clusters": DOC_EDITDIST_CLUSTERS_SQL,
     "doc_span_dedup": DOC_SPAN_DEDUP_SQL,
     "doc_chunk": DOC_CHUNK_SQL,
     "doc_paragraph_dedup": DOC_PARAGRAPH_DEDUP_SQL,

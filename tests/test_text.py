@@ -711,3 +711,38 @@ def test_minhash_jaccard_est_matches_python_reference(spark, tmp_path):
     assert r["jaccard_est"] == want_est
     assert r["jaccard"] == want_j
     assert r["abs_err"] == round(abs(want_est - want_j), 6) < 0.15
+
+
+def test_editdist_clusters_transitive_chain(spark, tmp_path):
+    """A~B (suffix edit) and B~C (head edit of B) cluster transitively
+    even when A and C exceed the pairwise budget; unrelated and
+    NULL-text docs keep themselves."""
+    from sec_xbrl_finwarehouse_spark.plans.text_queries import (
+        q_doc_editdist_clusters,
+        q_doc_editdist_neardup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts calibrate the ancient telescope array near dawn"
+    )
+    texts = {
+        0: base,
+        1: base.replace("calibrate", "recalibrate"),       # ~0
+        2: base.replace("calibrate", "recalibrate")
+              .replace("the quick", "a very quick"),       # ~1 (head edit)
+        3: "completely different subject matter here",     # singleton
+        4: None,                                           # NULL text
+    }
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t) if t else 0) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = {(r["doc_id_a"], r["doc_id_b"])
+             for r in q_doc_editdist_neardup(spark, str(tmp_path)).collect()}
+    assert (0, 1) in pairs and (1, 2) in pairs
+    out = {r["doc_id"]: (r["cluster_rep"], r["keep"])
+           for r in q_doc_editdist_clusters(spark, str(tmp_path)).collect()}
+    assert out[0] == (0, True) and out[1] == (0, False)
+    assert out[2] == (0, False)                            # transitive
+    assert out[3] == (3, True) and out[4] == (4, True)
