@@ -115,6 +115,10 @@ QUERIES = [
     # r8: A-ES weighted sampling — per-doc key + TakeOrdered, marker
     # amplification leaves the draw arithmetic untouched
     "doc_weighted_sample",
+    # r8: CCNet bucketing — the unigram LM pass plus one scalar
+    # percentile aggregate; marker amplification is the same honest
+    # workload as the LM scorers it composes
+    "doc_ccnet_bucket",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
