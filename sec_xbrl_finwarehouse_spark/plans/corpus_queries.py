@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .text_queries import _documents, _tokens
+from .text_queries import _documents, _persist_hot, _tokens
 
 # ---- Gopher-style repetition metrics ---------------------------------------
 
@@ -522,8 +522,14 @@ def q_doc_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator (events_queries.q_event_histogram_quantiles' arithmetic)
     -- the bucketing comparisons are unchanged. Empty docs (NULL xent)
     get their own 'empty' bucket: CCNet drops them, and an explicit
-    label keeps that decision visible downstream."""
-    x = q_doc_unigram_logprob(spark, sf_dir)
+    label keeps that decision visible downstream.
+
+    The score frame is persisted (conf-driven level, _persist_hot): it
+    feeds both the threshold aggregate and the final projection, and
+    without it the whole two-pass tokenize+LM pipeline would execute
+    twice (doc-count-sized, so MEMORY_AND_DISK is safe even at scale).
+    """
+    x = _persist_hot(q_doc_unigram_logprob(spark, sf_dir))
     th = (
         x.filter(F.col("xent").isNotNull())
         .agg(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import table_path
+from .sqlfrag import hex_prefix_bigint_sql, hex_prefix_frac_sql
 
 SESSION_GAP_SEC = 1800
 TOPK_PER_USER = 3
@@ -1031,11 +1032,7 @@ def kmv_k_smallest(h: DataFrame, group_cols: list[str],
 
 
 # oracle twin of kmv_frac_col: duckdb hex-prefix -> [0,1) fraction
-_KMV_FRAC_SQL = (
-    f"list_sum([(strpos('0123456789abcdef', h[i]) - 1)"
-    f" * 16 ** ({KMV_HEX} - i)"
-    f" for i in range(1, {KMV_HEX} + 1)]) / 16 ** {KMV_HEX}"
-)
+_KMV_FRAC_SQL = hex_prefix_frac_sql(KMV_HEX)
 
 
 def q_event_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1372,11 +1369,7 @@ def q_event_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_POS_SQL = (
-    f"CAST(list_sum([(strpos('0123456789abcdef', h[x]) - 1)"
-    f" * 16 ** ({KMV_HEX} - x)"
-    f" for x in range(1, {KMV_HEX} + 1)]) AS BIGINT) % {BLOOM_M}"
-)
+_BLOOM_POS_SQL = f"{hex_prefix_bigint_sql(KMV_HEX)} % {BLOOM_M}"
 
 EVENT_BLOOM_SEMIJOIN_SQL = f"""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),

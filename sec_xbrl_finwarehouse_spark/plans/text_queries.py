@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators.connected_components import hash_min_components
 from ..sources.tables import parallelize_scan, table_path
+from .sqlfrag import hex_prefix_bigint_sql, hex_prefix_frac_sql
 
 JACCARD_THRESHOLD = 0.5
 SHINGLE_K = 3
@@ -930,10 +931,7 @@ def q_doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MH_HEX_TO_INT = (
-    "CAST(list_sum([(strpos('0123456789abcdef', h[x]) - 1)"
-    " * 16 ** (12 - x) for x in range(1, 13)]) AS BIGINT)"
-)
+_MH_HEX_TO_INT = hex_prefix_bigint_sql(12)
 _MH_SIG_COLS = ",\n         ".join(
     f"min(({a} * sh + {b}) % {MINHASH_PRIME}) AS h{i}"
     for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -2075,11 +2073,8 @@ WITH d AS (
 ),
 k AS (
   SELECT doc_id, lang, source, n_chars,
-         round(ln(greatest(
-             list_sum([(strpos('0123456789abcdef', h[i]) - 1)
-                       * 16 ** (12 - i) for i in range(1, 13)])
-               / 16 ** 12,
-             1e-15)) / n_chars, 9) AS sample_key
+         round(ln(greatest({hex_prefix_frac_sql(12)}, 1e-15))
+               / n_chars, 9) AS sample_key
   FROM d
 )
 SELECT * FROM k

@@ -753,6 +753,13 @@ def clone(src_path: str, dst_path: str, version: str | None = None) -> str:
     contract). ``_`` metadata is carried from the source version (its
     stats describe exactly the linked files) plus a ``_cloned_from``
     provenance marker. Returns the clone's version name."""
+    # same guard as restore(): only v_ version directories are
+    # cloneable -- a staging dir or arbitrary subpath must never be
+    # publishable as a table
+    if version is not None and not version.startswith("v_"):
+        raise FileNotFoundError(
+            f"version {version!r} is not a retained version name"
+        )
     src = (
         os.path.join(src_path, version)
         if version is not None

@@ -29,6 +29,8 @@ silently truncating them.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,10 +62,18 @@ def read_csv_docs(
     raw = spark.read.text(path).select(F.col("value").alias("raw_line"))
     if header:
         raw = raw.filter(F.col("raw_line") != sep.join(DOC_CSV_COLUMNS))
+    # quote="" DISABLES quote processing: parsing is purely positional,
+    # so a quote character is data, never syntax -- otherwise an
+    # unterminated quote swallows separators into text (a clean-looking
+    # row with silently-mangled fields, the exact 'guessed at' outcome
+    # this loader's contract forbids)
     c = F.from_csv(
-        "raw_line", DOC_CSV_SCHEMA, {"sep": sep, "mode": "PERMISSIVE"}
+        "raw_line", DOC_CSV_SCHEMA,
+        {"sep": sep, "mode": "PERMISSIVE", "quote": ""},
     )
-    fields = F.split("raw_line", F.lit(sep))
+    # re.escape: split() takes a REGEX; a metachar separator ('|', '.')
+    # would otherwise split on every character
+    fields = F.split("raw_line", re.escape(sep))
     parsed = raw.select("raw_line", c.alias("c"), fields.alias("f"))
     n = len(DOC_CSV_COLUMNS)
     id_clash = (

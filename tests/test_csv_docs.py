@@ -63,3 +63,31 @@ def test_content_id_is_stable_across_reingest(spark, tmp_path):
     c1, _ = read_csv_docs(spark, p1)
     c2, _ = read_csv_docs(spark, p2)
     assert c1.first()["doc_id"] == c2.first()["doc_id"]
+
+
+def test_quotes_are_data_not_syntax(spark, tmp_path):
+    """Quote characters must never change field boundaries: an
+    unterminated quote used to swallow separators into text and emit a
+    clean-looking mangled row; with quoting disabled both lines parse
+    positionally (quotes kept as literal text)."""
+    lines = [
+        '1\t"hello"\ten\tweb',        # quoted-looking text: kept verbatim
+        '2\t"ab\ten\tweb',            # unterminated quote: still 4 fields
+    ]
+    path = _write(tmp_path, "q.tsv", lines)
+    clean, quarantine = read_csv_docs(spark, path)
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert quarantine.count() == 0
+    assert rows[1]["text"] == '"hello"' and rows[1]["lang"] == "en"
+    assert rows[2]["text"] == '"ab' and rows[2]["source"] == "web"
+
+
+def test_regex_metachar_separator(spark, tmp_path):
+    """A '|' separator must behave positionally, not as a regex (split
+    on '|' as a regex splits on EVERY character and quarantined every
+    valid row)."""
+    path = _write(tmp_path, "p.csv", ["1|hello world|en|web",
+                                      "2|short|row"])
+    clean, quarantine = read_csv_docs(spark, path, sep="|")
+    assert [r["text"] for r in clean.collect()] == ["hello world"]
+    assert quarantine.count() == 1

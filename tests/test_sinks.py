@@ -786,3 +786,17 @@ def test_clone_is_independent_zero_copy_table(spark, tmp_path):
         sinks.clone(src, dst)
     with pytest.raises(FileNotFoundError):
         sinks.clone(str(tmp_path / "nope"), str(tmp_path / "d2"))
+
+
+def test_clone_rejects_non_version_names(spark, tmp_path):
+    """Only v_ version directories are cloneable: a staging dir or
+    arbitrary subpath must never become a published table."""
+    src = str(tmp_path / "src")
+    sinks.write_replace(
+        spark.createDataFrame([(1, "a")], "id int, v string"), src
+    )
+    os.mkdir(os.path.join(src, "_staging_deadbeef"))
+    with pytest.raises(FileNotFoundError):
+        sinks.clone(src, str(tmp_path / "d"), version="_staging_deadbeef")
+    with pytest.raises(FileNotFoundError):
+        sinks.clone(src, str(tmp_path / "d"), version="..")
