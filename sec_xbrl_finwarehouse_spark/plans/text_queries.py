@@ -2090,6 +2090,13 @@ LIMIT {WSAMPLE_K}
 EDITDIST_BLOCK = 24
 # keep pairs with edit_dist * DENOM <= max(len) -- a 10% edit budget
 EDITDIST_DENOM = 10
+# drop blocking keys shared by more than this many documents: a prefix
+# or suffix shared by hundreds of docs is boilerplate (a license
+# header, a template banner), and pairing inside it is O(n^2) work
+# that near-never verifies -- the block-width cap bounds the candidate
+# count per block at CAP*(CAP-1)/2 and makes the worst-case shuffle
+# linear in corpus size instead of quadratic in the hottest key
+EDITDIST_BLOCK_CAP = 32
 
 
 def q_doc_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2115,9 +2122,16 @@ def q_doc_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the candidate-pair dedup shuffles 16-byte id pairs
     ONLY (texts are re-attached afterwards by two doc_id equi-joins on
     the corpus's own partitioning); the block join's skew risk is a
-    boilerplate prefix shared by millions of docs -- at 100 TB cap
-    block width (count per blk and drop blocks past a cap, they are
-    boilerplate by definition) or salt via operators/skew.py.
+    boilerplate prefix shared by millions of docs -- so the plan CAPS
+    block width: blocks with more than ``EDITDIST_BLOCK_CAP`` members
+    (per side) are dropped before the self-join, bounding per-block
+    candidates at CAP*(CAP-1)/2 and the total candidate count at
+    CAP/2 * corpus size. A dropped block is boilerplate by definition
+    (32+ documents sharing an identical 24-char prefix); genuinely
+    near-identical pairs inside it still surface through their OTHER
+    end's block unless that end is boilerplate too. The DuckDB oracle
+    applies the identical HAVING cap, so the contract is exact, not
+    approximate.
 
     Distance unit: UTF-8 BYTES, not code points -- DuckDB's
     levenshtein counts bytes while Spark's counts code points, so the
@@ -2146,6 +2160,17 @@ def q_doc_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("s").alias("side"),
     )
     keyed = pre.unionByName(suf)
+    # block-width cap: count members per (blk, side) and keep only
+    # blocks at or under the cap -- an aggregation on the SAME keys
+    # the self-join shuffles on, so the exchange is reused, and the
+    # count table joins back as the join's own build side
+    small_blocks = (
+        keyed.groupBy("blk", "side")
+        .agg(F.count(F.lit(1)).alias("blk_n"))
+        .filter(F.col("blk_n") <= EDITDIST_BLOCK_CAP)
+        .select("blk", "side")
+    )
+    keyed = keyed.join(small_blocks, ["blk", "side"])
     cand = (
         keyed.select("blk", "side", F.col("doc_id").alias("doc_id_a"))
         .join(
@@ -2196,9 +2221,14 @@ k AS (
          's'
   FROM d
 ),
+kc AS (
+  SELECT blk, side FROM k
+  GROUP BY blk, side HAVING count(*) <= {EDITDIST_BLOCK_CAP}
+),
+k2 AS (SELECT k.* FROM k JOIN kc USING (blk, side)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-  FROM k a JOIN k b
+  FROM k2 a JOIN k2 b
     ON a.blk = b.blk AND a.side = b.side AND a.doc_id < b.doc_id
 ),
 v AS (
@@ -2261,9 +2291,14 @@ k AS (
          's'
   FROM d
 ),
+kc AS (
+  SELECT blk, side FROM k
+  GROUP BY blk, side HAVING count(*) <= {EDITDIST_BLOCK_CAP}
+),
+k2 AS (SELECT k.* FROM k JOIN kc USING (blk, side)),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM k a JOIN k b
+  FROM k2 a JOIN k2 b
     ON a.blk = b.blk AND a.side = b.side AND a.doc_id < b.doc_id
 ),
 pairs AS (

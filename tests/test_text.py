@@ -632,6 +632,58 @@ def test_editdist_neardup_blocking_and_threshold(spark, tmp_path):
     assert oracle == want
 
 
+def test_editdist_block_width_cap_bounds_boilerplate(spark, tmp_path):
+    """Shared-prefix skew fixture: EDITDIST_BLOCK_CAP + 10 documents
+    share an identical 24-char boilerplate prefix (a license-header
+    shape) with pairwise-unrelated remainders, so the uncapped prefix
+    block alone would emit (CAP+10)*(CAP+9)/2 candidate pairs. The cap
+    must drop that block entirely -- the verified-pair set contains NO
+    pair of boilerplate docs -- while a small (under-cap) block of two
+    genuine near-dups still pairs normally, and the DuckDB oracle
+    (same HAVING cap) agrees byte-for-byte."""
+    import duckdb
+
+    from sec_xbrl_finwarehouse_spark.plans.text_queries import (
+        DOC_EDITDIST_NEARDUP_SQL,
+        EDITDIST_BLOCK,
+        EDITDIST_BLOCK_CAP,
+        q_doc_editdist_neardup,
+    )
+
+    boiler = "x" * EDITDIST_BLOCK  # identical 24-char prefix
+    n_boiler = EDITDIST_BLOCK_CAP + 10
+    texts = {}
+    for i in range(n_boiler):
+        # distinct, pairwise-far remainders AND distinct suffix-24
+        # blocks, so the only candidate path is the (dropped) prefix
+        texts[i] = boiler + f" document body {i} " + f"tail{i:04d} " * 8
+    # an under-cap block: two near-identical docs sharing their own
+    # prefix (and suffix), verifying the cap leaves small blocks alone
+    good = ("genuine near duplicate pair with a long shared body that "
+            "continues well past the blocking prefix and stays aligned")
+    texts[1000] = good
+    texts[1001] = good.replace("aligned", "alignedd")
+
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = q_doc_editdist_neardup(spark, str(tmp_path)).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in rows}
+    # the boilerplate block is gone: no pair touches the capped block
+    assert got == {(1000, 1001)}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {(a, b) for a, b, *_ in
+              con.execute(DOC_EDITDIST_NEARDUP_SQL).fetchall()}
+    assert oracle == got
+
+
 def test_weighted_sample_is_top_k_by_aes_key(spark, tmp_path):
     """A-ES sample: agrees with an independent pure-Python computation
     of the u^(1/w) keys (log form), and the selection is biased toward
