@@ -101,6 +101,27 @@ class ConcurrentWriteError(RuntimeError):
 # sentinel for "I expect the table not to exist yet"
 EXPECT_ABSENT = ""
 
+# per-version commit-sequence file: the CONTENT-ADDRESSED version order.
+# Directory mtime is only creation order while nothing outside the
+# writer touches the tree -- restore()/clone() hard-link trees, and an
+# external cp/rsync of a table directory rewrites every mtime, silently
+# reordering history (retain-prune would then count the wrong versions).
+# Every publish writes a monotonic sequence number (max existing + 1,
+# assigned INSIDE the commit lock) into the version directory instead;
+# mtime remains only the legacy fallback for pre-_SEQ versions.
+_SEQ_FILE = "_SEQ"
+
+
+def _version_seq(path: str, name: str) -> int | None:
+    """The commit sequence persisted in a version's manifest, or None
+    for a pre-_SEQ (legacy) version."""
+    try:
+        with open(os.path.join(path, name, _SEQ_FILE),
+                  encoding="ascii") as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+
 
 def _pointer_value(path: str) -> str | None:
     pointer = os.path.join(path, _POINTER)
@@ -194,6 +215,25 @@ def _publish_version(
                         f"{path}: expected current version "
                         f"{expected!r}, found {now!r}"
                     )
+            # stamp the commit sequence INSIDE the lock: max over every
+            # retained version (the staged dir itself may carry a stale
+            # _SEQ copied forward by a linked publish -- it is <= max
+            # and gets overwritten here), so the order is decided by
+            # the serialized commits, never by filesystem timestamps
+            seqs = [
+                s for s in (
+                    _version_seq(path, n)
+                    for n in os.listdir(path)
+                    if n.startswith("v_")
+                    and os.path.isdir(os.path.join(path, n))
+                )
+                if s is not None
+            ]
+            seq_path = os.path.join(version_dir, _SEQ_FILE)
+            with open(seq_path, "w", encoding="ascii") as f:
+                f.write(str((max(seqs) if seqs else 0) + 1))
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(tmp_pointer, pointer)  # THE commit point (atomic on POSIX)
     except ConcurrentWriteError:
         # the commit did NOT happen (lock timeout or OCC mismatch):
@@ -225,18 +265,25 @@ def _publish_version(
 
 
 def _versions_newest_first(path: str) -> list[str]:
-    """Version directory names under ``path``, newest first. Versions
-    are immutable once moved in, so directory mtime is creation order
-    (the current version is always newest: publishes are sequential
-    under the single-writer contract)."""
+    """Version directory names under ``path``, newest first, ordered by
+    the persisted ``_SEQ`` commit sequence -- content-addressed, so a
+    cp/rsync of the table tree (which rewrites every mtime) cannot
+    reorder history. Pre-_SEQ legacy versions sort BELOW every stamped
+    version (they are older by construction: once a stamped publish
+    exists, all later publishes stamp too) and amongst themselves by
+    mtime, the best signal available for them."""
     if not os.path.exists(path):
         return []
     vs = [n for n in os.listdir(path) if n.startswith("v_")
           and os.path.isdir(os.path.join(path, n))]
-    return sorted(
-        vs, key=lambda n: os.path.getmtime(os.path.join(path, n)),
-        reverse=True,
-    )
+
+    def key(n: str) -> tuple:
+        seq = _version_seq(path, n)
+        if seq is None:
+            return (0, os.path.getmtime(os.path.join(path, n)))
+        return (1, seq)
+
+    return sorted(vs, key=key, reverse=True)
 
 
 def list_versions(path: str) -> list[dict]:
@@ -248,6 +295,7 @@ def list_versions(path: str) -> list[dict]:
         {
             "version": name,
             "committed_at": os.path.getmtime(os.path.join(path, name)),
+            "seq": _version_seq(path, name),
             "is_current": name == cur_name,
         }
         for name in _versions_newest_first(path)

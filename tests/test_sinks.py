@@ -800,3 +800,157 @@ def test_clone_rejects_non_version_names(spark, tmp_path):
         sinks.clone(src, str(tmp_path / "d"), version="_staging_deadbeef")
     with pytest.raises(FileNotFoundError):
         sinks.clone(src, str(tmp_path / "d"), version="..")
+
+
+def test_version_order_survives_mtime_scramble(spark, tmp_path):
+    """Content-addressed history: version order comes from the _SEQ
+    commit sequence persisted at publish, NOT directory mtime. An
+    external copy of the whole table tree (cp/rsync -- every mtime
+    rewritten, here deliberately scrambled to REVERSE creation order)
+    must still enumerate versions correctly, time-travel to the right
+    snapshots, diff the right pair in table_changes, and retain-prune
+    the genuinely oldest version on the next publish."""
+    import shutil as _sh
+    import time as _time
+
+    src = str(tmp_path / "orig")
+    snapshots = []
+    for i in range(3):
+        df = spark.range(i + 1).withColumn("gen", F.lit(i))
+        sinks.write_replace(df, src, retain=4)
+        snapshots.append({tuple(r) for r in df.collect()})
+    order_before = [v["version"] for v in sinks.list_versions(src)]
+
+    # external copy + mtime scramble: newest version gets the OLDEST
+    # mtime and vice versa -- an mtime sort would exactly reverse history
+    dst = str(tmp_path / "copied")
+    _sh.copytree(src, dst)
+    now = _time.time()
+    for rank, name in enumerate(order_before):
+        os.utime(os.path.join(dst, name), (now - 9999 * (rank + 1),) * 2)
+
+    versions = sinks.list_versions(dst)
+    assert [v["version"] for v in versions] == order_before
+    assert versions[0]["is_current"]
+    assert [v["seq"] for v in versions] == [3, 2, 1]
+    for v, gen in zip(versions, (2, 1, 0)):
+        got = {tuple(r) for r in sinks.read_table(
+            spark, dst, version=v["version"]).collect()}
+        assert got == snapshots[gen]
+
+    # CDF diffs current against the TRUE previous (gen1: ids 0,1), not
+    # the mtime-youngest directory (gen0 after the scramble): id 2 is
+    # the insert, ids 0/1 are gen-column updates. Against gen0 the set
+    # would instead be {(1, insert), (2, insert), (0, update)}.
+    changes = sinks.table_changes(spark, dst, ["id"]).collect()
+    assert {(r["id"], r["_change_type"]) for r in changes} == \
+        {(2, "insert"), (0, "update_postimage"), (1, "update_postimage")}
+
+    # retain-prune on the copied table drops the genuinely oldest
+    sinks.write_replace(
+        spark.range(4).withColumn("gen", F.lit(3)), dst, retain=3)
+    kept = [v["version"] for v in sinks.list_versions(dst)]
+    assert len(kept) == 3
+    assert order_before[-1] not in kept        # gen0 pruned
+    assert set(order_before[:2]) <= set(kept)  # gen1, gen2 retained
+
+
+# ---- property: version store under interleaved writers ---------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# ops are interpreted by _run_version_store_schedule below
+_op = st.one_of(
+    st.tuples(st.just("upsert"),
+              st.dictionaries(st.integers(0, 4), st.integers(0, 99),
+                              min_size=1, max_size=3)),
+    st.tuples(st.just("stale_write"),
+              st.dictionaries(st.integers(0, 4), st.integers(0, 99),
+                              min_size=1, max_size=3)),
+    st.tuples(st.just("restore"), st.integers(0, 3)),
+    st.tuples(st.just("vacuum"), st.just(0)),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(schedule=st.lists(_op, min_size=1, max_size=5))
+def test_version_store_occ_schedule_no_lost_updates(spark, tmp_path_factory,
+                                                    schedule):
+    """Randomized interleavings of occ-upsert / stale-OCC-write /
+    restore / vacuum against a sequential model: (1) a stale writer
+    (its read snapshot superseded by an interloper's commit) ALWAYS
+    fails with ConcurrentWriteError and changes nothing -- the
+    interloper's update is never lost; (2) after every successful op
+    the stored table equals the model exactly; (3) no operation --
+    including the failed commits -- leaves an orphan v_* directory
+    (every v_* on disk is the one the pointer or retention accounts
+    for, and vacuum collapses history to exactly the current one)."""
+    path = str(tmp_path_factory.mktemp("occ_sched") / "t")
+
+    def df_of(d):
+        return spark.createDataFrame(
+            sorted(d.items()), "k int, v int")
+
+    def table_dict():
+        t = sinks.read_table(spark, path)
+        return {} if t is None else {r["k"]: r["v"] for r in t.collect()}
+
+    def v_dirs():
+        if not os.path.exists(path):
+            return set()
+        return {n for n in os.listdir(path)
+                if n.startswith("v_") and os.path.isdir(
+                    os.path.join(path, n))}
+
+    model: dict[int, int] = {}
+    by_version: dict[str, dict[int, int]] = {}
+
+    def record_current():
+        cur = sinks.current_data_dir(path)
+        if cur:
+            by_version[os.path.basename(cur)] = dict(model)
+
+    for op, arg in schedule:
+        if op == "upsert":
+            sinks.upsert(spark, path, df_of(arg), keys=["k"],
+                         audit=False, occ=True, retain=4)
+            model.update(arg)
+            record_current()
+        elif op == "stale_write":
+            # writer A resolves its snapshot ...
+            cur = sinks.current_data_dir(path)
+            stale = sinks.EXPECT_ABSENT if cur is None \
+                else os.path.basename(cur)
+            # ... interloper B commits first (this update must survive)
+            interloper = {k: v + 1000 for k, v in arg.items()}
+            sinks.upsert(spark, path, df_of(interloper), keys=["k"],
+                         audit=False, occ=True, retain=4)
+            model.update(interloper)
+            record_current()
+            dirs_before = v_dirs()
+            # ... A's commit against the superseded snapshot must fail
+            # atomically: no data change, no orphan staged version
+            with pytest.raises(sinks.ConcurrentWriteError):
+                sinks.write_replace(df_of(arg), path, retain=4,
+                                    expect_version=stale)
+            assert v_dirs() == dirs_before
+        elif op == "restore":
+            targets = [v["version"] for v in sinks.list_versions(path)
+                       if not v["is_current"] and v["version"] in by_version]
+            if not targets:
+                continue
+            target = targets[arg % len(targets)]
+            new_v = sinks.restore(path, target)
+            model = dict(by_version[target])
+            by_version[new_v] = dict(model)
+        elif op == "vacuum":
+            if sinks.current_data_dir(path) is None:
+                continue
+            sinks.vacuum(path)
+            assert len(v_dirs()) == 1
+        assert table_dict() == model
+        # no orphans: every v_* directory on disk is enumerated by the
+        # version catalog (an orphan would corrupt retain accounting)
+        assert v_dirs() == {v["version"] for v in sinks.list_versions(path)}
