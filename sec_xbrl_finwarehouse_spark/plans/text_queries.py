@@ -1928,24 +1928,27 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("c.i").alias("i"), F.col("c.s").alias("s"))
     )
+    # ONE exchange elects every winner: hash-partition the spans by
+    # hkey, then row_number (ordered by (doc_id, i) -- rank 1 IS the
+    # min-struct winner) and the min/max-shingle collision check ride
+    # the same window partition. The former groupBy + join-back shape
+    # shuffled the full span set TWICE (agg, then re-attach); this
+    # plan shuffles it once, exactly like the oracle's ROW_NUMBER.
     sp_h = spans.withColumn("hkey", F.xxhash64("s"))
-    agg = sp_h.groupBy("hkey").agg(
-        F.min(F.struct("doc_id", "i")).alias("w"),
-        F.count("*").alias("cnt"),
-        F.min("s").alias("mn"),
-        F.max("s").alias("mx"),
+    wp = Window.partitionBy("hkey")
+    sp2 = sp_h.select(
+        "doc_id", "i", "s",
+        F.row_number().over(wp.orderBy("doc_id", "i")).alias("rn"),
+        F.min("s").over(wp).alias("mn"),
+        F.max("s").over(wp).alias("mx"),
     )
-    clean_dups = agg.filter(
-        (F.col("cnt") > 1) & (F.col("mn") == F.col("mx"))
-    ).select("hkey", "w")
     bad_clean = (
-        sp_h.join(clean_dups, "hkey")
-        .filter(~((F.col("doc_id") == F.col("w.doc_id"))
-                  & (F.col("i") == F.col("w.i"))))
+        sp2.filter((F.col("mn") == F.col("mx")) & (F.col("rn") > 1))
         .select("doc_id", "i")
     )
-    collided_keys = agg.filter(F.col("mn") != F.col("mx")).select("hkey")
-    coll = sp_h.join(F.broadcast(collided_keys), "hkey", "left_semi")
+    # colliding hashes (P ~ n^2/2^64): a collision-group-sized subset,
+    # re-resolved by exact text
+    coll = sp2.filter(F.col("mn") != F.col("mx")).select("doc_id", "i", "s")
     coll_w = coll.groupBy("s").agg(
         F.min(F.struct("doc_id", "i")).alias("w"),
         F.count("*").alias("cnt"),
@@ -1956,24 +1959,78 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("i") == F.col("w.i"))))
         .select("doc_id", "i")
     )
+    # RANGE-COMPRESS the excised positions before reassembly: in the
+    # duplicate-heavy regime (boilerplate corpora, the 20x bench
+    # fixture) nearly every span start is bad and the starts form long
+    # RUNS -- checking each token against every bad start is
+    # O(n_tokens * n_bad) per doc. Sorting the starts and merging
+    # overlapping/adjacent [i, i+K) windows into maximal intervals
+    # (hi is monotone in sorted order, so a merge just extends the
+    # last interval) makes the per-token test O(n_ranges), and a
+    # fully-duplicated region of any length collapses to ONE range.
+    # linear merge over the SORTED starts: srt[j] extends the previous
+    # window iff srt[j] <= srt[j-1] + K (hi is monotone, so the chain
+    # condition is consecutive-element-local); range los are the chain
+    # breaks, range his are the elements BEFORE a break, +K. Every step
+    # is an O(b) array op (filter/element_at/zip_with), never an
+    # accumulator copy -- an aggregate() building the range array would
+    # re-copy it per element and go quadratic exactly in the
+    # duplicate-heavy regime this compression targets.
+    srt = F.col("srt")
+    los = F.filter(
+        srt,
+        lambda x, j: (j == F.lit(0))
+        | (x - F.element_at(srt, j) > SPAN_K),   # element_at is 1-based:
+    )                                            # srt[j] is x's predecessor
+    his = F.transform(
+        F.filter(
+            srt,
+            lambda x, j: (j == F.size(srt) - 1)
+            | (F.element_at(srt, j + 2) - x > SPAN_K),
+        ),
+        lambda x: (x + SPAN_K).cast("int"),
+    )
     bad_per_doc = (
         bad_clean.unionByName(bad_coll)
         .groupBy("doc_id").agg(F.collect_list("i").alias("bad_i"))
-    )
-    bad_arr = F.coalesce(F.col("bad_i"), F.array().cast("array<int>"))
-    keep = F.filter(
-        F.col("toks"),
-        lambda t, p: ~F.exists(
-            bad_arr, lambda s: (s <= p) & (p < s + F.lit(SPAN_K))
-        ),
-    )
-    return (
-        base.join(bad_per_doc, "doc_id", "left")
+        # hoisted: los/his/zip_with reference the sorted array THREE
+        # times -- materialize the sort once per row, not per reference
+        .withColumn("srt", F.array_sort("bad_i"))
         .select(
             "doc_id",
-            F.array_join(keep, " ").alias("text_dedup"),
+            F.zip_with(
+                los, his,
+                lambda lo, hi: F.struct(lo.cast("int").alias("lo"),
+                                        hi.alias("hi")),
+            ).alias("rngs"),
+        )
+    )
+    rng_arr = F.coalesce(
+        F.col("rngs"), F.array().cast("array<struct<lo:int,hi:int>>")
+    )
+    # reassemble by GAP SLICES, not a per-token predicate: the ranges
+    # are sorted and disjoint, so the survivors are the slices between
+    # them ([0, lo_1), [hi_1, lo_2), ..., [hi_last, n)) -- straight
+    # array copies, no exists() evaluation per token
+    gap_starts = F.concat(
+        F.array(F.lit(0)), F.transform(rng_arr, lambda r: r["hi"])
+    )
+    gap_ends = F.concat(
+        F.transform(rng_arr, lambda r: r["lo"]),
+        F.array(F.col("n").cast("int")),
+    )
+    keep = F.flatten(F.zip_with(
+        gap_starts, gap_ends,
+        lambda a, b: F.slice(F.col("toks"), a + 1, F.greatest(b - a, F.lit(0))),
+    ))
+    return (
+        base.join(bad_per_doc, "doc_id", "left")
+        .withColumn("kept", keep)   # hoisted: used by text AND the count
+        .select(
+            "doc_id",
+            F.array_join("kept", " ").alias("text_dedup"),
             F.col("n").cast("long").alias("n_tokens"),
-            (F.col("n") - F.size(keep)).cast("long").alias("n_removed"),
+            (F.col("n") - F.size("kept")).cast("long").alias("n_removed"),
         )
     )
 
