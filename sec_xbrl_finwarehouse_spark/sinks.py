@@ -880,6 +880,14 @@ def append_if_absent(
     part-files committed (0 => the batch was a pure duplicate, no new
     version is published, and the table is byte-identical -- the S6
     idempotence contract).
+
+    Key comparison is NULL-SAFE -- a deliberate deviation from the
+    reference's plain-UNIQUE Postgres constraint (db/schema.sql:39),
+    under which NULLs compare distinct and a re-run of ingest_facts.py
+    re-inserts every NULL-period_start stock fact forever. Delta/
+    Iceberg MERGE key matching is null-safe for the same reason; the
+    operator-level ``operators.upsert.insert_if_absent`` keeps plain
+    equality for exact oracle parity with NOT EXISTS.
     """
     existing = read_table(spark, path)
     fresh = incoming.dropDuplicates(list(keys))
@@ -888,9 +896,19 @@ def append_if_absent(
     if existing is None:
         write_replace(fresh, path, manifest_extra=manifest_extra)
         return 1
-    fresh = fresh.select(*existing.columns).join(
-        existing.select(*keys), list(keys), "left_anti"
-    )
+    # NULL-SAFE anti-join: a nullable key column (e.g. period_start on
+    # stock facts) under plain equality NEVER matches its stored twin
+    # (NULL = NULL is NULL), so every re-ingest would re-append those
+    # rows forever -- breaking the idempotence contract above.
+    # dropDuplicates is already null-safe (groupBy semantics); the
+    # absence probe must be too.
+    f = fresh.select(*existing.columns).alias("f")
+    e = existing.select(*keys).alias("e")
+    cond = None
+    for k in keys:
+        c = F.col(f"f.{k}").eqNullSafe(F.col(f"e.{k}"))
+        cond = c if cond is None else (cond & c)
+    fresh = f.join(e, cond, "left_anti")
     staging = f"{path}.__staging__{uuid.uuid4().hex}"
     fresh.write.mode("overwrite").parquet(staging)
     try:

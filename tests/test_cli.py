@@ -176,7 +176,12 @@ def test_cli_serve_responds(offline_env):
     raise AssertionError(f"serve never came up: {last}")
 
 
-def test_cli_missing_prereqs_fail_cleanly(tmp_path):
+def test_cli_missing_prereqs_fail_cleanly(tmp_path, monkeypatch):
+    # load_env writes into os.environ, which persists across in-process
+    # main() calls from the other tests -- scrub it so THIS test sees a
+    # clean environment (a real CLI run is one process, one load_env)
+    for var in ("WAREHOUSE_DIR", "TICKERS", "SEC_USER_AGENT", "QUOTED"):
+        monkeypatch.delenv(var, raising=False)
     env = tmp_path / ".env"
     env.write_text(f"WAREHOUSE_DIR={tmp_path / 'w'}\n")
     with pytest.raises(SystemExit):
