@@ -16,11 +16,14 @@ driver-side executemany; the standard distributed pattern is:
 3. drop the staging table.
 
 Statement generation is pure (unit-tested against the reference's SQL
-shapes); execution is injected, so the module works with any DB-API
-connection factory and tests run without a database. There is no JDBC
-driver or Postgres in this container -- ``upsert_jdbc`` is exercised in
-tests through a recording executor, and the ``df.write.jdbc`` call is
-the stock Spark writer, nothing custom to test.
+shapes); execution AND staging are injected, so the module works with
+any DB-API connection factory. With no JDBC driver or Postgres in this
+container, the whole orchestration (stage -> set-based merge -> drop
+staging) runs end-to-end in tests against EMBEDDED sqlite3, whose
+``ON CONFLICT (pk) DO UPDATE/DO NOTHING`` dialect matches Postgres
+(tests/test_sinks_jdbc.py: live last-write-wins + refreshed
+updated_at); production keeps the stock distributed ``df.write.jdbc``
+staging writer.
 """
 
 from __future__ import annotations
@@ -56,6 +59,9 @@ def upsert_merge_sql(
     return (
         f"INSERT INTO {_ident(target)} ({collist})\n"
         f"SELECT {collist} FROM {_ident(staging)}\n"
+        # WHERE true disambiguates upsert-ON CONFLICT from a join's ON
+        # for sqlite's parser; Postgres accepts it identically
+        f"WHERE true\n"
         f"ON CONFLICT ({keylist}) DO UPDATE SET\n  "
         + ",\n  ".join(updates)
     )
@@ -72,6 +78,7 @@ def insert_ignore_sql(
     return (
         f"INSERT INTO {_ident(target)} ({collist})\n"
         f"SELECT {collist} FROM {_ident(staging)}\n"
+        f"WHERE true\n"
         f"ON CONFLICT ({keylist}) DO NOTHING"
     )
 
@@ -85,15 +92,25 @@ def upsert_jdbc(
     mode: str = "update",
     properties: dict[str, str] | None = None,
     staging_suffix: str = "_staging",
+    stage: Callable[[DataFrame, str], None] | None = None,
 ) -> str:
     """Distributed JDBC upsert: stage the DataFrame, merge set-based.
 
     ``execute`` runs one server-side SQL string (a DB-API cursor's
     ``execute`` bound to the warehouse, or a test recorder). ``mode``:
     ``"update"`` = ON CONFLICT DO UPDATE (S5), ``"nothing"`` = DO
-    NOTHING (S6). Returns the merge SQL it executed."""
+    NOTHING (S6). ``stage`` overrides the staging writer (default:
+    ``df.write.jdbc`` overwrite) -- the second injection point, letting
+    the whole orchestration run against any DB-API database (the
+    embedded-sqlite end-to-end test) or a recording double, while
+    production keeps the distributed JDBC write. Returns the merge SQL
+    it executed."""
     staging = f"{target}{staging_suffix}"
-    df.write.jdbc(url, staging, mode="overwrite", properties=properties or {})
+    if stage is not None:
+        stage(df, staging)
+    else:
+        df.write.jdbc(url, staging, mode="overwrite",
+                      properties=properties or {})
     if mode == "update":
         sql = upsert_merge_sql(target, staging, df.columns, keys)
     elif mode == "nothing":

@@ -45,3 +45,107 @@ def test_insert_ignore_matches_reference_shape():
 def test_identifier_quoting():
     sql = insert_ignore_sql('we"ird', "s", ['a"b'], ['a"b'])
     assert '"we""ird"' in sql and '"a""b"' in sql
+
+
+# ---- live embedded-database end-to-end (VERDICT r8 next-round #6) ----------
+
+def _sqlite_stage(con):
+    """Stage a DataFrame into sqlite exactly as df.write.jdbc(overwrite)
+    would: drop + recreate the staging table, bulk-insert the rows."""
+    def stage(df, staging):
+        cols = df.columns
+        con.execute(f'DROP TABLE IF EXISTS "{staging}"')
+        con.execute(
+            f'CREATE TABLE "{staging}" ({", ".join(cols)})'
+        )
+        con.executemany(
+            f'INSERT INTO "{staging}" VALUES ({", ".join("?" * len(cols))})',
+            [tuple(r) for r in df.collect()],
+        )
+    return stage
+
+
+@pytest.fixture()
+def sqlite_db(tmp_path):
+    """sqlite3 (stdlib) speaks the same ON CONFLICT (pk) DO UPDATE /
+    DO NOTHING dialect as Postgres (since 3.24); now() is injected as
+    a deterministic scalar so the audit refresh is assertable."""
+    import sqlite3
+
+    con = sqlite3.connect(str(tmp_path / "wh.db"))
+    con.create_function("now", 0, lambda: "2099-01-01T00:00:00Z")
+    con.execute(
+        'CREATE TABLE "statements" '
+        "(cik TEXT, fiscal_year INT, revenues REAL, updated_at TEXT, "
+        "PRIMARY KEY (cik, fiscal_year))"
+    )
+    yield con
+    con.close()
+
+
+def test_upsert_jdbc_live_sqlite_last_write_wins(spark, sqlite_db):
+    """The full staged-merge orchestration against a REAL database:
+    batch 1 inserts, batch 2 collides on one key and must win with a
+    refreshed updated_at (F12), add a new key, and leave untouched
+    rows' stamps alone; the staging table is dropped after each merge."""
+    from sec_xbrl_finwarehouse_spark.sinks_jdbc import upsert_jdbc
+
+    con = sqlite_db
+    t0 = "2020-01-01T00:00:00Z"
+    b1 = spark.createDataFrame(
+        [("0001", 2020, 100.0, t0), ("0002", 2020, 200.0, t0)],
+        "cik string, fiscal_year int, revenues double, updated_at string",
+    )
+    sql = upsert_jdbc(b1, url="", target="statements",
+                      keys=["cik", "fiscal_year"],
+                      execute=con.execute, stage=_sqlite_stage(con))
+    assert 'ON CONFLICT ("cik", "fiscal_year") DO UPDATE SET' in sql
+
+    b2 = spark.createDataFrame(
+        [("0002", 2020, 999.0, t0), ("0003", 2020, 300.0, t0)],
+        "cik string, fiscal_year int, revenues double, updated_at string",
+    )
+    upsert_jdbc(b2, url="", target="statements",
+                keys=["cik", "fiscal_year"],
+                execute=con.execute, stage=_sqlite_stage(con))
+
+    rows = {r[0]: r for r in con.execute(
+        'SELECT cik, revenues, updated_at FROM "statements" ORDER BY cik'
+    ).fetchall()}
+    assert rows["0001"] == ("0001", 100.0, t0)      # untouched
+    assert rows["0002"][1] == 999.0                  # last write wins
+    assert rows["0002"][2] == "2099-01-01T00:00:00Z"  # audit refreshed
+    assert rows["0003"] == ("0003", 300.0, t0)      # plain insert
+    # staging dropped by the orchestration
+    left = con.execute(
+        "SELECT name FROM sqlite_master WHERE name LIKE '%staging%'"
+    ).fetchall()
+    assert left == []
+
+
+def test_upsert_jdbc_live_sqlite_do_nothing(spark, sqlite_db):
+    """mode='nothing' (S6) against the live table: colliding keys keep
+    their ORIGINAL values and stamps."""
+    from sec_xbrl_finwarehouse_spark.sinks_jdbc import upsert_jdbc
+
+    con = sqlite_db
+    t0 = "2020-01-01T00:00:00Z"
+    b1 = spark.createDataFrame(
+        [("0001", 2020, 100.0, t0)],
+        "cik string, fiscal_year int, revenues double, updated_at string",
+    )
+    upsert_jdbc(b1, url="", target="statements",
+                keys=["cik", "fiscal_year"],
+                execute=con.execute, stage=_sqlite_stage(con))
+    b2 = spark.createDataFrame(
+        [("0001", 2020, 999.0, "2021-01-01T00:00:00Z"),
+         ("0002", 2020, 200.0, t0)],
+        "cik string, fiscal_year int, revenues double, updated_at string",
+    )
+    upsert_jdbc(b2, url="", target="statements",
+                keys=["cik", "fiscal_year"], mode="nothing",
+                execute=con.execute, stage=_sqlite_stage(con))
+    rows = con.execute(
+        'SELECT cik, revenues, updated_at FROM "statements" ORDER BY cik'
+    ).fetchall()
+    assert rows == [("0001", 100.0, t0), ("0002", 200.0, t0)]
