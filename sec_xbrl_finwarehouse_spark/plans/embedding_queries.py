@@ -44,6 +44,16 @@ TOPK = 5
 NEARDUP_COS = 0.4
 LSH_TABLES = 8
 LSH_BITS = 8
+# multi-probe masks, Hamming distance <= 2: the identity probe, every
+# 1-bit flip, every 2-bit flip (1 + 8 + 28 = 37 at B=8). Shared between
+# the Spark fan-out and the DuckDB oracle via the same enumeration
+# ORDER so the two candidate sets are spelled identically.
+PROBE_MASKS = (
+    [0]
+    + [1 << b for b in range(LSH_BITS)]
+    + [(1 << b1) | (1 << b2)
+       for b1 in range(LSH_BITS) for b2 in range(b1 + 1, LSH_BITS)]
+)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str, parallel: bool = True) -> DataFrame:
@@ -397,17 +407,18 @@ def _lsh_buckets_udf():
 
 
 def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via random-hyperplane LSH with Hamming-distance-1
+    """ANN top-k via random-hyperplane LSH with Hamming-distance-<=2
     MULTI-PROBE: bucket both sides per table, fan the query side out to
-    its own bucket plus every 1-bit-flip neighbor bucket, equi-join on
-    (table, bucket) for candidates, exact cosine re-rank of candidates
-    only. Sub-quadratic: cost scales with bucket collision counts, not
-    corpus^2, and the probe fan-out touches only the tiny broadcast
-    query side. Recall is probabilistic in the *data* (8 tables x 8
-    bits + 8 probes; >=0.8 recall@{TOPK} on clustered corpora --
-    tests/test_embeddings.py plants one -- lower on the isotropic
-    worst case, measured honestly by q_emb_ann_recall), but the query
-    itself is deterministic -- the planes are md5-derived
+    its own bucket plus every 1-bit and 2-bit-flip neighbor bucket (37
+    probes per table), equi-join on (table, bucket) for candidates,
+    exact cosine re-rank of candidates only. Sub-quadratic: cost scales
+    with bucket collision counts, not corpus^2, and the probe fan-out
+    touches only the tiny broadcast query side. Recall is probabilistic
+    in the *data* (8 tables x 8 bits + H<=2 probes; >=0.85 recall@{TOPK}
+    measured on the ISOTROPIC sf0.1 corpus -- the worst case, cosines
+    near 0 -- and >=0.8 gated on the clustered fixture in
+    tests/test_embeddings.py; q_emb_ann_recall measures it honestly),
+    but the query itself is deterministic -- the planes are md5-derived
     (:func:`_lsh_planes`), so the DuckDB oracle replicates the exact
     candidate sets and the driver check is a full hash match."""
     e = _embeddings(spark, sf_dir, parallel=False)
@@ -431,18 +442,21 @@ def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tbl", "bucket")
     )
     # MULTI-PROBE (Lv et al. '07): each query also probes every bucket
-    # at Hamming distance 1 from its own -- the buckets a true neighbor
-    # most likely fell into when exactly one plane disagreed. Only the
-    # QUERY side fans out (x LSH_BITS+1 rows on the tiny broadcast
-    # side); the corpus is bucketed and scanned exactly once, so the
-    # at-scale cost model is unchanged while recall rises steeply
-    # (per-table hit prob p^B -> p^B + B*p^(B-1)*(1-p)).
+    # at Hamming distance <= 2 from its own -- the buckets a true
+    # neighbor most likely fell into when one or two planes disagreed.
+    # Only the QUERY side fans out (x PROBE_MASKS rows on the tiny
+    # broadcast side: 1 + B + B*(B-1)/2 = 37 at B=8); the corpus is
+    # bucketed and scanned exactly once, so the at-scale cost model is
+    # unchanged while recall rises steeply (per-table hit prob p^B ->
+    # p^B + B p^(B-1) q + C(B,2) p^(B-2) q^2). Hamming-1 probes
+    # measured 0.72 mean recall@5 on the isotropic sf0.1 corpus (the
+    # documented worst case -- cosines concentrate near 0 so every
+    # plane is a coin flip); Hamming-2 lifts it to the >= 0.85 gate
+    # without clustering assumptions (BASELINE.md r9 probe sweep).
     q = q.select(
         "query_id", "qemb", "tbl",
         F.explode(F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << b))
-              for b in range(LSH_BITS)],
+            *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in PROBE_MASKS],
         )).alias("bucket"),
     )
     c = (
@@ -496,15 +510,21 @@ buckets AS (
 )"""
 
 EMB_LSH_ANN_TOPK_SQL = f"""{_LSH_BUCKET_CTES},
+probes AS (
+  -- multi-probe masks, Hamming distance <= 2: identity, every 1-bit
+  -- flip, every 2-bit flip -- must match Spark's PROBE_MASKS bit for
+  -- bit (candidates are DISTINCT-ed, so enumeration order is free)
+  SELECT 0 AS mask
+  UNION ALL
+  SELECT CAST(1 << b AS BIGINT) FROM range(0, {LSH_BITS}) t(b)
+  UNION ALL
+  SELECT CAST((1 << b1) | (1 << b2) AS BIGINT)
+  FROM range(0, {LSH_BITS}) t1(b1)
+  JOIN range(0, {LSH_BITS}) t2(b2) ON b2 > b1
+),
 qprobe AS (
-  -- multi-probe: the query's own bucket (p = 0) plus every bucket at
-  -- Hamming distance 1 (flip bit p - 1) -- must match the Spark probe
-  -- fan-out bit for bit
-  SELECT vec_id, tbl,
-         CASE WHEN p = 0 THEN CAST(bucket AS BIGINT)
-              ELSE xor(CAST(bucket AS BIGINT),
-                       CAST(1 << (p - 1) AS BIGINT)) END AS bucket
-  FROM buckets CROSS JOIN range(0, {LSH_BITS + 1}) t(p)
+  SELECT vec_id, tbl, xor(CAST(bucket AS BIGINT), mask) AS bucket
+  FROM buckets CROSS JOIN probes
   WHERE vec_id < {N_QUERIES}
 ),
 cand AS (
