@@ -27,6 +27,25 @@ from sec_xbrl_finwarehouse_spark.plans import star_queries as sq
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# the 17 reference-parity star queries (window group 1 in r9)
+STAR_PARITY = {
+    "statements_annual", "ratios_annual", "screener",
+    "window_dedup_latest", "pivot_wide", "flow_stock_union",
+    "window_dedup_priority", "coalesce_priority", "annual_period_filter",
+    "top_k_orders", "natural_key_dedup", "insert_if_absent",
+    "upsert_latest_wins", "statements_annual_v2", "statements_annual_v1",
+    "company_profile", "ratios_lookup",
+}
+
+# the 10 emb/text entries rotated just outside r8's window (latest
+# driver rows r5/r7) -- back inside for r9
+ROTATED_OUT_R8 = [
+    "emb_cosine_neardup", "emb_int8_quantize", "emb_hard_negatives",
+    "emb_kmeans_iter", "emb_dedup_clusters", "doc_semantic_dedup",
+    "emb_nearest_centroid", "doc_jaccard_pairs", "emb_lsh_neardup",
+    "doc_containment_pairs",
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full reference pipeline (ingest-shaped facts ->
@@ -35,94 +54,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver's correctness gate covers the first 50
-    # entries in dict order per round.  The window ROTATES each round so
-    # every query's driver verdict stays <= 2 rounds old: r5 put the
-    # emb/corpus/text packs first; r6/r7 ran star/parity + events first.
-    # r8 rotates BACK to the text/corpus/emb entries (2-round-stale
-    # driver rows; new this round: doc_chunk, doc_span_dedup,
-    # doc_bigram_logprob, doc_dup_ngram_frac, doc_editdist_neardup,
-    # doc_weighted_sample, emb_ivf_pq_ann_topk, emb_ivfpq_recall,
-    # emb_hard_negatives_ann, event_kmv_distinct, event_kmv_overlap,
-    # event_histogram_quantiles, event_bloom_semijoin,
-    # doc_minhash_jaccard_est, doc_ccnet_bucket, doc_editdist_clusters
-    # -- every one is placed INSIDE the window) -- doc_seq_packing
-    # PINNED FIRST because its only driver verdict ever is the r5 hash
-    # FAIL (fixed in r6, never driver-verified since). Window
-    # arithmetic: 1 seq_packing + 4 new events + 25 text + 10 corpus +
-    # 10 emb = 50 exactly; eight emb entries, doc_jaccard_pairs, and
-    # doc_containment_pairs are rotated just outside (see below;
-    # nearest_centroid is exercised by every IVF query's cell-argmin,
-    # lsh_neardup's projection/bucketing by the in-window
-    # emb_lsh_ann_topk). The star/events entries after the boundary all
-    # carry green r5/r7 driver rows. All pass
+    # NOTE on ordering: the driver's correctness gate covers the first
+    # 50 entries in dict order per round. The window ROTATES each round
+    # so every query's driver verdict stays <= 2 rounds old: r8 ran the
+    # text/corpus/emb packs (all 50 green, CORRECTNESS_r08.json); r9 is
+    # the exact complement -- the 45 entries OUTSIDE r8's window (17
+    # reference-parity star + 22 events + the 10 rotated-out emb/text
+    # entries, whose latest rows are r5/r7) PLUS the 5 queries whose
+    # CODE changed this round and must be driver re-verified despite
+    # green r8 rows: doc_editdist_neardup/_clusters (block-width skew
+    # cap, both engines), doc_span_dedup (single-exchange winner
+    # election + gap-slice reassembly), emb_lsh_ann_topk and
+    # emb_ann_recall (Hamming-<=2 multi-probe, both engines). 45 + 5 =
+    # 50 exactly. After this round every one of the 95 queries carries
+    # a green r8-or-r9 driver row. The entries below the boundary are
+    # r8-green and byte-identical since. All pass
     # tools/check_correctness.py locally regardless of position.
-    text_q = dict(text_queries.QUERIES)
-    seq_packing = text_q.pop("doc_seq_packing")
-    # identical output contract AND oracle as the in-window
-    # doc_minhash_lsh_dedup (the exhaustive baseline twin, byte-stable
-    # since its green r7 row) -- rotated just outside for the new
-    # doc_minhash_jaccard_est, which re-exercises the same pair
-    # arithmetic plus the signature estimator
-    jaccard_pairs = text_q.pop("doc_jaccard_pairs")
-    # one-sided-containment sibling of the in-window banded-candidate
-    # family (byte-stable since its green r7 row) -- rotated just
-    # outside for doc_editdist_clusters, whose two halves (editdist
-    # pairs, Hash-Min components) are BOTH in-window
-    containment = text_q.pop("doc_containment_pairs")
-    events_q = dict(events_queries.QUERIES)
-    kmv = events_q.pop("event_kmv_distinct")
-    hist_q = events_q.pop("event_histogram_quantiles")
-    kmv_overlap = events_q.pop("event_kmv_overlap")
-    bloom = events_q.pop("event_bloom_semijoin")
-    emb_q = dict(embedding_queries.QUERIES)
-    cosine_neardup = emb_q.pop("emb_cosine_neardup")
-    # rotated just outside the window to make room for the five
-    # late-r8 additions (kmv, kmv_overlap, histogram_quantiles,
-    # editdist_neardup, weighted_sample): each carries a green r5 row
-    # and its arithmetic is re-exercised by an in-window sibling (int8
-    # by the PQ coders, hard_negatives by emb_hard_negatives_ann,
-    # kmeans by the IVF centroid builders, emb_dedup_clusters and
-    # doc_semantic_dedup's Hash-Min/LSH-cosine cores by the in-window
-    # doc_dedup_clusters + emb_lsh_neardup). All pass
-    # tools/check_correctness.py locally.
-    int8 = emb_q.pop("emb_int8_quantize")
-    hardneg = emb_q.pop("emb_hard_negatives")
-    kmeans = emb_q.pop("emb_kmeans_iter")
-    emb_clusters = emb_q.pop("emb_dedup_clusters")
-    semantic = emb_q.pop("doc_semantic_dedup")
-    centroid = emb_q.pop("emb_nearest_centroid")
-    lsh_neardup = emb_q.pop("emb_lsh_neardup")
-    return {
-        "doc_seq_packing": seq_packing,
-        # new this round, driver-unseen: pinned inside the window
-        "event_kmv_distinct": kmv,
-        "event_histogram_quantiles": hist_q,
-        "event_kmv_overlap": kmv_overlap,
-        "event_bloom_semijoin": bloom,
-        # beyond-reference: text analysis + dedup (25 more, incl. the
-        # new doc_editdist_neardup + doc_weighted_sample via text_q)
-        **text_q,
-        # beyond-reference: corpus hygiene (9)
-        **corpus_queries.QUERIES,
-        # beyond-reference: embedding similarity search (12 in-window)
-        **emb_q,
-        # --- window boundary (entries below carry green r5/r7 rows) ---
-        "emb_cosine_neardup": cosine_neardup,
-        "emb_int8_quantize": int8,
-        "emb_hard_negatives": hardneg,
-        "emb_kmeans_iter": kmeans,
-        "emb_dedup_clusters": emb_clusters,
-        "doc_semantic_dedup": semantic,
-        "emb_nearest_centroid": centroid,
-        "doc_jaccard_pairs": jaccard_pairs,
-        "emb_lsh_neardup": lsh_neardup,
-        "doc_containment_pairs": containment,
+    all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # reference-parity pipeline + operators (SURVEY §2 / §3,
+        # FIXTURES.md §C mapping)
         "statements_annual": sq.q_statements_annual,
         "ratios_annual": sq.q_ratios_annual,
         "screener": sq.q_screener,                            # P6 + J2 + O2
         "window_dedup_latest": sq.q_window_dedup_latest,      # W1
-        # SURVEY §2 reference-parity operators (FIXTURES.md §C mapping)
         "pivot_wide": sq.q_pivot_wide,                        # A1
         "flow_stock_union": sq.q_flow_stock_union,            # U1 + P4
         "window_dedup_priority": sq.q_window_dedup_priority,  # W2
@@ -132,14 +86,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "natural_key_dedup": sq.q_natural_key_dedup,          # D1
         "insert_if_absent": sq.q_insert_if_absent,            # S6
         "upsert_latest_wins": sq.q_upsert_latest_wins,        # S5
-        # full pipeline (entry points A/B/C, SURVEY §3)
         "statements_annual_v2": sq.q_statements_annual_v2,
         "statements_annual_v1": sq.q_statements_annual_v1,
         "company_profile": sq.q_company_profile,              # J3
         "ratios_lookup": sq.q_ratios_lookup,                  # O1
-        # beyond-reference: event-time analytics (SURVEY §2.9 / §7.1-7)
-        **events_q,
+        **events_queries.QUERIES,
+        **text_queries.QUERIES,
+        **corpus_queries.QUERIES,
+        **embedding_queries.QUERIES,
     }
+    # r9 changed-code entries (green r8 rows, but re-verification is
+    # mandatory after a semantics-touching edit)
+    changed = [
+        "doc_editdist_neardup",
+        "doc_editdist_clusters",
+        "doc_span_dedup",
+        "emb_lsh_ann_topk",
+        "emb_ann_recall",
+    ]
+    # the 4 sketch-family events were INSIDE r8's window (green r8
+    # rows, unchanged since) -- they sit below the boundary this round
+    r8_events = {"event_kmv_distinct", "event_histogram_quantiles",
+                 "event_kmv_overlap", "event_bloom_semijoin"}
+    window_events = [n for n in events_queries.QUERIES
+                     if n not in r8_events]
+    r8_window = [
+        n for n in all_q
+        if n not in STAR_PARITY and n not in window_events
+        and n not in ROTATED_OUT_R8 and n not in changed
+    ]
+    window = (
+        [n for n in all_q if n in STAR_PARITY]
+        + window_events
+        + ROTATED_OUT_R8
+        + changed
+    )
+    assert len(window) == 50, len(window)
+    ordered = {n: all_q[n] for n in window}
+    # --- window boundary (entries below carry green r8 rows) ---
+    ordered.update({n: all_q[n] for n in r8_window})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

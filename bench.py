@@ -106,6 +106,65 @@ BENCH_QUERIES = [
     "event_histogram_quantiles",
     "doc_editdist_neardup",
     "event_bloom_semijoin",
+    # r9: the bench now covers EVERY queries() entry -- the previously
+    # never-benched half gets a regression tripwire (VERDICT r8 #4).
+    # reference-parity remainder
+    "window_dedup_priority",
+    "coalesce_priority",
+    "insert_if_absent",
+    "statements_annual_v2",
+    "statements_annual_v1",
+    "company_profile",
+    "ratios_lookup",
+    # text / dedup remainder
+    "doc_weighted_sample",
+    "doc_editdist_clusters",
+    "doc_exact_dedup",
+    "doc_bpe_token_count",
+    "doc_train_test_split",
+    "doc_token_stats",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_jaccard_pairs",
+    "doc_containment_pairs",
+    "doc_ngram_novelty",
+    "doc_minhash_jaccard_est",
+    "doc_simhash",
+    "doc_simhash_neardup",
+    "doc_stratified_sample",
+    "doc_corpus_build",
+    "doc_ngram_df",
+    "doc_tfidf_topk",
+    "doc_decontaminate",
+    "doc_seq_packing",
+    # corpus hygiene remainder
+    "doc_ccnet_bucket",
+    "doc_length_histogram",
+    "doc_pii_scan",
+    "doc_domain_mix",
+    "doc_global_shuffle",
+    # embeddings remainder
+    "emb_ann_recall",
+    "emb_ivf_recall",
+    "emb_ivfpq_recall",
+    "emb_cosine_neardup",
+    "emb_nearest_centroid",
+    "emb_lsh_neardup",
+    "emb_dedup_clusters",
+    "emb_int8_quantize",
+    "emb_kmeans_iter",
+    # events remainder
+    "event_kmv_overlap",
+    "event_dau_wau",
+    "event_rollup",
+    "event_daily_growth",
+    "event_topk_per_user",
+    "event_distinct_users",
+    "event_percentiles",
+    "event_cube",
+    "event_funnel",
+    "event_retention",
+    "event_anomaly",
 ]
 
 

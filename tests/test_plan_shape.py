@@ -248,3 +248,18 @@ def test_ann_recall_reuses_two_phase_rankers(spark, qmap):
     assert "CartesianProduct" not in plan, plan[:2000]
     # both rankers contribute at most one bare query_id exchange each
     assert len(re.findall(r"hashpartitioning\(query_id#\d+, \d+\)", plan)) <= 2, plan
+
+
+def test_span_dedup_single_exchange_no_joinback(spark, qmap):
+    """r9 re-plan: span winner election is ONE hkey exchange (row_number
+    + min/max collision check sharing the window partition) -- a
+    refactor back to the groupBy + join-back form, which shuffles the
+    full span set twice, must fail here. The optimized plan shows the
+    rank window keyed on hkey and NO join whose condition carries hkey
+    (the only remaining joins are the doc_id reassembly join and the
+    tiny exact-text collision re-resolution on s)."""
+    plan = _optimized(qmap["doc_span_dedup"](spark, SF_DIR))
+    assert "windowspecdefinition(hkey" in plan, plan[:2000]
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines, plan[:2000]
+    assert not any("hkey" in ln for ln in join_lines), join_lines
