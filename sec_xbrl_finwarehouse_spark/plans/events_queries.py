@@ -15,7 +15,7 @@ two windows over one ``user_id`` shuffle (sort reused by both).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import table_path
@@ -1117,6 +1117,161 @@ FROM est
 """
 
 
+# ---- HyperLogLog distinct (register-array sketch, portable arithmetic) ------
+
+# register-index bits: m = 2^P registers per group. stderr ~ 1.04/sqrt(m)
+# ~ 6.5% at P=8 -- denser than KMV per byte (m 6-bit registers vs k
+# 48-bit hashes), the reason HLL is the industry default.
+HLL_P = 8
+HLL_M = 1 << HLL_P
+# bias constant for m >= 128 (Flajolet et al. '07, Fig. 3)
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# hash bits left after the register index is consumed (48-bit portable
+# md5 prefix, see KMV_HEX); an all-zero remainder reports rho = width+1
+_HLL_W_BITS = 4 * KMV_HEX - HLL_P
+
+
+def hll_registers(h: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., h) md5-hex rows -> one max-rho register per (group,
+    bucket) -- the HLL state fold shared by the batch query and
+    streaming/hll_stream.py so the two can never drift. ``rho`` uses
+    the TRAILING-zero rank of the remainder bits (w & -w isolates the
+    lowest set bit, an exact power of two whose log2 is exact in a
+    double), which is distributed identically to the classic
+    leading-zero rank (P[rho = j] = 2^-j for a uniform hash) and --
+    unlike a leading-zero count -- needs no float log of a non-power
+    on EITHER engine, keeping Spark and DuckDB bit-identical. The
+    groupBy is a max-monoid fold: map-side combine caps the exchange
+    at m rows per group per input partition, and the stored state at
+    m rows per group, ever."""
+    return (
+        h.select(
+            *group_cols,
+            F.conv(F.substring("h", 1, KMV_HEX), 16, 10)
+            .cast("long").alias("h48"),
+        )
+        .select(
+            *group_cols,
+            F.col("h48").bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+            F.floor(F.col("h48") / HLL_M).cast("long").alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+                F.round(F.log2(F.expr("w & -w"))).cast("int") + 1
+            ),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+
+
+def hll_estimate_col() -> Column:
+    """Estimate from per-group register aggregates ``z_present`` (sum of
+    2^-mreg over populated registers) and ``n_buckets`` (populated
+    register count): the raw harmonic-mean estimate with the standard
+    small-range LinearCounting correction. Shared by the batch query
+    and the streaming twin."""
+    z = F.col("z_present") + (HLL_M - F.col("n_buckets"))
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / z
+    v = F.lit(HLL_M) - F.col("n_buckets")
+    return F.round(
+        F.when(
+            (raw <= 2.5 * HLL_M) & (v > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+        ).otherwise(raw),
+        4,
+    )
+
+
+def q_event_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event_type via HYPERLOGLOG -- the
+    register-array half of the counting-sketch family (KMV's sibling,
+    and the algorithm behind every production approx_count_distinct).
+    Like the KMV twin, the arithmetic is DETERMINISTIC AND
+    ENGINE-PORTABLE: register index = low {HLL_P} bits of the 48-bit
+    md5 prefix, rho = trailing-zero rank of the remainder, estimate =
+    alpha * m^2 / sum(2^-M_j) with the standard LinearCounting
+    small-range correction -- every step exact in a double on both
+    engines, so the DuckDB oracle reproduces the ESTIMATE bit-exactly
+    (approximate in statistics, exact in verification). ``n_exact``
+    and ``rel_err`` ride along as the accuracy audit.
+
+    Scale shape: the register fold is a max-monoid groupBy (map-side
+    combined, <= m = {HLL_M} rows per group ever -- TRUE bounded state,
+    unlike the audit's distinct agg, which a 100 TB deployment drops);
+    merging two sketches is elementwise register max, the semilattice
+    streaming/hll_stream.py exploits for exactly-once-by-algebra."""
+    e = _events(spark, sf_dir)
+    d = e.select("event_type", "user_id").distinct()
+    h = d.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    )
+    cnt = h.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    z = hll_registers(h, ["event_type"]).groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mreg"))).alias("z_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    est = hll_estimate_col()
+    return (
+        cnt.join(z, "event_type")
+        .select(
+            "event_type", "n_exact",
+            est.alias("hll_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+_HLL_H48_SQL = hex_prefix_bigint_sql(KMV_HEX)
+
+EVENT_HLL_DISTINCT_SQL = f"""
+WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+hx AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM d
+),
+hi AS (SELECT event_type, {_HLL_H48_SQL} AS h48 FROM hx),
+cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+  FROM hi GROUP BY 1
+),
+reg AS (
+  -- register fold: bucket = low {HLL_P} bits, rho = trailing-zero rank
+  -- of the remainder (w & -w is an exact power of two; its log2 is
+  -- exact) -- identical arithmetic to Spark's hll_registers
+  SELECT event_type, h48 & {HLL_M - 1} AS bucket,
+         max(CASE WHEN h48 // {HLL_M} = 0 THEN {_HLL_W_BITS + 1}
+                  ELSE CAST(round(log2(
+                         (h48 // {HLL_M}) & (-(h48 // {HLL_M})))) AS INT) + 1
+             END) AS mreg
+  FROM hi GROUP BY 1, 2
+),
+z AS (
+  SELECT event_type, sum(power(2.0, -mreg)) AS z_present,
+         count(*) AS n_buckets
+  FROM reg GROUP BY 1
+),
+est AS (
+  SELECT c.event_type, c.n_exact,
+         round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r}
+                         / (z.z_present + ({HLL_M} - z.n_buckets))
+                         <= {2.5 * HLL_M}
+                     AND z.n_buckets < {HLL_M}
+                    THEN {HLL_M} * ln({HLL_M} * 1.0
+                                      / ({HLL_M} - z.n_buckets))
+                    ELSE {HLL_ALPHA * HLL_M * HLL_M!r}
+                         / (z.z_present + ({HLL_M} - z.n_buckets))
+               END, 4) AS hll_estimate
+  FROM cnt c JOIN z USING (event_type)
+)
+SELECT event_type, n_exact, hll_estimate,
+       round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_err
+FROM est
+"""
+
+
 # ---- KMV sketch set algebra: intersection estimate --------------------------
 
 
@@ -1533,6 +1688,7 @@ FROM s JOIN e ON s.event_type = e.event_type
 QUERIES = {
     "event_histogram_quantiles": q_event_histogram_quantiles,
     "event_kmv_distinct": q_event_kmv_distinct,
+    "event_hll_distinct": q_event_hll_distinct,
     "event_kmv_overlap": q_event_kmv_overlap,
     "event_bloom_semijoin": q_event_bloom_semijoin,
     "event_gap_fill": q_event_gap_fill,
@@ -1558,6 +1714,7 @@ QUERIES = {
 ORACLES = {
     "event_histogram_quantiles": EVENT_HISTOGRAM_QUANTILES_SQL,
     "event_kmv_distinct": EVENT_KMV_DISTINCT_SQL,
+    "event_hll_distinct": EVENT_HLL_DISTINCT_SQL,
     "event_kmv_overlap": EVENT_KMV_OVERLAP_SQL,
     "event_bloom_semijoin": EVENT_BLOOM_SEMIJOIN_SQL,
     "event_gap_fill": EVENT_GAP_FILL_SQL,
