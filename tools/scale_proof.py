@@ -109,6 +109,10 @@ QUERIES = [
     "event_kmv_distinct",
     "event_kmv_overlap",
     "event_histogram_quantiles",
+    # r9: HLL distinct — the register-array sibling; same honest
+    # workload as KMV (user_id-shifted copies multiply the distinct
+    # population linearly), state bounded at m=256 registers per group
+    "event_hll_distinct",
     # r8: bloom semi-join — build and probe sides both scale linearly
     # with the user_id-shifted copies; the bit table stays 4096 rows
     "event_bloom_semijoin",
