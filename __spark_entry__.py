@@ -66,8 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cap, both engines), doc_span_dedup (single-exchange winner
     # election + gap-slice reassembly), emb_lsh_ann_topk and
     # emb_ann_recall (Hamming-<=2 multi-probe, both engines). 45 + 5 =
-    # 50 exactly. After this round every one of the 95 queries carries
-    # a green r8-or-r9 driver row. The entries below the boundary are
+    # 50 exactly. After this round every pre-r9 query carries a green
+    # r8-or-r9 driver row (the two NEW r9 sketches, locally verified,
+    # take r10 window slots -- see below). The entries below the boundary are
     # r8-green and byte-identical since. All pass
     # tools/check_correctness.py locally regardless of position.
     all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -106,13 +107,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     # the 4 sketch-family events were INSIDE r8's window (green r8
     # rows, unchanged since) -- they sit below the boundary this round.
-    # event_hll_distinct is NEW in r9: the window is already exactly
-    # full with must-re-verify entries, so it sits just below the
+    # event_hll_distinct + event_cm_heavy_hitters are NEW in r9: the
+    # window is already exactly
+    # full with must-re-verify entries, so they sit just below the
     # boundary (locally verified via tools/check_correctness.py +
-    # unit-tested) and takes one of r10's five free window slots.
+    # unit-tested) and take two of r10's five free window slots.
     r8_events = {"event_kmv_distinct", "event_histogram_quantiles",
                  "event_kmv_overlap", "event_bloom_semijoin",
-                 "event_hll_distinct"}
+                 "event_hll_distinct", "event_cm_heavy_hitters"}
     window_events = [n for n in events_queries.QUERIES
                      if n not in r8_events]
     r8_window = [

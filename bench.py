@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     # events remainder
     "event_kmv_overlap",
     "event_hll_distinct",
+    "event_cm_heavy_hitters",
     "event_dau_wau",
     "event_rollup",
     "event_daily_growth",

@@ -1272,6 +1272,139 @@ FROM est
 """
 
 
+# ---- Count-Min heavy hitters (frequency-estimation sketch) ------------------
+
+# depth (independent hash rows) x width (counters per row): estimate
+# error <= 2N/w with probability 1 - (1/2)^d over the hash draw
+CM_D = 4
+CM_W = 128
+CM_TOPK = 20
+
+
+def q_event_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type HEAVY HITTERS via a COUNT-MIN sketch -- the
+    frequency-estimation member of the sketch family (distinct: KMV /
+    HLL; quantiles: histogram; membership: Bloom; set algebra: theta;
+    frequency: THIS). Every event increments {CM_D} counters (one per
+    independent md5-derived hash row); a user's estimate is the MIN of
+    its {CM_D} cells. Count-Min's signature guarantee is ONE-SIDED
+    error: collisions only ADD, so cm_estimate >= n_exact ALWAYS (the
+    unit test pins it), and the top-{CM_TOPK} by estimate is a superset
+    -biased ranking of the true heavy hitters. The exact counts ride
+    along as the audit with ``over`` = the collision inflation.
+
+    Deterministic and engine-portable like the whole family: cell =
+    48-bit md5 prefix of 'cm_<row>_<user>' mod {CM_W}, counters are
+    plain SUMs, min/rank tie-breaks are total -- the DuckDB oracle
+    reproduces every estimate AND the ranking bit-exactly.
+
+    Scale shape: the counter fold is an additive groupBy bounded at
+    {CM_D}x{CM_W} cells per type (map-side combined -- the monoid
+    histogram_stream.py exploits; a CountMin stream would carry the
+    same load-bearing-watermark story). The candidate side here is the
+    exact per-(type, user) audit agg (the honest small-SF cost); a
+    100 TB deployment keeps only the sketch and probes it with an
+    externally supplied candidate stream -- the estimate join below is
+    unchanged."""
+    e = _events(spark, sf_dir)
+    pairs = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+
+    def with_cells(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn(
+                "j", F.explode(F.array(*[F.lit(i) for i in range(CM_D)]))
+            )
+            .withColumn(
+                "h",
+                F.md5(F.concat_ws("_", F.lit("cm"), F.col("j"),
+                                  F.col("user_id").cast("string"))),
+            )
+            .withColumn(
+                "pos",
+                F.pmod(
+                    F.conv(F.substring("h", 1, KMV_HEX), 16, 10)
+                    .cast("long"),
+                    F.lit(CM_W),
+                ),
+            )
+        )
+
+    counters = (
+        with_cells(e.select("event_type", "user_id"))
+        .groupBy("event_type", "j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = (
+        with_cells(pairs)
+        .join(counters, ["event_type", "j", "pos"])
+        .groupBy("event_type", "user_id", "n_exact")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cm_estimate").desc(), F.col("user_id").asc()
+    )
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CM_TOPK)
+        .select(
+            "event_type", "rank", "user_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("n_exact"))
+            .cast("long").alias("over"),
+        )
+    )
+
+
+_CM_POS_SQL = hex_prefix_bigint_sql(KMV_HEX) + f" % {CM_W}"
+
+EVENT_CM_HEAVY_HITTERS_SQL = f"""
+WITH cells AS (
+  SELECT event_type, user_id, j,
+         md5('cm_' || j || '_' || CAST(user_id AS VARCHAR)) AS h
+  FROM events CROSS JOIN range(0, {CM_D}) t(j)
+),
+cpos AS (SELECT event_type, user_id, j, {_CM_POS_SQL} AS pos FROM cells),
+counters AS (
+  SELECT event_type, j, pos, count(*) AS c
+  FROM cpos GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT event_type, user_id, count(*) AS n_exact
+  FROM events GROUP BY 1, 2
+),
+pcells AS (
+  SELECT p.event_type, p.user_id, p.n_exact, t.j,
+         md5('cm_' || t.j || '_' || CAST(p.user_id AS VARCHAR)) AS h
+  FROM pairs p CROSS JOIN range(0, {CM_D}) t(j)
+),
+ppos AS (
+  SELECT event_type, user_id, n_exact, j, {_CM_POS_SQL} AS pos FROM pcells
+),
+est AS (
+  SELECT pp.event_type, pp.user_id, pp.n_exact,
+         min(c.c) AS cm_estimate
+  FROM ppos pp
+  JOIN counters c
+    ON c.event_type = pp.event_type AND c.j = pp.j AND c.pos = pp.pos
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT event_type, user_id, n_exact, cm_estimate,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cm_estimate DESC, user_id ASC) AS rank
+  FROM est
+)
+SELECT event_type, rank, user_id,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - n_exact AS BIGINT) AS over
+FROM ranked WHERE rank <= {CM_TOPK}
+"""
+
+
 # ---- KMV sketch set algebra: intersection estimate --------------------------
 
 
@@ -1689,6 +1822,7 @@ QUERIES = {
     "event_histogram_quantiles": q_event_histogram_quantiles,
     "event_kmv_distinct": q_event_kmv_distinct,
     "event_hll_distinct": q_event_hll_distinct,
+    "event_cm_heavy_hitters": q_event_cm_heavy_hitters,
     "event_kmv_overlap": q_event_kmv_overlap,
     "event_bloom_semijoin": q_event_bloom_semijoin,
     "event_gap_fill": q_event_gap_fill,
@@ -1715,6 +1849,7 @@ ORACLES = {
     "event_histogram_quantiles": EVENT_HISTOGRAM_QUANTILES_SQL,
     "event_kmv_distinct": EVENT_KMV_DISTINCT_SQL,
     "event_hll_distinct": EVENT_HLL_DISTINCT_SQL,
+    "event_cm_heavy_hitters": EVENT_CM_HEAVY_HITTERS_SQL,
     "event_kmv_overlap": EVENT_KMV_OVERLAP_SQL,
     "event_bloom_semijoin": EVENT_BLOOM_SEMIJOIN_SQL,
     "event_gap_fill": EVENT_GAP_FILL_SQL,

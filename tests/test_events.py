@@ -400,3 +400,39 @@ def test_bloom_semijoin_no_false_negatives_and_fp_audit(spark, tmp_path):
     assert v["fp_rate"] == round(v["n_false_pos"] / 900, 6) < 0.05
     e = got["error"]
     assert e["n_true"] == 0 and e["fp_rate"] < 0.05
+
+
+def test_countmin_estimate_is_one_sided(spark, tmp_path):
+    """Count-Min's defining guarantee: collisions only ADD, so the
+    estimate NEVER undercounts (cm_estimate >= n_exact for every
+    ranked user), equality holds whenever a user's d cells are all
+    collision-free, and the ranking is the deterministic
+    (estimate DESC, user_id ASC) order."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        CM_TOPK,
+        q_event_cm_heavy_hitters,
+    )
+
+    rows = []
+    eid = 0
+    # skewed frequencies: user u makes (u % 7) * 10 + 1 events
+    for u in range(80):
+        for _ in range((u % 7) * 10 + 1):
+            rows.append((eid, u, "click", None, 1.0))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = q_event_cm_heavy_hitters(spark, str(tmp_path)).collect()
+    assert 0 < len(out) <= CM_TOPK
+    assert all(r["cm_estimate"] >= r["n_exact"] for r in out)
+    assert all(r["over"] == r["cm_estimate"] - r["n_exact"] for r in out)
+    # ranking is by estimate desc with the user_id tiebreak
+    ranked = [(r["rank"], -r["cm_estimate"], r["user_id"]) for r in out]
+    assert ranked == sorted(ranked)
+    # the true heaviest band (61 events each) dominates the top ranks
+    top_exact = {r["n_exact"] for r in out[:5]}
+    assert max(top_exact) == 61

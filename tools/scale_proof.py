@@ -113,6 +113,9 @@ QUERIES = [
     # workload as KMV (user_id-shifted copies multiply the distinct
     # population linearly), state bounded at m=256 registers per group
     "event_hll_distinct",
+    # r9: Count-Min heavy hitters — additive counter fold bounded at
+    # d*w cells per type; candidate audit side scales linearly
+    "event_cm_heavy_hitters",
     # r8: bloom semi-join — build and probe sides both scale linearly
     # with the user_id-shifted copies; the bit table stays 4096 rows
     "event_bloom_semijoin",
