@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "event_hll_distinct", "event_cm_heavy_hitters"}
     window_events = [n for n in events_queries.QUERIES
                      if n not in r8_events]
+    # doc_dsir_sample is also NEW in r9 (below boundary, locally
+    # verified, r10 window slot) -- it lands in r8_window naturally
+    # since it was never in any prior window
     r8_window = [
         n for n in all_q
         if n not in STAR_PARITY and n not in window_events

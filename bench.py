@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "doc_pii_scan",
     "doc_domain_mix",
     "doc_global_shuffle",
+    "doc_dsir_sample",
     # embeddings remainder
     "emb_ann_recall",
     "emb_ivf_recall",

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .sqlfrag import hex_prefix_bigint_sql
 from .text_queries import _documents, _persist_hot, _tokens
 
 # ---- Gopher-style repetition metrics ---------------------------------------
@@ -967,8 +968,148 @@ FROM tok t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+# ---- DSIR importance resampling (hashed-feature data selection) ------------
+
+# hashed-feature buckets (the DSIR paper's hashed n-gram space); target
+# proxy = a fixed source whitelist (a stand-in for "Wikipedia-like")
+DSIR_B = 1024
+DSIR_K = 100
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
+def q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. '23, hashed-feature
+    variant): score every document by how much more likely its tokens
+    are under a TARGET distribution than under the raw corpus, and
+    keep the top {DSIR_K} -- the importance-resampling pass modern
+    pretraining pipelines run to tilt a web crawl toward a
+    high-quality domain without training a classifier.
+
+    Features are hashed unigram buckets (md5-prefix % {DSIR_B}, the
+    engine-portable spelling of the paper's hashed n-grams); the
+    target here is the {DSIR_TARGET_SOURCES} source whitelist (a
+    deterministic stand-in for the paper's Wikipedia+books target).
+    Both bucket distributions are Laplace-smoothed ((cnt+1)/(N+B)),
+    the per-bucket log ratio ln(p_target) - ln(p_raw) is quantized to
+    integer micro-nats ONCE in the B-row bucket table (the
+    order-independent-sum trick of :func:`q_doc_unigram_logprob`), and
+    a document's score is the exact BIGINT sum over its token
+    occurrences divided by its token count. Output: the selected
+    (doc_id, n_tokens, score) set -- the top-{DSIR_K} cut is total
+    (score DESC, doc_id ASC), so the DuckDB oracle reproduces the
+    SELECTION bit-exactly; no rank column, because a global rank
+    window would funnel through one partition (the shape
+    test_plan_lint bans) and the set is already deterministic.
+
+    Scale shape: two vocabulary-folds bounded at {DSIR_B} rows (map-
+    side combinable), the B-row ratio table BROADCAST onto the token
+    stream (per-doc agg needs no exchange on a doc_id-partitioned
+    scan), and a global top-K that is TakeOrdered, never a full sort.
+    Nothing here scales with corpus size except the token scan
+    itself."""
+    d = _documents(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "source", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).withColumn(
+        "z",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long"),
+            F.lit(DSIR_B),
+        ),
+    )
+    raw = toks.groupBy("z").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tgt = (
+        toks.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+        .groupBy("z").agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    tot_r = raw.agg(F.sum("cnt_r").alias("n_r"))
+    tot_t = tgt.agg(F.sum("cnt_t").alias("n_t"))
+    ratio = (
+        raw.join(tgt, "z", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "z",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1)
+                        / (F.col("n_t") + DSIR_B)
+                    )
+                    - F.log((F.col("cnt_r") + 1) / (F.col("n_r") + DSIR_B))
+                ) * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("lr_unats"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(ratio), "z")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_unats").alias("unats"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.round(
+                F.col("unats") / F.lit(1e6) / F.col("n_tokens"), 6
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(DSIR_K)
+        .select("doc_id", "n_tokens", "score")
+    )
+
+
+_DSIR_SRC_LIST = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+DOC_DSIR_SAMPLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+tz AS (
+  SELECT doc_id, source,
+         {hex_prefix_bigint_sql(12, "md5(tok)")} % {DSIR_B} AS z
+  FROM tok
+),
+raw AS (SELECT z, count(*) AS cnt_r FROM tz GROUP BY 1),
+tgt AS (
+  SELECT z, count(*) AS cnt_t FROM tz
+  WHERE source IN ({_DSIR_SRC_LIST}) GROUP BY 1
+),
+tot_r AS (SELECT sum(cnt_r) AS n_r FROM raw),
+tot_t AS (SELECT sum(cnt_t) AS n_t FROM tgt),
+ratio AS (
+  SELECT raw.z,
+         CAST(floor((ln((coalesce(tgt.cnt_t, 0) + 1.0)
+                        / (tot_t.n_t + {DSIR_B}))
+                     - ln((raw.cnt_r + 1.0) / (tot_r.n_r + {DSIR_B})))
+                    * 1e6 + 0.5) AS BIGINT) AS lr_unats
+  FROM raw LEFT JOIN tgt USING (z)
+  CROSS JOIN tot_r CROSS JOIN tot_t
+),
+scored AS (
+  SELECT tz.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(r.lr_unats) AS BIGINT) AS unats
+  FROM tz JOIN ratio r USING (z)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round(unats / 1e6 / n_tokens, 6) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {DSIR_K}
+"""
+
+
 QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
+    "doc_dsir_sample": q_doc_dsir_sample,
     "doc_dup_ngram_frac": q_doc_dup_ngram_frac,
     "doc_repetition": q_doc_repetition,
     "doc_unigram_logprob": q_doc_unigram_logprob,
@@ -982,6 +1123,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_mixture_sample": DOC_MIXTURE_SAMPLE_SQL,
+    "doc_dsir_sample": DOC_DSIR_SAMPLE_SQL,
     "doc_dup_ngram_frac": DOC_DUP_NGRAM_FRAC_SQL,
     "doc_repetition": DOC_REPETITION_SQL,
     "doc_pii_scan": DOC_PII_SCAN_SQL,

@@ -259,3 +259,46 @@ def test_ccnet_buckets_are_terciles_and_rank_consistent(spark, tmp_path):
     # the rare-token soup is all tail; the repeated common doc all head
     assert {r["doc_id"] for r in by_bucket["tail"]} >= set(range(12, 18))
     assert {r["doc_id"] for r in by_bucket["head"]} <= set(range(6))
+
+
+def test_dsir_sample_tilts_toward_target_vocabulary(spark, tmp_path):
+    """DSIR selection property: among NON-target documents, the ones
+    written in the target's vocabulary must outscore (and outrank) the
+    ones written in off-target vocabulary -- the importance weight is
+    the whole point. Target docs themselves trivially score high and
+    are not the interesting assertion."""
+    from sec_xbrl_finwarehouse_spark.plans.corpus_queries import (
+        DSIR_TARGET_SOURCES,
+        q_doc_dsir_sample,
+    )
+
+    tgt_vocab = "alpha beta gamma delta epsilon"
+    off_vocab = "zeta eta theta iota kappa"
+    rows = []
+    # target corpus: defines the target distribution
+    for i in range(20):
+        rows.append((i, tgt_vocab * 4, "en", DSIR_TARGET_SOURCES[0],
+                     len(tgt_vocab) * 4))
+    # non-target, target-like vocabulary (should be selected first)
+    for i in range(20, 40):
+        rows.append((i, tgt_vocab * 4, "en", "srcX", len(tgt_vocab) * 4))
+    # non-target, off-target vocabulary (should rank below)
+    for i in range(40, 60):
+        rows.append((i, off_vocab * 4, "en", "srcX", len(off_vocab) * 4))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = q_doc_dsir_sample(spark, str(tmp_path)).collect()
+    score = {r["doc_id"]: r["score"] for r in out}
+    sel = set(score)
+    # all 60 docs fit inside DSIR_K=100: the ranking is in the scores
+    assert sel == set(range(60))
+    like = [score[i] for i in range(20, 40)]
+    off = [score[i] for i in range(40, 60)]
+    assert min(like) > max(off)
+    # target-vocabulary docs score identically whether or not they are
+    # themselves in the target set (the score reads the TEXT, not the
+    # source label)
+    assert score[0] == score[25]

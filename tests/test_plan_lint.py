@@ -63,6 +63,9 @@ BNLJ_ALLOWED = {
     # r8: CCNet bucketing broadcast-crosses a one-row tercile aggregate
     # (and inherits the unigram LM's allowed broadcast cross join)
     "doc_ccnet_bucket",
+    # r9: DSIR broadcast-crosses the two one-row corpus totals onto the
+    # B-row bucket table (same scalar-total pattern as the LM scorers)
+    "doc_dsir_sample",
 }
 
 ARROW_ALLOWED = {

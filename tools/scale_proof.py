@@ -126,6 +126,10 @@ QUERIES = [
     # percentile aggregate; marker amplification is the same honest
     # workload as the LM scorers it composes
     "doc_ccnet_bucket",
+    # r9: DSIR importance resampling — two B-bounded bucket folds + a
+    # broadcast ratio join + TakeOrdered; marker amplification leaves
+    # the bucket arithmetic untouched (same regime as the LM scorers)
+    "doc_dsir_sample",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
