@@ -263,7 +263,7 @@ def test_multiprobe_recall_on_clustered_corpus(spark, tmp_path):
     isotropic testdata corpus is the documented worst case): queries
     are members of 10 loose clusters (pairwise cosine ~0.77, loose
     enough that single-probe 8x8 LSH lands ~0.68 recall), and the
-    Hamming-1 multi-probe must lift mean recall@TOPK to >= 0.8."""
+    Hamming-<=2 multi-probe must lift mean recall@TOPK to >= 0.8."""
     rng = np.random.RandomState(5)
     dim, spread = 64, 0.55
     centers = rng.standard_normal((eq.N_QUERIES, dim))
