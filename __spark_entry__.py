@@ -107,14 +107,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     # the 4 sketch-family events were INSIDE r8's window (green r8
     # rows, unchanged since) -- they sit below the boundary this round.
-    # event_hll_distinct + event_cm_heavy_hitters are NEW in r9: the
-    # window is already exactly
-    # full with must-re-verify entries, so they sit just below the
-    # boundary (locally verified via tools/check_correctness.py +
-    # unit-tested) and take two of r10's five free window slots.
+    # event_hll_distinct, event_cm_heavy_hitters, and event_ams_f2 are
+    # NEW in r9: the window is already exactly full with must-re-verify
+    # entries, so they sit just below the boundary (locally verified
+    # via tools/check_correctness.py + unit-tested) and take three of
+    # r10's five free window slots (with doc_dsir_sample and
+    # emb_knn_graph claiming the other two -- 5 new r9 queries total).
     r8_events = {"event_kmv_distinct", "event_histogram_quantiles",
                  "event_kmv_overlap", "event_bloom_semijoin",
-                 "event_hll_distinct", "event_cm_heavy_hitters"}
+                 "event_hll_distinct", "event_cm_heavy_hitters",
+                 "event_ams_f2"}
     window_events = [n for n in events_queries.QUERIES
                      if n not in r8_events]
     # doc_dsir_sample is also NEW in r9 (below boundary, locally

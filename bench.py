@@ -152,12 +152,14 @@ BENCH_QUERIES = [
     "emb_nearest_centroid",
     "emb_lsh_neardup",
     "emb_dedup_clusters",
+    "emb_knn_graph",
     "emb_int8_quantize",
     "emb_kmeans_iter",
     # events remainder
     "event_kmv_overlap",
     "event_hll_distinct",
     "event_cm_heavy_hitters",
+    "event_ams_f2",
     "event_dau_wau",
     "event_rollup",
     "event_daily_growth",

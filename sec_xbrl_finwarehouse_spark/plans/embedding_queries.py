@@ -662,6 +662,86 @@ FROM embeddings v LEFT JOIN comp c USING (vec_id)
 """
 
 
+# ---- k-NN graph (every vector's neighbor list, LSH candidates) --------------
+
+def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-CORPUS k-NN GRAPH: every vector's top-{TOPK} nearest
+    neighbors by cosine among the candidates sharing at least one LSH
+    (table, bucket) with it -- the precursor structure for
+    SemDeDup-style semantic clustering, NN-descent refinement, and
+    graph-based index builds (HNSW layers start from exactly this).
+    Distinct from ``q_emb_lsh_ann_topk`` (a {N_QUERIES}-query probe
+    against a corpus) and from ``q_emb_lsh_neardup`` (an unranked
+    thresholded pair set): here EVERY vector is a query and gets a
+    RANKED neighbor list with no similarity floor.
+
+    Scale shape: candidate generation is the same bucket self-join as
+    the near-dup path (cost scales with per-bucket collision counts,
+    never corpus^2); candidate (query, neighbor) id pairs are
+    distinct-ed BEFORE the embedding fetch, which then runs as two
+    vec_id equi-joins (co-partitioned on the id at 100 TB); ranking is
+    the shared two-phase top-k pruning (:func:`_topk_per_query`), so
+    no window partition ever holds a vector's full candidate set.
+    Recall per neighbor follows the LSH collision bound (1 - (1 -
+    p^B)^T); production raises it with NN-descent rounds -- join the
+    graph to itself on neighbor_id and re-rank, each round the same
+    bounded-candidate shape as this query. Deterministic: md5-derived
+    planes (:func:`_lsh_planes`), round-6 cosine, neighbor_id
+    tie-break -- the DuckDB oracle reproduces the full graph
+    bit-exactly."""
+    e = _embeddings(spark, sf_dir, parallel=False).select("vec_id", "emb")
+    buckets = _lsh_buckets_udf()
+    b = (
+        e.select("vec_id", buckets("emb").alias("bks"))
+        .select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
+    )
+    left = b.select(F.col("vec_id").alias("query_id"), "tbl", "bucket")
+    right = b.select(F.col("vec_id").alias("neighbor_id"), "tbl", "bucket")
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    eq_ = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    en = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
+    )
+    scored = (
+        cand.join(eq_, "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored).withColumnRenamed("query_id", "vec_id")
+
+
+EMB_KNN_GRAPH_SQL = f"""{_LSH_BUCKET_CTES},
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_DUCK_COS.format(a='ea.emb', b='eb.emb')} AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.query_id
+  JOIN e eb ON eb.vec_id = cand.neighbor_id
+)
+SELECT query_id AS vec_id, rank, neighbor_id, cosine
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+WHERE rank <= {TOPK}
+"""
+
+
 # ---- IVF ANN (coarse-quantize, probe, exact re-rank) -----------------------
 
 NPROBE = 2
@@ -1934,6 +2014,7 @@ QUERIES = {
     "emb_lsh_ann_topk": q_emb_lsh_ann_topk,
     "emb_lsh_neardup": q_emb_lsh_neardup,
     "emb_dedup_clusters": q_emb_dedup_clusters,
+    "emb_knn_graph": q_emb_knn_graph,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_pq_ann_topk": q_emb_pq_ann_topk,
     "emb_ivf_pq_ann_topk": q_emb_ivf_pq_ann_topk,
@@ -1955,6 +2036,7 @@ ORACLES = {
     "emb_lsh_ann_topk": EMB_LSH_ANN_TOPK_SQL,
     "emb_lsh_neardup": EMB_LSH_NEARDUP_SQL,
     "emb_dedup_clusters": EMB_DEDUP_CLUSTERS_SQL,
+    "emb_knn_graph": EMB_KNN_GRAPH_SQL,
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "emb_pq_ann_topk": EMB_PQ_ANN_TOPK_SQL,
     "emb_ivf_pq_ann_topk": EMB_IVF_PQ_ANN_TOPK_SQL,

@@ -1281,6 +1281,31 @@ CM_W = 128
 CM_TOPK = 20
 
 
+def cm_with_cells(df: DataFrame, item_col: str = "user_id") -> DataFrame:
+    """Append the {CM_D} (j, pos) Count-Min cell coordinates of
+    ``item_col`` to every row -- the sketch's hash arithmetic, shared
+    by the batch query (counter build AND estimate probe) and
+    streaming/cm_stream.py so the three can never drift. ``_CM_POS_SQL``
+    below is its oracle twin."""
+    return (
+        df.withColumn(
+            "j", F.explode(F.array(*[F.lit(i) for i in range(CM_D)]))
+        )
+        .withColumn(
+            "h",
+            F.md5(F.concat_ws("_", F.lit("cm"), F.col("j"),
+                              F.col(item_col).cast("string"))),
+        )
+        .withColumn(
+            "pos",
+            F.pmod(
+                F.conv(F.substring("h", 1, KMV_HEX), 16, 10).cast("long"),
+                F.lit(CM_W),
+            ),
+        )
+    )
+
+
 def q_event_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type HEAVY HITTERS via a COUNT-MIN sketch -- the
     frequency-estimation member of the sketch family (distinct: KMV /
@@ -1310,34 +1335,13 @@ def q_event_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = e.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("n_exact")
     )
-
-    def with_cells(df: DataFrame) -> DataFrame:
-        return (
-            df.withColumn(
-                "j", F.explode(F.array(*[F.lit(i) for i in range(CM_D)]))
-            )
-            .withColumn(
-                "h",
-                F.md5(F.concat_ws("_", F.lit("cm"), F.col("j"),
-                                  F.col("user_id").cast("string"))),
-            )
-            .withColumn(
-                "pos",
-                F.pmod(
-                    F.conv(F.substring("h", 1, KMV_HEX), 16, 10)
-                    .cast("long"),
-                    F.lit(CM_W),
-                ),
-            )
-        )
-
     counters = (
-        with_cells(e.select("event_type", "user_id"))
+        cm_with_cells(e.select("event_type", "user_id"))
         .groupBy("event_type", "j", "pos")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     est = (
-        with_cells(pairs)
+        cm_with_cells(pairs)
         .join(counters, ["event_type", "j", "pos"])
         .groupBy("event_type", "user_id", "n_exact")
         .agg(F.min("c").alias("cm_estimate"))
@@ -1402,6 +1406,139 @@ SELECT event_type, rank, user_id,
        CAST(cm_estimate AS BIGINT) AS cm_estimate,
        CAST(cm_estimate - n_exact AS BIGINT) AS over
 FROM ranked WHERE rank <= {CM_TOPK}
+"""
+
+
+# ---- AMS second-moment sketch (self-join size / skew estimate) ---------------
+
+# estimator count and median-of-means group width: R/G groups of G
+# estimators; within-group mean has relative stderr sqrt(2/G) ~ 50%,
+# the median over R/G = 8 groups drives the failure probability down
+# exponentially (the classic AMS '96 boosting). Cost is R signed
+# counters per group key, nothing else.
+AMS_R = 64
+AMS_G = 8
+
+
+def q_event_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type SECOND FREQUENCY MOMENT (F2 = sum over users of
+    count^2 -- the self-join size, the canonical skew/repeat-rate
+    statistic) via an ALON-MATIAS-SZEGEDY sketch: the MOMENTS member
+    of the sketch family (distinct: KMV / HLL; quantiles: histogram;
+    membership: Bloom; set algebra: theta; frequency: Count-Min;
+    moments: THIS). Each of {AMS_R} estimators keeps one signed
+    counter Z_j = sum over events of sign_j(user); E[Z_j^2] = F2
+    exactly (cross terms vanish under 4-wise-independent signs). The
+    estimate is the classic median-of-means boost: mean of Z^2 within
+    each of {AMS_R // AMS_G} groups of {AMS_G}, median across groups
+    (spelled as the mean of the two middle order statistics, total
+    deterministic tie-break, so both engines agree bit-exactly).
+
+    Deterministic and engine-portable like the whole family: sign_j =
+    1 - 2*(low bit of the 48-bit md5 prefix of 'ams_<j>_<user>'),
+    counters are plain SUMs of BIGINTs, squaring is IEEE-exact-rounded
+    on the double cast in both engines -- the DuckDB oracle reproduces
+    the ESTIMATE bit-exactly (approximate in statistics, exact in
+    verification). ``f2_exact`` rides along as the accuracy audit.
+
+    Scale shape: the per-(type, user) pre-aggregation is one map-side
+    combinable shuffle (shared with the exact audit); the signed fold
+    is an additive groupBy bounded at {AMS_R} rows per type -- the
+    same sum-monoid the histogram/HLL streaming twins exploit, so an
+    AMS stream inherits their exactly-once-by-algebra story verbatim.
+    The audit's exact F2 pays the honest (type, user) agg; a 100 TB
+    deployment keeps only the R counters per type."""
+    e = _events(spark, sf_dir)
+    pairs = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    exact = pairs.groupBy("event_type").agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("f2_exact")
+    )
+    signed = (
+        pairs.withColumn(
+            "j", F.explode(F.array(*[F.lit(i) for i in range(AMS_R)]))
+        )
+        .withColumn(
+            "h",
+            F.md5(F.concat_ws("_", F.lit("ams"), F.col("j"),
+                              F.col("user_id").cast("string"))),
+        )
+        .withColumn(
+            "sign",
+            F.lit(1)
+            - F.lit(2)
+            * F.conv(F.substring("h", 1, KMV_HEX), 16, 10)
+            .cast("long").bitwiseAND(F.lit(1)),
+        )
+    )
+    z = signed.groupBy("event_type", "j").agg(
+        F.sum(F.col("n") * F.col("sign")).alias("z")
+    )
+    gm = (
+        z.withColumn("g", (F.col("j") / AMS_G).cast("int"))
+        .groupBy("event_type", "g")
+        .agg(F.avg(F.col("z").cast("double") * F.col("z")).alias("gmean"))
+    )
+    n_groups = AMS_R // AMS_G
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("gmean").asc(), F.col("g").asc()
+    )
+    med = (
+        gm.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").isin(n_groups // 2, n_groups // 2 + 1))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("gmean"), 4).alias("ams_estimate"))
+    )
+    return exact.join(med, "event_type").select(
+        "event_type", "f2_exact", "ams_estimate",
+        F.round(
+            F.abs(F.col("ams_estimate") - F.col("f2_exact"))
+            / F.col("f2_exact"), 6
+        ).alias("rel_err"),
+    )
+
+
+_AMS_SIGN_SQL = f"1 - 2 * (({hex_prefix_bigint_sql(KMV_HEX)}) & 1)"
+
+EVENT_AMS_F2_SQL = f"""
+WITH pairs AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+exact AS (
+  SELECT event_type, CAST(sum(n * n) AS BIGINT) AS f2_exact
+  FROM pairs GROUP BY 1
+),
+signed AS (
+  SELECT p.event_type, p.n, t.j,
+         md5('ams_' || t.j || '_' || CAST(p.user_id AS VARCHAR)) AS h
+  FROM pairs p CROSS JOIN range(0, {AMS_R}) t(j)
+),
+z AS (
+  SELECT event_type, j, sum(n * ({_AMS_SIGN_SQL})) AS z
+  FROM signed GROUP BY 1, 2
+),
+gm AS (
+  SELECT event_type, CAST(j // {AMS_G} AS INT) AS g,
+         avg(CAST(z AS DOUBLE) * z) AS gmean
+  FROM z GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, gmean,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY gmean ASC, g ASC) AS rn
+  FROM gm
+),
+med AS (
+  SELECT event_type, round(avg(gmean), 4) AS ams_estimate
+  FROM ranked
+  WHERE rn IN ({AMS_R // AMS_G // 2}, {AMS_R // AMS_G // 2 + 1})
+  GROUP BY 1
+)
+SELECT e.event_type, e.f2_exact, m.ams_estimate,
+       round(abs(m.ams_estimate - e.f2_exact) / e.f2_exact, 6) AS rel_err
+FROM exact e JOIN med m USING (event_type)
 """
 
 
@@ -1823,6 +1960,7 @@ QUERIES = {
     "event_kmv_distinct": q_event_kmv_distinct,
     "event_hll_distinct": q_event_hll_distinct,
     "event_cm_heavy_hitters": q_event_cm_heavy_hitters,
+    "event_ams_f2": q_event_ams_f2,
     "event_kmv_overlap": q_event_kmv_overlap,
     "event_bloom_semijoin": q_event_bloom_semijoin,
     "event_gap_fill": q_event_gap_fill,
@@ -1850,6 +1988,7 @@ ORACLES = {
     "event_kmv_distinct": EVENT_KMV_DISTINCT_SQL,
     "event_hll_distinct": EVENT_HLL_DISTINCT_SQL,
     "event_cm_heavy_hitters": EVENT_CM_HEAVY_HITTERS_SQL,
+    "event_ams_f2": EVENT_AMS_F2_SQL,
     "event_kmv_overlap": EVENT_KMV_OVERLAP_SQL,
     "event_bloom_semijoin": EVENT_BLOOM_SEMIJOIN_SQL,
     "event_gap_fill": EVENT_GAP_FILL_SQL,

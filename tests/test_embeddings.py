@@ -60,6 +60,30 @@ def test_lsh_ann_recalls_planted_neighbors(spark, tmp_path):
     assert hits == eq.N_QUERIES
 
 
+def test_knn_graph_ranks_planted_cluster_mates_first(spark, tmp_path):
+    """k-NN graph on planted 3-vector clusters: every member's rank-1/2
+    neighbors must be its two cluster mates (cos ~ 0.999 inside a
+    cluster vs ~0 across random clusters; LSH puts near-identical
+    vectors in the same buckets with P[miss] < 1e-4 per pair)."""
+    rng = np.random.RandomState(3)
+    dim = 64
+    centers = rng.standard_normal((20, dim))
+    vecs = []
+    for c in centers:  # members 3i, 3i+1, 3i+2 share center i
+        for _ in range(3):
+            vecs.append(c + 0.01 * rng.standard_normal(dim))
+    sf = _write_sf(spark, tmp_path, vecs)
+
+    out = eq.q_emb_knn_graph(spark, sf).collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], {})[r["rank"]] = r["neighbor_id"]
+    assert len(by_vec) == 60
+    for v, ranks in by_vec.items():
+        mates = {m for m in range(v // 3 * 3, v // 3 * 3 + 3) if m != v}
+        assert {ranks[1], ranks[2]} == mates, (v, ranks)
+
+
 def test_lsh_matches_bruteforce_top1_on_planted(spark, tmp_path):
     rng = np.random.RandomState(3)
     dim = 32

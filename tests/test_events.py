@@ -436,3 +436,62 @@ def test_countmin_estimate_is_one_sided(spark, tmp_path):
     # the true heaviest band (61 events each) dominates the top ranks
     top_exact = {r["n_exact"] for r in out[:5]}
     assert max(top_exact) == 61
+
+
+def test_ams_f2_single_user_is_exact(spark, tmp_path):
+    """With ONE distinct user every estimator is Z_j = ±n, so Z_j^2 =
+    n^2 = F2 exactly: the sketch degenerates to the exact answer, a
+    deterministic edge the estimator must hit with rel_err 0."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        q_event_ams_f2,
+    )
+
+    rows = [(i, 42, "click", None, 1.0) for i in range(7)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    [r] = q_event_ams_f2(spark, str(tmp_path)).collect()
+    assert r["f2_exact"] == 49
+    assert r["ams_estimate"] == 49.0
+    assert r["rel_err"] == 0.0
+
+
+def test_ams_f2_skewed_fixture_accuracy(spark, tmp_path):
+    """F2 audit on a skewed hand-built frame: f2_exact is the literal
+    sum of squared per-user counts, the median-of-means estimate lands
+    within the R=64/G=8 error envelope (within-group stderr
+    sqrt(2/8) ~ 50%; the 8-group median concentrates well inside it --
+    the fixture is deterministic, so this bound is a regression pin,
+    not a flaky statistical assertion), and rel_err is the recomputed
+    |est - exact| / exact."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        q_event_ams_f2,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(60):
+        for _ in range((u % 5) * 8 + 1):  # counts 1, 9, 17, 25, 33
+            rows.append((eid, u, "click", None, 1.0))
+            eid += 1
+    for u in range(200):  # a flat singleton type: F2 = n
+        rows.append((eid, 10_000 + u, "view", None, 1.0))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_type"]: r
+           for r in q_event_ams_f2(spark, str(tmp_path)).collect()}
+    c = got["click"]
+    assert c["f2_exact"] == sum(((u % 5) * 8 + 1) ** 2 for u in range(60))
+    assert c["rel_err"] == round(
+        abs(c["ams_estimate"] - c["f2_exact"]) / c["f2_exact"], 6
+    )
+    assert c["rel_err"] < 0.5
+    v = got["view"]
+    assert v["f2_exact"] == 200
+    assert v["rel_err"] < 0.5

@@ -116,6 +116,10 @@ QUERIES = [
     # r9: Count-Min heavy hitters — additive counter fold bounded at
     # d*w cells per type; candidate audit side scales linearly
     "event_cm_heavy_hitters",
+    # r9: AMS F2 — signed counter fold bounded at R rows per type; the
+    # user_id-shifted copies multiply the (type, user) pre-agg
+    # linearly, the honest moment-estimation workload
+    "event_ams_f2",
     # r8: bloom semi-join — build and probe sides both scale linearly
     # with the user_id-shifted copies; the bit table stays 4096 rows
     "event_bloom_semijoin",
@@ -163,8 +167,56 @@ NEARDUP_QUERIES = [
     # all-pairs join, expected to hit the cap like the dedup twins
     "doc_minhash_jaccard_est",
 ]
+# Embedding-space near-dup/graph queries get the same treatment as the
+# text near-dup family: the main amplification copies embeddings
+# UNCHANGED (shifted ids only), so every vector gains copies-1 exact
+# duplicates and any all-corpus pair/graph query would measure a
+# manufactured duplicate-clique blowup. Copy i>0 here multiplies every
+# dimension by a deterministic md5-parity +-1 sign instead -- an
+# ISOMETRY (within-copy cosines, norms, and LSH bucket structure are
+# preserved exactly) while cross-copy cosines decorrelate to ~0 under
+# the random sign pattern -- so candidate density scales linearly like
+# independent shards of a bigger corpus, the honest workload.
+NEARDUP_EMB_QUERIES = [
+    "emb_knn_graph",
+]
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _DIGIT = "0123456789"
+
+
+def build_neardup_emb(spark, out_dir: str, copies: int = COPIES) -> None:
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    dim = len(src.select("embedding").first()[0])
+    parts = [src]
+    for i in range(1, copies):
+        flips = F.array(*[
+            F.lit(
+                1.0
+                if int(hashlib.md5(f"flip_{i}_{d}".encode())
+                       .hexdigest()[:15], 16) & 1
+                else -1.0
+            )
+            for d in range(dim)
+        ])
+        parts.append(
+            src.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+            .withColumn(
+                "embedding",
+                F.zip_with(
+                    "embedding", flips, lambda x, s: (x * s).cast("float")
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
 
 
 def build_neardup(spark, out_dir: str, copies: int = COPIES) -> None:
@@ -362,6 +414,32 @@ def main() -> None:
                 results[key] = {
                     **measure(name, nd_dir, nd_con),
                     "corpus": f"neardup-decorrelated x{mult}",
+                }
+                print(json.dumps({"query": key, **results[key]}),
+                      file=sys.stderr)
+
+    nde_names = [
+        n for n in NEARDUP_EMB_QUERIES if n in qmap and (not only or n in only)
+    ]
+    if nde_names:
+        for mult in (10, 20):
+            nde_dir = f"{out_dir}_ndemb{'' if mult == 10 else mult}"
+            if not os.path.exists(f"{nde_dir}/embeddings.parquet"):
+                t0 = time.time()
+                build_neardup_emb(spark, nde_dir, copies=mult)
+                print(f"built {nde_dir} in {time.time() - t0:.1f}s",
+                      file=sys.stderr)
+            nde_con = duckdb.connect()
+            nde_con.sql(f"SET threads TO {os.cpu_count()}")
+            nde_con.sql(
+                "CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{nde_dir}/embeddings.parquet/*.parquet'"
+            )
+            for name in nde_names:
+                key = name if mult == 10 else f"{name}@{mult}x"
+                results[key] = {
+                    **measure(name, nde_dir, nde_con),
+                    "corpus": f"sign-flip-decorrelated x{mult}",
                 }
                 print(json.dumps({"query": key, **results[key]}),
                       file=sys.stderr)
