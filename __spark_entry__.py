@@ -111,8 +111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NEW in r9: the window is already exactly full with must-re-verify
     # entries, so they sit just below the boundary (locally verified
     # via tools/check_correctness.py + unit-tested) and take three of
-    # r10's five free window slots (with doc_dsir_sample and
-    # emb_knn_graph claiming the other two -- 5 new r9 queries total).
+    # r10's window slots (with doc_dsir_sample, emb_knn_graph, and
+    # emb_knn_refine claiming three more -- 6 new r9 queries total).
+    # doc_paragraph_dedup's PLAN changed late in r9 (single-exchange
+    # winner election; oracle SQL and results byte-identical, sf0.01
+    # OK_EXACT re-checked) -- it keeps its green r8 row below the
+    # boundary and joins the r10 window for driver re-verification.
     r8_events = {"event_kmv_distinct", "event_histogram_quantiles",
                  "event_kmv_overlap", "event_bloom_semijoin",
                  "event_hll_distinct", "event_cm_heavy_hitters",

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "emb_lsh_neardup",
     "emb_dedup_clusters",
     "emb_knn_graph",
+    "emb_knn_refine",
     "emb_int8_quantize",
     "emb_kmeans_iter",
     # events remainder

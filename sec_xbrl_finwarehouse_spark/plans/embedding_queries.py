@@ -718,7 +718,10 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_per_query(scored).withColumnRenamed("query_id", "vec_id")
 
 
-EMB_KNN_GRAPH_SQL = f"""{_LSH_BUCKET_CTES},
+# Shared CTE chain ending in ``graph(vec_id, rank, neighbor_id,
+# cosine)`` -- the ranked k-NN graph, consumed by the graph oracle AND
+# the NN-descent refinement oracle so the graph spelling cannot drift.
+_KNN_GRAPH_CTES = f"""{_LSH_BUCKET_CTES},
 cand AS (
   SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
   FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
@@ -730,13 +733,106 @@ scored AS (
   FROM cand
   JOIN e ea ON ea.vec_id = cand.query_id
   JOIN e eb ON eb.vec_id = cand.neighbor_id
+),
+graph AS (
+  SELECT query_id AS vec_id, rank, neighbor_id, cosine
+  FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+  )
+  WHERE rank <= {TOPK}
+)"""
+
+EMB_KNN_GRAPH_SQL = f"""{_KNN_GRAPH_CTES}
+SELECT vec_id, rank, neighbor_id, cosine FROM graph
+"""
+
+
+# ---- NN-descent refinement (one round over the k-NN graph) ------------------
+
+def q_emb_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-DESCENT round (Dong et al. '11) over the LSH-seeded k-NN
+    graph: each vector's candidate pool becomes its current neighbors
+    PLUS its neighbors' neighbors ("a neighbor of a neighbor is likely
+    a neighbor"), exact cosine rerank, top-{TOPK} again. This is how
+    production raises graph recall past the LSH collision bound without
+    ever going all-pairs: a true neighbor missed by every bucket is
+    still reached through any shared intermediate. The candidate pool
+    is a SUPERSET of the seed graph's, so per-rank cosine is monotone
+    non-decreasing (the unit test pins strict recall improvement on a
+    spread-cluster fixture).
+
+    Scale shape: the 2-hop expansion is a self-equi-join of the
+    k-bounded graph on the intermediate id -- at most k^2 candidate
+    rows per vector ({TOPK * TOPK} here), independent of corpus size;
+    candidates are distinct-ed before the embedding fetch (two vec_id
+    equi-joins), then the shared two-phase top-k prunes. Production
+    iterates this operator to convergence reading the graph from a
+    stored table; here the seed graph subplan feeds both join sides
+    and Catalyst reuses the exchange. Deterministic like the seed
+    graph: md5 planes, round-6 cosine, neighbor_id tie-break -- the
+    DuckDB oracle reproduces the refined graph bit-exactly."""
+    e = _embeddings(spark, sf_dir, parallel=False).select("vec_id", "emb")
+    g = q_emb_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    hop = g.select(
+        F.col("vec_id").alias("mid"), F.col("neighbor_id").alias("hop2")
+    )
+    two_hop = (
+        g.select("vec_id", F.col("neighbor_id").alias("mid"))
+        .join(hop, "mid")
+        .filter(F.col("vec_id") != F.col("hop2"))
+        .select("vec_id", F.col("hop2").alias("neighbor_id"))
+    )
+    cand = (
+        g.unionByName(two_hop)
+        .dropDuplicates(["vec_id", "neighbor_id"])
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    eq_ = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    en = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
+    )
+    scored = (
+        cand.join(eq_, "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("cosine"),
+        )
+    )
+    return _topk_per_query(scored).withColumnRenamed("query_id", "vec_id")
+
+
+EMB_KNN_REFINE_SQL = f"""{_KNN_GRAPH_CTES},
+pool AS (
+  -- DISTINCT over UNION ALL, not bare UNION: under this chain's WITH
+  -- RECURSIVE header DuckDB gives a UNION inside a CTE the recursive
+  -- working-table treatment and does NOT dedup across the two branches
+  -- (observed: duplicate (vec_id, neighbor_id) rows reaching the
+  -- rerank and claiming two ranks)
+  SELECT DISTINCT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id FROM graph
+    UNION ALL
+    SELECT g1.vec_id, g2.neighbor_id
+    FROM graph g1 JOIN graph g2 ON g2.vec_id = g1.neighbor_id
+    WHERE g2.neighbor_id <> g1.vec_id
+  )
+),
+rescored AS (
+  SELECT p.vec_id, p.neighbor_id,
+         {_DUCK_COS.format(a='ea.emb', b='eb.emb')} AS cosine
+  FROM pool p
+  JOIN e ea ON ea.vec_id = p.vec_id
+  JOIN e eb ON eb.vec_id = p.neighbor_id
 )
-SELECT query_id AS vec_id, rank, neighbor_id, cosine
+SELECT vec_id, rank, neighbor_id, cosine
 FROM (
-  SELECT query_id, neighbor_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY query_id
+  SELECT vec_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
-  FROM scored
+  FROM rescored
 )
 WHERE rank <= {TOPK}
 """
@@ -2015,6 +2111,7 @@ QUERIES = {
     "emb_lsh_neardup": q_emb_lsh_neardup,
     "emb_dedup_clusters": q_emb_dedup_clusters,
     "emb_knn_graph": q_emb_knn_graph,
+    "emb_knn_refine": q_emb_knn_refine,
     "emb_int8_quantize": q_emb_int8_quantize,
     "emb_pq_ann_topk": q_emb_pq_ann_topk,
     "emb_ivf_pq_ann_topk": q_emb_ivf_pq_ann_topk,
@@ -2037,6 +2134,7 @@ ORACLES = {
     "emb_lsh_neardup": EMB_LSH_NEARDUP_SQL,
     "emb_dedup_clusters": EMB_DEDUP_CLUSTERS_SQL,
     "emb_knn_graph": EMB_KNN_GRAPH_SQL,
+    "emb_knn_refine": EMB_KNN_REFINE_SQL,
     "emb_int8_quantize": EMB_INT8_QUANTIZE_SQL,
     "emb_pq_ann_topk": EMB_PQ_ANN_TOPK_SQL,
     "emb_ivf_pq_ann_topk": EMB_IVF_PQ_ANN_TOPK_SQL,

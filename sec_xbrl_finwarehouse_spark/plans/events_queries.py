@@ -1434,12 +1434,16 @@ def q_event_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spelled as the mean of the two middle order statistics, total
     deterministic tie-break, so both engines agree bit-exactly).
 
-    Deterministic and engine-portable like the whole family: sign_j =
-    1 - 2*(low bit of the 48-bit md5 prefix of 'ams_<j>_<user>'),
-    counters are plain SUMs of BIGINTs, squaring is IEEE-exact-rounded
-    on the double cast in both engines -- the DuckDB oracle reproduces
-    the ESTIMATE bit-exactly (approximate in statistics, exact in
-    verification). ``f2_exact`` rides along as the accuracy audit.
+    Deterministic and engine-portable like the whole family: the
+    {AMS_R} signs come from the BITS of just TWO md5 hashes per user
+    (sign_j = 1 - 2*(bit j%32 of the 48-bit prefix of
+    'ams_<j div 32>_<user>') -- md5 treated as a random oracle, so
+    distinct bits are as independent as distinct hashes, at 1/32 the
+    hashing cost on BOTH engines); counters are plain SUMs of BIGINTs,
+    squaring is IEEE-exact-rounded on the double cast in both engines
+    -- the DuckDB oracle reproduces the ESTIMATE bit-exactly
+    (approximate in statistics, exact in verification). ``f2_exact``
+    rides along as the accuracy audit.
 
     Scale shape: the per-(type, user) pre-aggregation is one map-side
     combinable shuffle (shared with the exact audit); the signed fold
@@ -1455,21 +1459,31 @@ def q_event_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = pairs.groupBy("event_type").agg(
         F.sum(F.col("n") * F.col("n")).cast("long").alias("f2_exact")
     )
+    def _h48(p: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.lit("ams"), F.lit(p),
+                                      F.col("user_id").cast("string"))),
+                    1, KMV_HEX,
+                ),
+                16, 10,
+            ).cast("long")
+        )
+
     signed = (
-        pairs.withColumn(
+        pairs.select(
+            "event_type", "n", _h48(0).alias("h0"), _h48(1).alias("h1")
+        )
+        .withColumn(
             "j", F.explode(F.array(*[F.lit(i) for i in range(AMS_R)]))
         )
         .withColumn(
-            "h",
-            F.md5(F.concat_ws("_", F.lit("ams"), F.col("j"),
-                              F.col("user_id").cast("string"))),
-        )
-        .withColumn(
             "sign",
-            F.lit(1)
-            - F.lit(2)
-            * F.conv(F.substring("h", 1, KMV_HEX), 16, 10)
-            .cast("long").bitwiseAND(F.lit(1)),
+            F.expr(
+                "1 - 2 * cast(shiftright(if(j < 32, h0, h1), "
+                "cast(j % 32 as int)) & 1 as int)"
+            ),
         )
     )
     z = signed.groupBy("event_type", "j").agg(
@@ -1499,8 +1513,6 @@ def q_event_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_AMS_SIGN_SQL = f"1 - 2 * (({hex_prefix_bigint_sql(KMV_HEX)}) & 1)"
-
 EVENT_AMS_F2_SQL = f"""
 WITH pairs AS (
   SELECT event_type, user_id, count(*) AS n
@@ -1510,13 +1522,25 @@ exact AS (
   SELECT event_type, CAST(sum(n * n) AS BIGINT) AS f2_exact
   FROM pairs GROUP BY 1
 ),
+hashed AS (
+  SELECT event_type, n,
+         {hex_prefix_bigint_sql(KMV_HEX, "hx0")} AS h0,
+         {hex_prefix_bigint_sql(KMV_HEX, "hx1")} AS h1
+  FROM (
+    SELECT event_type, n,
+           md5('ams_0_' || CAST(user_id AS VARCHAR)) AS hx0,
+           md5('ams_1_' || CAST(user_id AS VARCHAR)) AS hx1
+    FROM pairs
+  )
+),
 signed AS (
-  SELECT p.event_type, p.n, t.j,
-         md5('ams_' || t.j || '_' || CAST(p.user_id AS VARCHAR)) AS h
-  FROM pairs p CROSS JOIN range(0, {AMS_R}) t(j)
+  SELECT event_type, n, t.j,
+         1 - 2 * (((CASE WHEN t.j < 32 THEN h0 ELSE h1 END)
+                   >> CAST(t.j % 32 AS INTEGER)) & 1) AS sign
+  FROM hashed CROSS JOIN range(0, {AMS_R}) t(j)
 ),
 z AS (
-  SELECT event_type, j, sum(n * ({_AMS_SIGN_SQL})) AS z
+  SELECT event_type, j, sum(n * sign) AS z
   FROM signed GROUP BY 1, 2
 ),
 gm AS (

@@ -1692,14 +1692,18 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunker swaps for split-on-blank-line without touching the dedup.
 
     Scale shape: chunking is map-only array ops on the token array (no
-    explode-then-regroup); the keep decision groups chunks by
-    ``xxhash64(para)`` so the winner election shuffles 8-byte keys plus
-    one carried paragraph (min/max carried through the same agg as a
-    collision check, exactly like q_doc_exact_dedup: clean groups emit
-    directly, a colliding hash -- P ~ n^2/2^64 -- re-resolves by exact
-    text via a broadcast semi-join); reassembly groups the kept
-    paragraphs by doc_id. Two shuffles total, both map-side combinable,
-    nothing quadratic anywhere."""
+    explode-then-regroup); ONE exchange elects every winner --
+    hash-partition the chunks by ``xxhash64(para)``, then row_number
+    (ordered (doc_id, idx): rank 1 IS the min-struct winner) plus the
+    min/max-paragraph collision check ride the same window partition,
+    exactly the oracle's ROW_NUMBER shape. The former groupBy +
+    broadcast-semi-join shape re-executed the tokenize+explode subplan
+    a SECOND time just to re-resolve colliding hashes (P ~ n^2/2^64 --
+    almost always zero rows bought with a full second corpus pass);
+    here the colliding rows are already in the window output and
+    re-resolve by exact text on that collision-group-sized subset.
+    Reassembly groups the kept paragraphs by doc_id. Two corpus-wide
+    shuffles total, nothing quadratic anywhere."""
     d = _documents(spark, sf_dir)
     arr = _tokens(F.col("text"))
     n_paras = F.ceil(F.size(arr) / F.lit(PARA_TOKENS))
@@ -1716,19 +1720,20 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(chunk_structs).alias("c"))
         .select("doc_id", F.col("c.idx").alias("idx"), F.col("c.para").alias("para"))
     )
-    agg = chunks.groupBy(F.xxhash64("para").alias("hkey")).agg(
-        F.min(F.struct("doc_id", "idx")).alias("w"),
-        F.min("para").alias("mn"),
-        F.max("para").alias("mx"),
+    wp = Window.partitionBy("hkey")
+    ranked = chunks.withColumn("hkey", F.xxhash64("para")).select(
+        "doc_id", "idx", "para",
+        F.row_number().over(wp.orderBy("doc_id", "idx")).alias("rn"),
+        F.min("para").over(wp).alias("mn"),
+        F.max("para").over(wp).alias("mx"),
     )
-    clean = agg.filter(F.col("mn") == F.col("mx")).select(
-        F.col("w.doc_id").alias("doc_id"), F.col("w.idx").alias("idx"),
-        F.col("mn").alias("para"),
-    )
-    collided_keys = agg.filter(F.col("mn") != F.col("mx")).select("hkey")
+    clean = ranked.filter(
+        (F.col("mn") == F.col("mx")) & (F.col("rn") == 1)
+    ).select("doc_id", "idx", "para")
+    # colliding hashes (P ~ n^2/2^64): a collision-group-sized subset,
+    # re-resolved by exact text without re-reading the corpus
     collided = (
-        chunks.withColumn("hkey", F.xxhash64("para"))
-        .join(F.broadcast(collided_keys), "hkey", "left_semi")
+        ranked.filter(F.col("mn") != F.col("mx"))
         .groupBy("para")
         .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
         .select(F.col("w.doc_id").alias("doc_id"),

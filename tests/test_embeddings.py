@@ -84,6 +84,46 @@ def test_knn_graph_ranks_planted_cluster_mates_first(spark, tmp_path):
         assert {ranks[1], ranks[2]} == mates, (v, ranks)
 
 
+def test_knn_refine_candidates_are_superset_and_recall_improves(
+    spark, tmp_path
+):
+    """NN-descent round on SPREAD clusters (perturbation large enough
+    that some cluster pairs miss every shared LSH bucket, small enough
+    that cosines stay high): the refined pool is a superset of the seed
+    graph's, so per-vector true-mate recall is monotone non-decreasing
+    -- and on this fixture the 2-hop chains recover strictly more
+    cluster mates than the seed graph found."""
+    rng = np.random.RandomState(11)
+    dim = 64
+    centers = rng.standard_normal((12, dim))
+    members = 6
+    vecs = []
+    for c in centers:
+        for _ in range(members):
+            vecs.append(c + 0.55 * rng.standard_normal(dim))
+    sf = _write_sf(spark, tmp_path, vecs)
+
+    def mate_hits(rows):
+        hits = 0
+        for r in rows:
+            lo = r["vec_id"] // members * members
+            if lo <= r["neighbor_id"] < lo + members:
+                hits += 1
+        return hits
+
+    seed = eq.q_emb_knn_graph(spark, sf).collect()
+    refined = eq.q_emb_knn_refine(spark, sf).collect()
+    seed_hits, refined_hits = mate_hits(seed), mate_hits(refined)
+    assert refined_hits >= seed_hits
+    assert refined_hits > seed_hits, (seed_hits, refined_hits)
+    # per-rank cosine is monotone non-decreasing (superset pool)
+    seed_cos = {(r["vec_id"], r["rank"]): r["cosine"] for r in seed}
+    for r in refined:
+        k = (r["vec_id"], r["rank"])
+        if k in seed_cos:
+            assert r["cosine"] >= seed_cos[k], k
+
+
 def test_lsh_matches_bruteforce_top1_on_planted(spark, tmp_path):
     rng = np.random.RandomState(3)
     dim = 32

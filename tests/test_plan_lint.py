@@ -72,6 +72,7 @@ ARROW_ALLOWED = {
     # LSH hyperplane projection is an Arrow-vectorized pandas UDF
     "emb_lsh_ann_topk", "emb_lsh_neardup", "emb_dedup_clusters",
     "doc_semantic_dedup", "emb_ann_recall", "emb_knn_graph",
+    "emb_knn_refine",
 }
 
 

@@ -179,6 +179,10 @@ NEARDUP_QUERIES = [
 # independent shards of a bigger corpus, the honest workload.
 NEARDUP_EMB_QUERIES = [
     "emb_knn_graph",
+    # NN-descent round: the 2-hop expansion is k^2-bounded per vector,
+    # so its cost tracks the seed graph's candidate density -- measured
+    # on the same decorrelated corpus
+    "emb_knn_refine",
 ]
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _DIGIT = "0123456789"
