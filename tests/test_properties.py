@@ -548,3 +548,92 @@ def test_kmv_merge_is_order_and_replay_invariant(spark, batches, order):
     all_rows = [r for b in batches for r in b]
     want = sorted(map(tuple, merge_kmv_sketch(empty, frame(all_rows), k).collect()))
     assert got == want
+
+
+cm_batches = st.lists(
+    st.lists(
+        st.tuples(st.sampled_from(["g1", "g2"]), st.integers(0, 50)),
+        min_size=0, max_size=30,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(batches=cm_batches, order=st.randoms(use_true_random=False))
+@_SETTINGS
+def test_cm_merge_is_order_invariant_and_exactly_additive(
+    spark, batches, order
+):
+    """The monoid property streaming/cm_stream.py's watermark story
+    rests on, under generated inputs: merging batches in ANY order
+    yields the same counters as one merge of everything (commutative +
+    associative), the total count equals d x the row count exactly
+    (every row increments exactly CM_D cells), and -- the flip side
+    the watermark exists for -- replaying a batch visibly inflates its
+    cells (addition is NOT idempotent)."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import CM_D
+    from sec_xbrl_finwarehouse_spark.streaming.cm_stream import (
+        CM_SCHEMA,
+        cells_of,
+        merge_cm,
+    )
+
+    def frame(rows):
+        return cells_of(
+            spark.createDataFrame(rows, "g string, u long")
+            if rows else
+            spark.createDataFrame([], "g string, u long"),
+            "g", "u",
+        )
+
+    empty = spark.createDataFrame([], CM_SCHEMA)
+    sequence = list(batches)
+    order.shuffle(sequence)
+    acc = empty
+    for b in sequence:
+        acc = merge_cm(acc, frame(b))
+    got = sorted(map(tuple, acc.collect()))
+    all_rows = [r for b in batches for r in b]
+    want = sorted(map(tuple, merge_cm(empty, frame(all_rows)).collect()))
+    assert got == want
+    assert sum(c for *_, c in got) == len(all_rows) * CM_D
+    if all_rows:
+        replayed = merge_cm(acc, frame(batches[0]))
+        n2 = replayed.agg(F.sum("c")).collect()[0][0]
+        assert n2 == (len(all_rows) + len(batches[0])) * CM_D
+
+
+ams_counts = st.lists(st.integers(1, 9), min_size=1, max_size=6)
+
+
+@given(counts=ams_counts)
+@_SETTINGS
+def test_ams_single_user_types_estimate_exactly(spark, counts, tmp_path_factory):
+    """AMS degenerate exactness under generated inputs: when every
+    event_type holds ONE distinct user, every estimator is Z_j = ±n so
+    the median-of-means estimate equals F2 = n^2 exactly, whatever n.
+    (The generated corpus varies n per type; user ids vary so the sign
+    patterns differ across types -- exactness must hold regardless.)"""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        q_event_ams_f2,
+    )
+
+    tmp = tmp_path_factory.mktemp("ams")
+    rows = []
+    eid = 0
+    for t, n in enumerate(counts):
+        for _ in range(n):
+            rows.append((eid, 1000 + t * 7, f"type_{t}", None, 1.0))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    ).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    got = {r["event_type"]: r for r in q_event_ams_f2(spark, str(tmp)).collect()}
+    assert len(got) == len(counts)
+    for t, n in enumerate(counts):
+        r = got[f"type_{t}"]
+        assert r["f2_exact"] == n * n
+        assert r["ams_estimate"] == float(n * n)
+        assert r["rel_err"] == 0.0
