@@ -1026,6 +1026,59 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     cent.write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
+def append_ivf_index(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> int:
+    """INCREMENTAL index maintenance: add ``new_vectors(neighbor_id,
+    emb)`` to a stored IVF index WITHOUT rebuilding it -- the routine a
+    production vector store runs per ingest batch while
+    :func:`build_ivf_index` runs only when the quantizer is re-trained.
+
+    The stored centroid table is the FIXED trained quantizer (FAISS
+    semantics: appends never move centroids -- retraining is an explicit
+    rebuild, because silently drifting centroids would re-route queries
+    away from previously indexed vectors). New vectors are assigned via
+    the same one-row-broadcast projection as the build, then appended
+    to the cell-partitioned corpus: parquet ``append`` only ADDS files
+    under the touched ``cell=...`` directories, so untouched cells --
+    at 100 TB, nearly all of them -- are not read, not rewritten, and
+    keep serving concurrent probes from their existing files.
+
+    Idempotence is cell-pruned: already-present neighbor_ids are
+    dropped by an anti-join against ONLY the touched cells' stored ids
+    (partition pruning keeps the re-append guard batch-sized, never
+    index-sized), so replaying an ingest batch is a no-op -- the same
+    at-least-once-to-exactly-once contract as sinks.append_if_absent.
+    Returns the number of vectors actually appended. The touched-cell
+    list is a driver-side collect, bounded by the centroid count --
+    metadata-sized, like the partition lists in sinks.py."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    assigned = (
+        new_vectors.select("neighbor_id", "emb")
+        .crossJoin(_cells_one_row(cent))
+        .select("neighbor_id", "emb",
+                _nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
+    )
+    touched = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    if not touched:
+        return 0
+    stored_ids = (
+        spark.read.parquet(f"{index_dir}/corpus")
+        .filter(F.col("cell").isin(touched))
+        .select("cell", "neighbor_id")
+    )
+    novel = assigned.join(
+        stored_ids, ["cell", "neighbor_id"], "left_anti"
+    ).persist()
+    n = novel.count()
+    if n:
+        novel.write.mode("append").partitionBy("cell").parquet(
+            f"{index_dir}/corpus"
+        )
+    novel.unpersist()
+    return n
+
+
 def q_emb_ivf_index_probe(
     spark: SparkSession, sf_dir: str, index_dir: str
 ) -> DataFrame:

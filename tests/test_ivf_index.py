@@ -56,3 +56,147 @@ def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
     df = eq.q_emb_ivfpq_index_probe(spark, SF_DIR, idx)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def _half_corpus_dirs(spark, tmp_path):
+    """Split the sf0.001 embeddings into two corpus halves (queries,
+    vec_id < N_QUERIES, stay in BOTH so probes work), written as two
+    sf-style dirs."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = sorted(
+        r[0] for r in
+        e.filter(F.col("vec_id") >= eq.N_QUERIES).select("vec_id").collect()
+    )
+    cut = ids[len(ids) // 2]
+    dirs = []
+    for i, pred in enumerate([
+        (F.col("vec_id") < eq.N_QUERIES) | (F.col("vec_id") < cut),
+        (F.col("vec_id") < eq.N_QUERIES) | (F.col("vec_id") >= cut),
+    ]):
+        d = tmp_path / f"half{i}"
+        d.mkdir()
+        e.filter(pred).write.parquet(str(d / "embeddings.parquet"))
+        dirs.append(str(d))
+    return dirs, cut
+
+
+def test_ivf_append_matches_rebuild_under_fixed_quantizer(spark, tmp_path):
+    """Incremental maintenance contract: build the index from the first
+    corpus half (its centroids are the trained quantizer), append the
+    second half -- probes must equal an index whose corpus was FULLY
+    assigned under the SAME fixed quantizer. Appends are idempotent
+    (replaying the batch appends zero vectors) and touch only the
+    assigned cells' directories (untouched cell dirs keep their exact
+    file lists -- the 100 TB no-rewrite claim, asserted on disk)."""
+    from pyspark.sql import functions as F
+
+    (half1, half2), cut = _half_corpus_dirs(spark, tmp_path)
+    idx = str(tmp_path / "ivf_inc")
+    eq.build_ivf_index(spark, half1, idx)
+
+    batch = (
+        spark.read.parquet(f"{half2}/embeddings.parquet")
+        .filter(F.col("vec_id") >= eq.N_QUERIES)
+        .select(F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    # per-cell file lists before the append
+    files_before = {}
+    for d in os.listdir(f"{idx}/corpus"):
+        if d.startswith("cell="):
+            files_before[d] = sorted(os.listdir(f"{idx}/corpus/{d}"))
+    # which cells the batch lands in (recomputed the same way the
+    # appender assigns -- fixed stored quantizer)
+    cent = spark.read.parquet(f"{idx}/centroids")
+    touched = {
+        f"cell={r['cell']}" for r in batch.crossJoin(eq._cells_one_row(cent))
+        .select(eq._nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
+        .distinct().collect()
+    }
+
+    n1 = eq.append_ivf_index(spark, idx, batch)
+    assert n1 == batch.count()
+    # idempotent replay
+    assert eq.append_ivf_index(spark, idx, batch) == 0
+
+    # untouched cells: byte-identical file lists
+    for d, before in files_before.items():
+        if d not in touched:
+            assert sorted(os.listdir(f"{idx}/corpus/{d}")) == before, d
+
+    # reference: full corpus assigned under the SAME (half1-trained)
+    # quantizer, written fresh
+    ref = str(tmp_path / "ivf_ref")
+    full = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .filter(F.col("vec_id") >= eq.N_QUERIES)
+        .select(F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").cast("array<double>").alias("emb"))
+        .crossJoin(eq._cells_one_row(cent))
+        .select("neighbor_id", "emb",
+                eq._nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
+    )
+    os.makedirs(ref)
+    full.write.partitionBy("cell").parquet(f"{ref}/corpus")
+    cent.write.parquet(f"{ref}/centroids")
+
+    got = sorted(map(tuple, eq.q_emb_ivf_index_probe(spark, SF_DIR, idx).collect()))
+    want = sorted(map(tuple, eq.q_emb_ivf_index_probe(spark, SF_DIR, ref).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_streaming_ivf_ingest_end_to_end(spark, tmp_path):
+    """readStream -> foreach_batch_ivf_append: vectors arriving across
+    micro-batches all land exactly once (the anti-join idempotence
+    makes at-least-once delivery safe with no watermark), and the final
+    index probes identically to a single batch append of everything."""
+    from pyspark.sql import functions as F
+
+    from sec_xbrl_finwarehouse_spark.streaming.ivf_ingest import (
+        foreach_batch_ivf_append,
+    )
+
+    (half1, half2), _ = _half_corpus_dirs(spark, tmp_path)
+    idx = str(tmp_path / "ivf_stream")
+    eq.build_ivf_index(spark, half1, idx)
+    before = spark.read.parquet(f"{idx}/corpus").count()
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch = (
+        spark.read.parquet(f"{half2}/embeddings.parquet")
+        .filter(F.col("vec_id") >= eq.N_QUERIES)
+        .select("vec_id", "embedding")
+    )
+    rows = batch.collect()
+    mid = len(rows) // 2
+    for i, chunk in enumerate([rows[:mid], rows[mid:]]):
+        spark.createDataFrame(chunk, batch.schema).coalesce(1) \
+            .write.parquet(str(src / f"b{i}.parquet"))
+
+    q = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+        .writeStream.foreachBatch(foreach_batch_ivf_append(idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish within 180 s"
+    stored = spark.read.parquet(f"{idx}/corpus")
+    assert stored.count() == before + len(rows)
+    assert stored.select("neighbor_id").distinct().count() == stored.count()
+    # replaying the whole source through a fresh stream adds nothing
+    q2 = (
+        spark.readStream.schema(batch.schema)
+        .parquet(str(src) + "/*/")
+        .writeStream.foreachBatch(foreach_batch_ivf_append(idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(180)
+    assert spark.read.parquet(f"{idx}/corpus").count() == before + len(rows)
