@@ -107,12 +107,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     # the 4 sketch-family events were INSIDE r8's window (green r8
     # rows, unchanged since) -- they sit below the boundary this round.
-    # event_hll_distinct, event_cm_heavy_hitters, and event_ams_f2 are
+    # event_hll_distinct, event_cm_heavy_hitters, event_ams_f2, and
+    # event_hll_sliding are
     # NEW in r9: the window is already exactly full with must-re-verify
     # entries, so they sit just below the boundary (locally verified
-    # via tools/check_correctness.py + unit-tested) and take three of
+    # via tools/check_correctness.py + unit-tested) and take four of
     # r10's window slots (with doc_dsir_sample, emb_knn_graph, and
-    # emb_knn_refine claiming three more -- 6 new r9 queries total).
+    # emb_knn_refine claiming three more -- 7 new r9 queries total).
     # doc_paragraph_dedup's PLAN changed late in r9 (single-exchange
     # winner election; oracle SQL and results byte-identical, sf0.01
     # OK_EXACT re-checked) -- it keeps its green r8 row below the
@@ -120,7 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r8_events = {"event_kmv_distinct", "event_histogram_quantiles",
                  "event_kmv_overlap", "event_bloom_semijoin",
                  "event_hll_distinct", "event_cm_heavy_hitters",
-                 "event_ams_f2"}
+                 "event_ams_f2", "event_hll_sliding"}
     window_events = [n for n in events_queries.QUERIES
                      if n not in r8_events]
     # doc_dsir_sample is also NEW in r9 (below boundary, locally

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     # events remainder
     "event_kmv_overlap",
     "event_hll_distinct",
+    "event_hll_sliding",
     "event_cm_heavy_hitters",
     "event_ams_f2",
     "event_dau_wau",

@@ -1227,6 +1227,27 @@ def q_event_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HLL_H48_SQL = hex_prefix_bigint_sql(KMV_HEX)
 
+# the estimate arithmetic over a CTE ``z(... z_present, n_buckets)`` --
+# shared by the per-type and sliding-window HLL oracles so the formula
+# (raw harmonic mean + LinearCounting small-range branch) cannot drift
+_HLL_EST_CASE_SQL = f"""round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r}
+                         / (z.z_present + ({HLL_M} - z.n_buckets))
+                         <= {2.5 * HLL_M}
+                     AND z.n_buckets < {HLL_M}
+                    THEN {HLL_M} * ln({HLL_M} * 1.0
+                                      / ({HLL_M} - z.n_buckets))
+                    ELSE {HLL_ALPHA * HLL_M * HLL_M!r}
+                         / (z.z_present + ({HLL_M} - z.n_buckets))
+               END, 4)"""
+
+# the register fold over a CTE ``hi(<group>, h48)`` -- the bucket/rho
+# arithmetic identical to Spark's hll_registers, shared by both oracles
+_HLL_REG_SQL = f"""h48 & {HLL_M - 1} AS bucket,
+         max(CASE WHEN h48 // {HLL_M} = 0 THEN {_HLL_W_BITS + 1}
+                  ELSE CAST(round(log2(
+                         (h48 // {HLL_M}) & (-(h48 // {HLL_M})))) AS INT) + 1
+             END) AS mreg"""
+
 EVENT_HLL_DISTINCT_SQL = f"""
 WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
 hx AS (
@@ -1241,11 +1262,7 @@ reg AS (
   -- register fold: bucket = low {HLL_P} bits, rho = trailing-zero rank
   -- of the remainder (w & -w is an exact power of two; its log2 is
   -- exact) -- identical arithmetic to Spark's hll_registers
-  SELECT event_type, h48 & {HLL_M - 1} AS bucket,
-         max(CASE WHEN h48 // {HLL_M} = 0 THEN {_HLL_W_BITS + 1}
-                  ELSE CAST(round(log2(
-                         (h48 // {HLL_M}) & (-(h48 // {HLL_M})))) AS INT) + 1
-             END) AS mreg
+  SELECT event_type, {_HLL_REG_SQL}
   FROM hi GROUP BY 1, 2
 ),
 z AS (
@@ -1255,18 +1272,122 @@ z AS (
 ),
 est AS (
   SELECT c.event_type, c.n_exact,
-         round(CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r}
-                         / (z.z_present + ({HLL_M} - z.n_buckets))
-                         <= {2.5 * HLL_M}
-                     AND z.n_buckets < {HLL_M}
-                    THEN {HLL_M} * ln({HLL_M} * 1.0
-                                      / ({HLL_M} - z.n_buckets))
-                    ELSE {HLL_ALPHA * HLL_M * HLL_M!r}
-                         / (z.z_present + ({HLL_M} - z.n_buckets))
-               END, 4) AS hll_estimate
+         {_HLL_EST_CASE_SQL} AS hll_estimate
   FROM cnt c JOIN z USING (event_type)
 )
 SELECT event_type, n_exact, hll_estimate,
+       round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_err
+FROM est
+"""
+
+
+def q_event_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{WAU_DAYS}-day approximate distinct users per day from
+    MERGED DAILY HLL REGISTERS -- the production pattern that is the
+    reason register sketches exist: fold each day's users into one
+    m={HLL_M}-register sketch ONCE, then answer ANY window by
+    elementwise register max over the member days' sketches -- the
+    events are never re-scanned, and the same daily sketches serve
+    7-day, 30-day, or arbitrary ad-hoc ranges. Contrast
+    ``q_event_dau_wau``: its exact rolling distinct must expand every
+    (user, day) membership per report day; here the window merge
+    touches <= {WAU_DAYS} x {HLL_M} register rows per report day no
+    matter how many users each day held. The exact window distinct
+    (the dau_wau expansion) rides along as the audit with rel_err.
+
+    Determinism/portability: identical register arithmetic to
+    ``q_event_hll_distinct`` (shared :func:`hll_registers` +
+    :func:`hll_estimate_col`); the merge is the same max-semilattice
+    the streaming twin exploits, applied across TIME instead of across
+    micro-batches -- the DuckDB oracle reproduces every estimate
+    bit-exactly.
+
+    Scale shape: the daily fold is a max-monoid groupBy bounded at
+    m rows per day (map-side combined); the window expansion explodes
+    the DAILY REGISTER table (days x m rows -- metadata-sized), never
+    the event stream; report days are restricted to active days by a
+    broadcastable semi-join."""
+    e = _events(spark, sf_dir)
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    h = ud.select("day", F.md5(F.col("user_id").cast("string")).alias("h"))
+    daily = hll_registers(h, ["day"])
+    merged = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"),
+                                                    WAU_DAYS - 1))
+            ).alias("report_day"),
+            "bucket", "mreg",
+        )
+        .groupBy("report_day", "bucket")
+        .agg(F.max("mreg").alias("mreg"))
+    )
+    z = merged.groupBy("report_day").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mreg"))).alias("z_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    exact = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"),
+                                                    WAU_DAYS - 1))
+            ).alias("report_day"),
+        )
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    days = ud.select(F.col("day").alias("report_day")).distinct()
+    est = hll_estimate_col()
+    return (
+        exact.join(z, "report_day")
+        .join(F.broadcast(days), "report_day", "left_semi")
+        .select(
+            F.col("report_day").alias("day"),
+            "n_exact",
+            est.alias("hll_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6
+            ).alias("rel_err"),
+        )
+    )
+
+
+EVENT_HLL_SLIDING_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+hx AS (SELECT day, md5(CAST(user_id AS VARCHAR)) AS h FROM ud),
+hi AS (SELECT day, {_HLL_H48_SQL} AS h48 FROM hx),
+reg AS (
+  SELECT day, {_HLL_REG_SQL}
+  FROM hi GROUP BY 1, 2
+),
+merged AS (
+  SELECT day + CAST(o.o AS INTEGER) AS report_day, bucket,
+         max(mreg) AS mreg
+  FROM reg CROSS JOIN (SELECT unnest(range(0, {WAU_DAYS})) AS o) o
+  GROUP BY 1, 2
+),
+z AS (
+  SELECT report_day, sum(power(2.0, -mreg)) AS z_present,
+         count(*) AS n_buckets
+  FROM merged GROUP BY 1
+),
+exact AS (
+  SELECT report_day, count(DISTINCT user_id) AS n_exact FROM (
+    SELECT user_id, day + CAST(o.o AS INTEGER) AS report_day
+    FROM ud CROSS JOIN (SELECT unnest(range(0, {WAU_DAYS})) AS o) o
+  ) GROUP BY 1
+),
+est AS (
+  SELECT x.report_day, x.n_exact,
+         {_HLL_EST_CASE_SQL} AS hll_estimate
+  FROM exact x JOIN z USING (report_day)
+  WHERE x.report_day IN (SELECT DISTINCT day FROM ud)
+)
+SELECT report_day AS day, CAST(n_exact AS BIGINT) AS n_exact,
+       hll_estimate,
        round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_err
 FROM est
 """
@@ -1983,6 +2104,7 @@ QUERIES = {
     "event_histogram_quantiles": q_event_histogram_quantiles,
     "event_kmv_distinct": q_event_kmv_distinct,
     "event_hll_distinct": q_event_hll_distinct,
+    "event_hll_sliding": q_event_hll_sliding,
     "event_cm_heavy_hitters": q_event_cm_heavy_hitters,
     "event_ams_f2": q_event_ams_f2,
     "event_kmv_overlap": q_event_kmv_overlap,
@@ -2011,6 +2133,7 @@ ORACLES = {
     "event_histogram_quantiles": EVENT_HISTOGRAM_QUANTILES_SQL,
     "event_kmv_distinct": EVENT_KMV_DISTINCT_SQL,
     "event_hll_distinct": EVENT_HLL_DISTINCT_SQL,
+    "event_hll_sliding": EVENT_HLL_SLIDING_SQL,
     "event_cm_heavy_hitters": EVENT_CM_HEAVY_HITTERS_SQL,
     "event_ams_f2": EVENT_AMS_F2_SQL,
     "event_kmv_overlap": EVENT_KMV_OVERLAP_SQL,

@@ -438,6 +438,40 @@ def test_countmin_estimate_is_one_sided(spark, tmp_path):
     assert max(top_exact) == 61
 
 
+def test_hll_sliding_merges_daily_registers_idempotently(spark, tmp_path):
+    """Sliding-window HLL semantics on a hand-built stream: the window
+    exact counts are the true trailing-window unions, a user active on
+    MANY window days counts once (register max is idempotent -- day 2's
+    estimate over two identical days equals the single-day estimate
+    exactly), and the estimate stays inside the m=256 error envelope
+    (deterministic fixture, so the bound is a regression pin)."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        q_event_hll_sliding,
+    )
+
+    rows, eid = [], 0
+    # day 0 and day 1: the SAME 300 users; day 2: 300 fresh users
+    for day in (0, 1):
+        for u in range(300):
+            rows.append((eid, u, "click", day * 24 * 60.0, 1.0))
+            eid += 1
+    for u in range(1000, 1300):
+        rows.append((eid, u, "click", 2 * 24 * 60.0, 1.0))
+        eid += 1
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = {str(r["day"]): r
+           for r in q_event_hll_sliding(spark, str(tmp_path)).collect()}
+    assert len(got) == 3
+    d0, d1, d2 = (got["2024-01-01"], got["2024-01-02"], got["2024-01-03"])
+    assert d0["n_exact"] == 300      # day 0 alone
+    assert d1["n_exact"] == 300      # day 0 ∪ day 1 = same users
+    assert d2["n_exact"] == 600      # + 300 fresh
+    # idempotent max-merge: identical register sets -> identical estimate
+    assert d1["hll_estimate"] == d0["hll_estimate"]
+    for r in got.values():
+        assert r["rel_err"] < 0.2    # ~3 sigma at m=256 (6.5% stderr)
+
+
 def test_ams_f2_single_user_is_exact(spark, tmp_path):
     """With ONE distinct user every estimator is Z_j = ±n, so Z_j^2 =
     n^2 = F2 exactly: the sketch degenerates to the exact answer, a

@@ -120,6 +120,10 @@ QUERIES = [
     # user_id-shifted copies multiply the (type, user) pre-agg
     # linearly, the honest moment-estimation workload
     "event_ams_f2",
+    # r9: sliding-window HLL — daily register fold bounded at m rows
+    # per day, window merge over the register table only; user_id
+    # shifts multiply the per-day distinct population linearly
+    "event_hll_sliding",
     # r8: bloom semi-join — build and probe sides both scale linearly
     # with the user_id-shifted copies; the bit table stays 4096 rows
     "event_bloom_semijoin",
