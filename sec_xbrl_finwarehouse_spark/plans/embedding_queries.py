@@ -1079,6 +1079,99 @@ def append_ivf_index(
     return n
 
 
+def build_ivf_index_versioned(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """The IVF layout written THROUGH THE VERSIONED SINK instead of
+    plain parquet: corpus assignments go through
+    ``sinks.upsert_partitioned`` (hive-partitioned on cell, so probes
+    keep their dynamic partition pruning) and the centroid table
+    through ``sinks.write_replace`` -- which buys the index everything
+    the storage layer gives marts: atomic publish (a probe never sees a
+    half-written index), snapshot isolation (in-flight probes pin the
+    version they started on while an append publishes), retained-
+    version TIME TRAVEL (probe the index as it was before an ingest
+    batch -- the debugging/repro read no plain-parquet index can
+    offer), restore/clone, and OCC against concurrent writers. This is
+    the upgrade path streaming/ivf_ingest.py's crash-window caveat
+    names: the torn-batch window of plain appends disappears because a
+    version is all-or-nothing."""
+    from .. import sinks
+
+    e = _embeddings(spark, sf_dir)
+    cent = _centroids(e)
+    assigned = (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .select(F.col("vec_id").alias("neighbor_id"), "emb")
+        .crossJoin(_cells_one_row(cent))
+        .select("neighbor_id", "emb",
+                _nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
+    )
+    sinks.write_replace(cent, f"{index_dir}/centroids")
+    sinks.upsert_partitioned(
+        spark, f"{index_dir}/corpus", assigned,
+        keys=["cell", "neighbor_id"], partition_col="cell", audit=False,
+    )
+
+
+def append_ivf_index_versioned(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> int:
+    """Incremental append to a VERSIONED IVF index: assignment under
+    the fixed stored quantizer (same FAISS semantics as
+    :func:`append_ivf_index`), then one ``upsert_partitioned`` commit
+    -- untouched cell partitions are hard-linked into the new version
+    (zero copy, zero read), touched cells are merged by (cell,
+    neighbor_id) key so replays are idempotent BY KEY, and the pointer
+    swap publishes atomically (no torn-batch window at all -- the
+    difference from the plain-parquet appender). Returns the number of
+    cell partitions rewritten."""
+    from .. import sinks
+
+    cent = sinks.read_table(spark, f"{index_dir}/centroids")
+    assigned = (
+        new_vectors.select("neighbor_id", "emb")
+        .crossJoin(_cells_one_row(cent))
+        .select("neighbor_id", "emb",
+                _nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
+    )
+    return sinks.upsert_partitioned(
+        spark, f"{index_dir}/corpus", assigned,
+        keys=["cell", "neighbor_id"], partition_col="cell", audit=False,
+    )
+
+
+def q_emb_ivf_index_probe_versioned(
+    spark: SparkSession, sf_dir: str, index_dir: str,
+    version: str | None = None,
+) -> DataFrame:
+    """Probe a VERSIONED IVF index -- optionally AS OF a retained
+    version (``version`` from ``sinks.list_versions``): the time-travel
+    ANN read, e.g. to reproduce yesterday's retrieval results before an
+    ingest batch changed the candidate set. Identical contract to
+    :func:`q_emb_ivf_index_probe` otherwise; the stored scan keeps its
+    cell partition pruning because versions preserve the hive layout."""
+    from .. import sinks
+
+    cent = sinks.read_table(spark, f"{index_dir}/centroids")
+    queries = _embeddings(spark, sf_dir).filter(
+        F.col("vec_id") < N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    probes = (
+        queries.crossJoin(_cells_one_row(cent))
+        .select("query_id", "qemb",
+                F.explode(F.transform(
+                    _nearest_cells(F.col("qemb"), NPROBE), lambda s: s["cell"]
+                )).alias("cell"))
+    )
+    stored = sinks.read_table(spark, f"{index_dir}/corpus", version=version)
+    scored = stored.join(F.broadcast(probes), "cell").select(
+        "query_id", "neighbor_id",
+        F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+    )
+    return _topk_per_query(scored)
+
+
 def q_emb_ivf_index_probe(
     spark: SparkSession, sf_dir: str, index_dir: str
 ) -> DataFrame:

@@ -200,3 +200,56 @@ def test_streaming_ivf_ingest_end_to_end(spark, tmp_path):
     )
     assert q2.awaitTermination(180)
     assert spark.read.parquet(f"{idx}/corpus").count() == before + len(rows)
+
+
+def test_versioned_ivf_index_time_travel_probe(spark, tmp_path):
+    """The versioned index contract: build from half 1 (v1), append
+    half 2 (v2) -- the CURRENT probe equals the plain-layout index over
+    the same fixed-quantizer corpus, and probing AS OF the pre-append
+    version reproduces the half-1 results exactly (the time-travel ANN
+    read). The append rewrites only touched cell partitions and is
+    idempotent by key (a replay publishes a data-identical version)."""
+    from pyspark.sql import functions as F
+
+    from sec_xbrl_finwarehouse_spark import sinks
+
+    (half1, half2), _ = _half_corpus_dirs(spark, tmp_path)
+    idx = str(tmp_path / "ivf_v")
+    eq.build_ivf_index_versioned(spark, half1, idx)
+    v_before = [v["version"] for v in sinks.list_versions(f"{idx}/corpus")
+                if v["is_current"]][0]
+    probe_v1 = sorted(map(tuple,
+        eq.q_emb_ivf_index_probe_versioned(spark, SF_DIR, idx).collect()))
+
+    batch = (
+        spark.read.parquet(f"{half2}/embeddings.parquet")
+        .filter(F.col("vec_id") >= eq.N_QUERIES)
+        .select(F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    n_parts = eq.append_ivf_index_versioned(spark, idx, batch)
+    assert n_parts > 0
+
+    # current probe == the PLAIN incremental index over the same
+    # fixed-quantizer corpus (build half1 + append half2)
+    plain = str(tmp_path / "ivf_plain")
+    eq.build_ivf_index(spark, half1, plain)
+    eq.append_ivf_index(spark, plain, batch)
+    got_now = sorted(map(tuple,
+        eq.q_emb_ivf_index_probe_versioned(spark, SF_DIR, idx).collect()))
+    want_now = sorted(map(tuple,
+        eq.q_emb_ivf_index_probe(spark, SF_DIR, plain).collect()))
+    assert got_now == want_now and len(got_now) > 0
+
+    # time travel: as-of the pre-append version == the half-1 results
+    got_v1 = sorted(map(tuple,
+        eq.q_emb_ivf_index_probe_versioned(spark, SF_DIR, idx,
+                                           version=v_before).collect()))
+    assert got_v1 == probe_v1
+    assert got_v1 != got_now  # the append really changed the candidates
+
+    # replayed append: data-identical (idempotent by key)
+    eq.append_ivf_index_versioned(spark, idx, batch)
+    again = sorted(map(tuple,
+        eq.q_emb_ivf_index_probe_versioned(spark, SF_DIR, idx).collect()))
+    assert again == got_now
