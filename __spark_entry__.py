@@ -121,7 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r8_events = {"event_kmv_distinct", "event_histogram_quantiles",
                  "event_kmv_overlap", "event_bloom_semijoin",
                  "event_hll_distinct", "event_cm_heavy_hitters",
-                 "event_ams_f2", "event_hll_sliding"}
+                 "event_ams_f2", "event_hll_sliding", "event_cm_sliding"}
     window_events = [n for n in events_queries.QUERIES
                      if n not in r8_events]
     # doc_dsir_sample is also NEW in r9 (below boundary, locally

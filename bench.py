@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "event_hll_distinct",
     "event_hll_sliding",
     "event_cm_heavy_hitters",
+    "event_cm_sliding",
     "event_ams_f2",
     "event_dau_wau",
     "event_rollup",

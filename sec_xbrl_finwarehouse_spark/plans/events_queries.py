@@ -1687,6 +1687,124 @@ FROM exact e JOIN med m USING (event_type)
 """
 
 
+def q_event_cm_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{WAU_DAYS}-day HEAVY HITTERS per day from SUMMED DAILY
+    Count-Min counters -- the temporal twin of ``event_hll_sliding``
+    and the algebraic counterpoint: HLL registers merge across days by
+    MAX (semilattice, idempotent), Count-Min counters merge by SUM
+    (monoid -- each day folded exactly once), and either way the window
+    answer reads only the days x {CM_D} x {CM_W} counter table, never
+    the event stream. Per report day the top-{CM_TOPK} users by
+    estimated window frequency, with the one-sided guarantee intact
+    (summing per-day overcounts only adds: cm_estimate >= n_exact for
+    every ranked row). The exact window counts ride along as the audit.
+
+    Scale shape: the daily counter fold is map-side combinable and
+    bounded at {CM_D}x{CM_W} cells per day; the window merge explodes
+    the COUNTER table (days x d x w rows -- metadata-sized); the
+    candidate audit expansion is bounded by distinct (day, user) x
+    {WAU_DAYS}, the dau_wau bound. Determinism: the shared
+    :func:`cm_with_cells` arithmetic, total (estimate DESC, user ASC)
+    rank order -- the DuckDB oracle reproduces estimates AND ranking
+    bit-exactly."""
+    e = _events(spark, sf_dir)
+    ed = e.select(F.to_date("ts").alias("day"), "user_id")
+    win = F.explode(
+        F.sequence(F.col("day"), F.date_add(F.col("day"), WAU_DAYS - 1))
+    ).alias("report_day")
+    daily_counters = (
+        cm_with_cells(ed)
+        .groupBy("day", "j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    win_counters = (
+        daily_counters.select(win, "j", "pos", "c")
+        .groupBy("report_day", "j", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    pd_ = ed.groupBy("day", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        pd_.select(win, "user_id", "n")
+        .groupBy("report_day", "user_id")
+        .agg(F.sum("n").cast("long").alias("n_exact"))
+    )
+    est = (
+        cm_with_cells(exact)
+        .join(win_counters, ["report_day", "j", "pos"])
+        .groupBy("report_day", "user_id", "n_exact")
+        .agg(F.min("c").cast("long").alias("cm_estimate"))
+    )
+    days = ed.select(F.col("day").alias("report_day")).distinct()
+    w = Window.partitionBy("report_day").orderBy(
+        F.col("cm_estimate").desc(), F.col("user_id").asc()
+    )
+    return (
+        est.join(F.broadcast(days), "report_day", "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= CM_TOPK)
+        .select(
+            F.col("report_day").alias("day"), "rank", "user_id",
+            "n_exact", "cm_estimate",
+            (F.col("cm_estimate") - F.col("n_exact"))
+            .cast("long").alias("over"),
+        )
+    )
+
+
+EVENT_CM_SLIDING_SQL = f"""
+WITH ed AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+cells AS (
+  SELECT day, user_id, j,
+         md5('cm_' || j || '_' || CAST(user_id AS VARCHAR)) AS h
+  FROM ed CROSS JOIN range(0, {CM_D}) t(j)
+),
+cpos AS (SELECT day, j, {_CM_POS_SQL} AS pos FROM cells),
+daily AS (
+  SELECT day, j, pos, count(*) AS c FROM cpos GROUP BY 1, 2, 3
+),
+winc AS (
+  SELECT day + CAST(o.o AS INTEGER) AS report_day, j, pos, sum(c) AS c
+  FROM daily CROSS JOIN (SELECT unnest(range(0, {WAU_DAYS})) AS o) o
+  GROUP BY 1, 2, 3
+),
+pd AS (
+  SELECT day, user_id, count(*) AS n FROM ed GROUP BY 1, 2
+),
+exact AS (
+  SELECT day + CAST(o.o AS INTEGER) AS report_day, user_id,
+         CAST(sum(n) AS BIGINT) AS n_exact
+  FROM pd CROSS JOIN (SELECT unnest(range(0, {WAU_DAYS})) AS o) o
+  GROUP BY 1, 2
+),
+pcells AS (
+  SELECT x.report_day, x.user_id, x.n_exact, t.j,
+         md5('cm_' || t.j || '_' || CAST(x.user_id AS VARCHAR)) AS h
+  FROM exact x CROSS JOIN range(0, {CM_D}) t(j)
+),
+ppos AS (
+  SELECT report_day, user_id, n_exact, j, {_CM_POS_SQL} AS pos FROM pcells
+),
+est AS (
+  SELECT pp.report_day, pp.user_id, pp.n_exact,
+         CAST(min(w.c) AS BIGINT) AS cm_estimate
+  FROM ppos pp
+  JOIN winc w ON w.report_day = pp.report_day
+             AND w.j = pp.j AND w.pos = pp.pos
+  WHERE pp.report_day IN (SELECT DISTINCT day FROM ed)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT report_day, user_id, n_exact, cm_estimate,
+         ROW_NUMBER() OVER (PARTITION BY report_day
+                            ORDER BY cm_estimate DESC, user_id ASC) AS rank
+  FROM est
+)
+SELECT report_day AS day, rank, user_id, n_exact, cm_estimate,
+       CAST(cm_estimate - n_exact AS BIGINT) AS over
+FROM ranked WHERE rank <= {CM_TOPK}
+"""
+
+
 # ---- KMV sketch set algebra: intersection estimate --------------------------
 
 
@@ -2106,6 +2224,7 @@ QUERIES = {
     "event_hll_distinct": q_event_hll_distinct,
     "event_hll_sliding": q_event_hll_sliding,
     "event_cm_heavy_hitters": q_event_cm_heavy_hitters,
+    "event_cm_sliding": q_event_cm_sliding,
     "event_ams_f2": q_event_ams_f2,
     "event_kmv_overlap": q_event_kmv_overlap,
     "event_bloom_semijoin": q_event_bloom_semijoin,
@@ -2135,6 +2254,7 @@ ORACLES = {
     "event_hll_distinct": EVENT_HLL_DISTINCT_SQL,
     "event_hll_sliding": EVENT_HLL_SLIDING_SQL,
     "event_cm_heavy_hitters": EVENT_CM_HEAVY_HITTERS_SQL,
+    "event_cm_sliding": EVENT_CM_SLIDING_SQL,
     "event_ams_f2": EVENT_AMS_F2_SQL,
     "event_kmv_overlap": EVENT_KMV_OVERLAP_SQL,
     "event_bloom_semijoin": EVENT_BLOOM_SEMIJOIN_SQL,

@@ -438,6 +438,35 @@ def test_countmin_estimate_is_one_sided(spark, tmp_path):
     assert max(top_exact) == 61
 
 
+def test_cm_sliding_sums_daily_counters_one_sided(spark, tmp_path):
+    """Windowed Count-Min semantics on a hand-built stream: window
+    counts ACCUMULATE across days (sum-monoid, the opposite of the HLL
+    window's idempotent max), the one-sided guarantee survives the
+    merge (estimate >= exact for every ranked row), and clean rows
+    estimate exactly."""
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        q_event_cm_sliding,
+    )
+
+    rows, eid = [], 0
+    # user 1: 3 events on day 0, 5 on day 1; user 2: 2 events day 0
+    for day, u, k in [(0, 1, 3), (1, 1, 5), (0, 2, 2)]:
+        for _ in range(k):
+            rows.append((eid, u, "click", day * 24 * 60.0, 1.0))
+            eid += 1
+    _events(spark, rows).write.parquet(str(tmp_path / "events.parquet"))
+    got = {(str(r["day"]), r["user_id"]): r
+           for r in q_event_cm_sliding(spark, str(tmp_path)).collect()}
+    assert got[("2024-01-01", 1)]["n_exact"] == 3
+    assert got[("2024-01-02", 1)]["n_exact"] == 8   # 3 + 5 accumulate
+    assert got[("2024-01-02", 2)]["n_exact"] == 2   # day-0 user in window
+    for r in got.values():
+        assert r["cm_estimate"] >= r["n_exact"]
+        assert r["over"] == r["cm_estimate"] - r["n_exact"]
+    # two users, no collisions at d=4 x w=128: estimates exact
+    assert got[("2024-01-02", 1)]["cm_estimate"] == 8
+
+
 def test_hll_sliding_merges_daily_registers_idempotently(spark, tmp_path):
     """Sliding-window HLL semantics on a hand-built stream: the window
     exact counts are the true trailing-window unions, a user active on

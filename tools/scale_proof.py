@@ -124,6 +124,9 @@ QUERIES = [
     # per day, window merge over the register table only; user_id
     # shifts multiply the per-day distinct population linearly
     "event_hll_sliding",
+    # r9: sliding-window Count-Min — daily counter fold bounded at
+    # d*w cells per day, window merge sums the counter table only
+    "event_cm_sliding",
     # r8: bloom semi-join — build and probe sides both scale linearly
     # with the user_id-shifted copies; the bit table stays 4096 rows
     "event_bloom_semijoin",
