@@ -114,10 +114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # via tools/check_correctness.py + unit-tested) and take four of
     # r10's window slots (with doc_dsir_sample, emb_knn_graph, and
     # emb_knn_refine claiming three more -- 7 new r9 queries total).
-    # doc_paragraph_dedup's PLAN changed late in r9 (single-exchange
-    # winner election; oracle SQL and results byte-identical, sf0.01
-    # OK_EXACT re-checked) -- it keeps its green r8 row below the
-    # boundary and joins the r10 window for driver re-verification.
+    # doc_paragraph_dedup's and doc_span_dedup's PLANS changed late in
+    # r9 (text-keyed skew-safe winner elections: a map-side-combinable
+    # groupBy(para) min-agg, resp. a two-phase (s, pid)/(s) row_number;
+    # oracle SQL and results byte-identical, sf0.01 OK_EXACT
+    # re-checked) -- both keep their green rows below the boundary and
+    # join the r10 window for driver re-verification.
     r8_events = {"event_kmv_distinct", "event_histogram_quantiles",
                  "event_kmv_overlap", "event_bloom_semijoin",
                  "event_hll_distinct", "event_cm_heavy_hitters",

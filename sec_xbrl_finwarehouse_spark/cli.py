@@ -280,28 +280,43 @@ def _parser() -> argparse.ArgumentParser:
                    help="warehouse root (overrides WAREHOUSE_DIR)")
     sub = p.add_subparsers(dest="command", required=True)
 
-    seed = sub.add_parser("seed", help="seed the companies table")
+    # the shared flags are ALSO accepted after the subcommand (the
+    # placement the module docstring shows: `seed --env-file .env`).
+    # SUPPRESS defaults keep a subcommand-side absence from clobbering
+    # a value parsed from the root-side position.
+    shared = argparse.ArgumentParser(add_help=False)
+    shared.add_argument("--env-file", default=argparse.SUPPRESS,
+                        help=argparse.SUPPRESS)
+    shared.add_argument("--warehouse", default=argparse.SUPPRESS,
+                        help=argparse.SUPPRESS)
+
+    seed = sub.add_parser("seed", help="seed the companies table",
+                          parents=[shared])
     seed.add_argument("--tickers", default=None,
                       help="comma-separated tickers (overrides TICKERS)")
     seed.add_argument("--tickers-json", default=None,
                       help="local company_tickers.json (offline mode)")
     seed.set_defaults(func=cmd_seed)
 
-    ingest = sub.add_parser("ingest", help="ingest companyfacts")
+    ingest = sub.add_parser("ingest", help="ingest companyfacts",
+             parents=[shared])
     ingest.add_argument("--from-json", default=None,
                         help="directory of <cik10>.json documents "
                              "(offline mode)")
     ingest.set_defaults(func=cmd_ingest)
 
-    build = sub.add_parser("build", help="build statements_annual")
+    build = sub.add_parser("build", help="build statements_annual",
+            parents=[shared])
     build.add_argument("--version", default="v3",
                        choices=("v1", "v2", "v3"))
     build.set_defaults(func=cmd_build)
 
-    ratios = sub.add_parser("ratios", help="build ratios_annual")
+    ratios = sub.add_parser("ratios", help="build ratios_annual",
+             parents=[shared])
     ratios.set_defaults(func=cmd_ratios)
 
-    serve = sub.add_parser("serve", help="serve the query API")
+    serve = sub.add_parser("serve", help="serve the query API",
+            parents=[shared])
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
     serve.set_defaults(func=cmd_serve)

@@ -1053,30 +1053,39 @@ def append_ivf_index(
     list is a driver-side collect, bounded by the centroid count --
     metadata-sized, like the partition lists in sinks.py."""
     cent = spark.read.parquet(f"{index_dir}/centroids")
+    # persist the ASSIGNMENT, the subplan every downstream step reads:
+    # the touched-cell collect, the anti-join, and the write would
+    # otherwise each re-run the batch scan + centroid projection
     assigned = (
         new_vectors.select("neighbor_id", "emb")
         .crossJoin(_cells_one_row(cent))
         .select("neighbor_id", "emb",
                 _nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
+        .persist()
     )
-    touched = [r["cell"] for r in assigned.select("cell").distinct().collect()]
-    if not touched:
-        return 0
-    stored_ids = (
-        spark.read.parquet(f"{index_dir}/corpus")
-        .filter(F.col("cell").isin(touched))
-        .select("cell", "neighbor_id")
-    )
-    novel = assigned.join(
-        stored_ids, ["cell", "neighbor_id"], "left_anti"
-    ).persist()
-    n = novel.count()
-    if n:
-        novel.write.mode("append").partitionBy("cell").parquet(
-            f"{index_dir}/corpus"
+    try:
+        touched = [
+            r["cell"] for r in assigned.select("cell").distinct().collect()
+        ]
+        if not touched:
+            return 0
+        stored_ids = (
+            spark.read.parquet(f"{index_dir}/corpus")
+            .filter(F.col("cell").isin(touched))
+            .select("cell", "neighbor_id")
         )
-    novel.unpersist()
-    return n
+        novel = assigned.join(
+            stored_ids, ["cell", "neighbor_id"], "left_anti"
+        ).persist()
+        n = novel.count()
+        if n:
+            novel.write.mode("append").partitionBy("cell").parquet(
+                f"{index_dir}/corpus"
+            )
+        novel.unpersist()
+        return n
+    finally:
+        assigned.unpersist()
 
 
 def build_ivf_index_versioned(
@@ -2161,12 +2170,13 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade against cost); here it doubles as a cross-engine-checked,
     deterministic regression gate: tie-breaks in both rankers are
     (cosine DESC, neighbor_id ASC), so the top-k SETS are exact and the
-    recall values reproduce bit-for-bit. On this ISOTROPIC synthetic
-    corpus the measured recall is low (~0.2 mean) -- random-hyperplane
-    LSH has little to exploit when cosines concentrate near 0 -- which
-    is precisely the honest signal this query exists to surface; on
-    clustered real embeddings the same measurement drives the
-    bands/planes trade-off.
+    recall values reproduce bit-for-bit. History this harness measured:
+    the single-bucket probe scored ~0.2 mean on this ISOTROPIC corpus
+    (random-hyperplane LSH has little to exploit when cosines
+    concentrate near 0), Hamming-1 multi-probe lifted it to ~0.72, and
+    the shipped Hamming-<=2 fan-out to >= 0.85 (BASELINE.md r9 probe
+    sweep) -- the bands/planes/probes trade-off this query exists to
+    drive.
 
     Plan shape: both ranker subplans are the existing two-phase top-k
     pipelines (no new scan patterns); the intersection joins two

@@ -1692,18 +1692,22 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunker swaps for split-on-blank-line without touching the dedup.
 
     Scale shape: chunking is map-only array ops on the token array (no
-    explode-then-regroup); ONE exchange elects every winner --
-    hash-partition the chunks by ``xxhash64(para)``, then row_number
-    (ordered (doc_id, idx): rank 1 IS the min-struct winner) plus the
-    min/max-paragraph collision check ride the same window partition,
-    exactly the oracle's ROW_NUMBER shape. The former groupBy +
-    broadcast-semi-join shape re-executed the tokenize+explode subplan
-    a SECOND time just to re-resolve colliding hashes (P ~ n^2/2^64 --
-    almost always zero rows bought with a full second corpus pass);
-    here the colliding rows are already in the window output and
-    re-resolve by exact text on that collision-group-sized subset.
-    Reassembly groups the kept paragraphs by doc_id. Two corpus-wide
-    shuffles total, nothing quadratic anywhere."""
+    explode-then-regroup); ONE map-side-combinable agg elects every
+    winner -- ``groupBy(para).agg(min(struct(doc_id, idx)))`` keyed on
+    the exact paragraph text, so a boilerplate paragraph repeated
+    across millions of documents collapses to ONE row per input
+    partition BEFORE the exchange (partial min), bounding both shuffle
+    volume and per-task state in precisely the duplicate-heavy regime
+    this operator targets. Keying on the text (not a hash of it) also
+    deletes the collision fallback outright: the group key IS the
+    dedup identity. Two earlier shapes both lost to this one: the
+    groupBy(xxhash64) + broadcast-semi-join form paid a second full
+    tokenize+explode pass to re-resolve ~zero colliding hashes, and a
+    row_number window over the hash funneled EVERY copy of a hot
+    paragraph -- full text included -- into one window partition (no
+    partial aggregation under windows), the classic hot-key straggler
+    at 100 TB. Reassembly groups the kept paragraphs by doc_id. Two
+    corpus-wide shuffles total, nothing quadratic anywhere."""
     d = _documents(spark, sf_dir)
     arr = _tokens(F.col("text"))
     n_paras = F.ceil(F.size(arr) / F.lit(PARA_TOKENS))
@@ -1720,26 +1724,12 @@ def q_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(chunk_structs).alias("c"))
         .select("doc_id", F.col("c.idx").alias("idx"), F.col("c.para").alias("para"))
     )
-    wp = Window.partitionBy("hkey")
-    ranked = chunks.withColumn("hkey", F.xxhash64("para")).select(
-        "doc_id", "idx", "para",
-        F.row_number().over(wp.orderBy("doc_id", "idx")).alias("rn"),
-        F.min("para").over(wp).alias("mn"),
-        F.max("para").over(wp).alias("mx"),
-    )
-    clean = ranked.filter(
-        (F.col("mn") == F.col("mx")) & (F.col("rn") == 1)
-    ).select("doc_id", "idx", "para")
-    # colliding hashes (P ~ n^2/2^64): a collision-group-sized subset,
-    # re-resolved by exact text without re-reading the corpus
-    collided = (
-        ranked.filter(F.col("mn") != F.col("mx"))
-        .groupBy("para")
+    kept = (
+        chunks.groupBy("para")
         .agg(F.min(F.struct("doc_id", "idx")).alias("w"))
         .select(F.col("w.doc_id").alias("doc_id"),
                 F.col("w.idx").alias("idx"), "para")
     )
-    kept = clean.unionByName(collided)
     reassembled = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -1902,15 +1892,16 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the corpus; documents come back reassembled from their surviving
     tokens with an n_removed audit count.
 
-    Scale shape, mirroring q_doc_paragraph_dedup: shingling is
-    map-side array ops; the winner election groups by
-    ``xxhash64(shingle)`` (8-byte shuffle keys; min/max shingle carried
-    as the collision check, colliding hashes -- P ~ n^2/2^64 --
-    re-resolve by exact text via a broadcast semi-join); excised
-    positions regroup per doc (dup-occurrence-sized, far below corpus
-    scale) and the token filter is map-side. Nothing quadratic; the
-    only corpus-wide shuffles are the shingle agg and the final
-    doc_id join."""
+    Scale shape: shingling is map-side array ops; the winner election
+    is a TWO-PHASE row_number keyed on the exact shingle text (phase 1
+    over (s, input partition) -- skew-spread, local non-winners final
+    immediately; phase 2 over the <= n_partitions local winners per
+    shingle -- see the inline comment), so no hash-collision fallback
+    exists and no window task ever holds a hot shingle's full copy
+    set; excised positions regroup per doc (dup-occurrence-sized, far
+    below corpus scale) and the token filter is map-side. Nothing
+    quadratic; the only corpus-wide shuffles are the (s, pid) election
+    exchange and the final doc_id join."""
     d = _documents(spark, sf_dir)
     arr = _tokens(F.col("text"))
     base = d.select("doc_id", arr.alias("toks")) \
@@ -1933,35 +1924,32 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("c.i").alias("i"), F.col("c.s").alias("s"))
     )
-    # ONE exchange elects every winner: hash-partition the spans by
-    # hkey, then row_number (ordered by (doc_id, i) -- rank 1 IS the
-    # min-struct winner) and the min/max-shingle collision check ride
-    # the same window partition. The former groupBy + join-back shape
-    # shuffled the full span set TWICE (agg, then re-attach); this
-    # plan shuffles it once, exactly like the oracle's ROW_NUMBER.
-    sp_h = spans.withColumn("hkey", F.xxhash64("s"))
-    wp = Window.partitionBy("hkey")
-    sp2 = sp_h.select(
-        "doc_id", "i", "s",
-        F.row_number().over(wp.orderBy("doc_id", "i")).alias("rn"),
-        F.min("s").over(wp).alias("mn"),
-        F.max("s").over(wp).alias("mx"),
-    )
-    bad_clean = (
-        sp2.filter((F.col("mn") == F.col("mx")) & (F.col("rn") > 1))
-        .select("doc_id", "i")
-    )
-    # colliding hashes (P ~ n^2/2^64): a collision-group-sized subset,
-    # re-resolved by exact text
-    coll = sp2.filter(F.col("mn") != F.col("mx")).select("doc_id", "i", "s")
-    coll_w = coll.groupBy("s").agg(
-        F.min(F.struct("doc_id", "i")).alias("w"),
-        F.count("*").alias("cnt"),
-    )
+    # TWO-PHASE winner election keyed on the EXACT shingle text,
+    # skew-spread (non-winners are what this operator needs, so a
+    # map-side-combinable min-agg alone cannot produce the verdicts;
+    # the two-phase window is the skew-safe spelling of per-row
+    # verdicts). Phase 1 ranks within (s, input partition): the
+    # exchange key (s, pid) spreads a hot boilerplate shingle across
+    # partitions -- no window task ever holds more than one input
+    # partition's copies -- and every local NON-winner's verdict is
+    # final on the spot (a smaller (doc_id, i) with the same text
+    # exists). Phase 2 ranks only the <= n_partitions local winners
+    # per shingle. Keying on the text rather than xxhash64(s) deletes
+    # the hash-collision fallback outright: the window key IS the
+    # dedup identity. (Rejected shapes: groupBy + join-back shuffled
+    # the full span set twice; a single hkey window funneled every
+    # copy of a hot shingle into ONE window partition -- windows have
+    # no partial aggregation, so that re-created the hot-key straggler
+    # the groupBy had absorbed map-side.)
+    local = spans.withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("s", "pid").orderBy("doc_id", "i")
+    p1 = local.withColumn("lrk", F.row_number().over(w_local))
+    bad_clean = p1.filter(F.col("lrk") > 1).select("doc_id", "i")
+    survivors = p1.filter(F.col("lrk") == 1).drop("pid", "lrk")
+    w_global = Window.partitionBy("s").orderBy("doc_id", "i")
     bad_coll = (
-        coll.join(coll_w.filter(F.col("cnt") > 1), "s")
-        .filter(~((F.col("doc_id") == F.col("w.doc_id"))
-                  & (F.col("i") == F.col("w.i"))))
+        survivors.withColumn("rn", F.row_number().over(w_global))
+        .filter(F.col("rn") > 1)
         .select("doc_id", "i")
     )
     # RANGE-COMPRESS the excised positions before reassembly: in the

@@ -58,6 +58,7 @@ from __future__ import annotations
 import functools
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Sequence
 
@@ -110,6 +111,11 @@ EXPECT_ABSENT = ""
 # assigned INSIDE the commit lock) into the version directory instead;
 # mtime remains only the legacy fallback for pre-_SEQ versions.
 _SEQ_FILE = "_SEQ"
+# grace window before an UNSTAMPED v_ dir may be reclaimed by the
+# post-commit prune: long enough that no live commit (bounded by the
+# commit-lock timeout) can still be between its move-in and its _SEQ
+# stamp; old enough unstamped dirs are pre-_SEQ legacy debris
+_STAGE_GRACE_SEC = 300.0
 
 
 def _version_seq(path: str, name: str) -> int | None:
@@ -257,9 +263,27 @@ def _publish_version(
     try:
         keep = set(_versions_newest_first(path)[: max(retain, 1)])
         keep.add(version)
+        now = time.time()
         for name in os.listdir(path):
-            if name.startswith("v_") and name not in keep:
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            if not name.startswith("v_") or name in keep:
+                continue
+            if _version_seq(path, name) is None:
+                # an UNSTAMPED v_ dir is either a concurrent writer's
+                # staged version (it moves in and stamps its _SEQ while
+                # holding the commit lock; this prune deliberately runs
+                # outside it) or pre-_SEQ legacy debris. Under the _SEQ
+                # ordering an unstamped dir sorts OLDEST, so pruning it
+                # here would destroy an in-flight last-write-wins
+                # publish mid-commit -- leave young unstamped dirs
+                # alone and reclaim only ones old enough that no live
+                # commit can still be stamping them.
+                try:
+                    age = now - os.path.getmtime(os.path.join(path, name))
+                except OSError:
+                    continue
+                if age < _STAGE_GRACE_SEC:
+                    continue
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     except OSError:
         pass
 

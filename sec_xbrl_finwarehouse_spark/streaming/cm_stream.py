@@ -16,8 +16,9 @@ mirroring tests/test_histogram_stream.py.
 
 Scale shape per batch: the batch folds map-side to (group, j, pos)
 partials before touching the store; the stored side is bounded at
-groups x {CM_D} x {CM_W} cells regardless of event count -- the same
-bounded-state argument as the batch query, carried across time. The
+groups x d x w cells (the CM_D/CM_W constants the shared cell helper
+bakes in) regardless of event count -- the same bounded-state argument
+as the batch query, carried across time. The
 estimate probe is the batch query's min-over-cells join, reading ONLY
 the stored counters plus the caller's candidate items: the 100 TB
 deployment pattern where the raw stream is never retained.
@@ -31,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import sinks
-from ..plans.events_queries import CM_D, CM_W, cm_with_cells
+from ..plans.events_queries import cm_with_cells
 from .stream_sink import _already_committed, _txn_meta
 
 CM_SCHEMA = "group_key string, j int, pos long, c long"
@@ -109,11 +110,15 @@ def cm_estimate(
     spark: SparkSession, path: str, candidates: DataFrame
 ) -> DataFrame:
     """Frequency estimates for ``candidates(group_key, item)`` from the
-    stored counters alone -- the same min-over-{CM_D}-cells probe as the
+    stored counters alone -- the same min-over-d-cells probe as the
     batch query, so stream and batch estimates agree bit-exactly on the
     same data. A candidate whose cells were never incremented estimates
     0 (Count-Min never undercounts, so absent cells mean a true zero
-    count -- spelled as a left join with a zero fill)."""
+    count). The zero-fill must happen PER CELL, before the min:
+    ``F.min`` skips NULLs, so a bare min over the left join would
+    ignore a candidate's absent (true-zero) cells and report the min of
+    only its collided ones -- inflating exactly the estimates where the
+    sketch has proof of a smaller count."""
     counters = sinks.read_table(spark, path)
     probes = cm_with_cells(
         candidates.select(
@@ -125,7 +130,7 @@ def cm_estimate(
         probes.join(counters, ["group_key", "j", "pos"], "left")
         .groupBy("group_key", "item")
         .agg(
-            F.coalesce(F.min("c"), F.lit(0)).cast("long")
+            F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long")
             .alias("cm_estimate")
         )
     )

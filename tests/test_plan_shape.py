@@ -230,12 +230,19 @@ def test_unigram_logprob_broadcasts_lm_no_token_shuffle_join(spark, qmap):
     ), plan
 
 
-def test_paragraph_dedup_hash_keyed_no_quadratic(spark, qmap):
-    """Paragraph dedup must elect winners via the 8-byte xxhash64 key
-    (never group/shuffle keyed on raw paragraph text except in the
-    near-empty collision fallback) and contain nothing quadratic."""
+def test_paragraph_dedup_partial_agg_no_window_no_quadratic(spark, qmap):
+    """Paragraph dedup must elect winners via a MAP-SIDE-COMBINABLE
+    aggregation keyed on the paragraph text (partial_min before the
+    exchange -- a hot boilerplate paragraph collapses to one row per
+    input partition before shuffling), never a row_number window over
+    the key (which would funnel every copy of a hot paragraph into one
+    window partition with no partial aggregation), and contain nothing
+    quadratic."""
     plan = _plan(qmap["doc_paragraph_dedup"](spark, SF_DIR))
-    assert "xxhash64" in plan.lower(), plan[:2000]
+    assert "partial_min" in plan, plan[:2000]
+    assert re.search(r"hashpartitioning\(para#\d+", plan), plan[:2000]
+    assert "windowspecdefinition(para" not in plan
+    assert "windowspecdefinition(hkey" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
@@ -250,16 +257,21 @@ def test_ann_recall_reuses_two_phase_rankers(spark, qmap):
     assert len(re.findall(r"hashpartitioning\(query_id#\d+, \d+\)", plan)) <= 2, plan
 
 
-def test_span_dedup_single_exchange_no_joinback(spark, qmap):
-    """r9 re-plan: span winner election is ONE hkey exchange (row_number
-    + min/max collision check sharing the window partition) -- a
-    refactor back to the groupBy + join-back form, which shuffles the
-    full span set twice, must fail here. The optimized plan shows the
-    rank window keyed on hkey and NO join whose condition carries hkey
-    (the only remaining joins are the doc_id reassembly join and the
-    tiny exact-text collision re-resolution on s)."""
+def test_span_dedup_two_phase_text_keyed_no_joinback(spark, qmap):
+    """r9 re-plan (final form): span winner election is the TWO-PHASE
+    row_number keyed on the exact shingle text -- phase 1 over
+    (s, spark_partition_id) so a hot boilerplate shingle's copies are
+    spread across window partitions, phase 2 over the local winners
+    only. The plan must show BOTH window keyings, no xxhash64 anywhere
+    (text IS the dedup identity -- no collision fallback to mis-key),
+    and no join carrying s (a refactor back to the groupBy + join-back
+    form, which shuffles the full span set twice, fails here)."""
     plan = _optimized(qmap["doc_span_dedup"](spark, SF_DIR))
-    assert "windowspecdefinition(hkey" in plan, plan[:2000]
+    assert re.search(r"windowspecdefinition\(s#\d+, pid#\d+", plan), \
+        plan[:2000]
+    assert len(re.findall(r"windowspecdefinition\(s#\d+,", plan)) >= 2, \
+        plan[:2000]
+    assert "xxhash64" not in plan.lower()
     join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
     assert join_lines, plan[:2000]
-    assert not any("hkey" in ln for ln in join_lines), join_lines
+    assert not any(re.search(r"\bs#\d+", ln) for ln in join_lines), join_lines

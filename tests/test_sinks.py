@@ -954,3 +954,33 @@ def test_version_store_occ_schedule_no_lost_updates(spark, tmp_path_factory,
         # no orphans: every v_* directory on disk is enumerated by the
         # version catalog (an orphan would corrupt retain accounting)
         assert v_dirs() == {v["version"] for v in sinks.list_versions(path)}
+
+
+def test_prune_spares_young_unstamped_dirs_reclaims_old(spark, tmp_path):
+    """The post-commit retain-prune must NOT delete an unstamped v_ dir
+    that is young enough to be a concurrent writer's staged-but-not-yet-
+    committed version (under _SEQ ordering it sorts OLDEST, so the old
+    prune would destroy an in-flight publish mid-commit), while an
+    unstamped dir older than the grace window -- pre-_SEQ legacy debris
+    -- is still reclaimed."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    sinks.write_replace(df, path)
+
+    staged = os.path.join(path, "v_inflight_stage")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-0.parquet"), "wb") as fh:
+        fh.write(b"staged")
+
+    # young unstamped dir: survives a publish's prune
+    sinks.write_replace(df, path)
+    sinks.write_replace(df, path)
+    assert os.path.isdir(staged), "in-flight staged version was pruned"
+
+    # backdate past the grace window: now it is legacy debris
+    old = __import__("time").time() - sinks._STAGE_GRACE_SEC - 10
+    os.utime(staged, (old, old))
+    sinks.write_replace(df, path)
+    assert not os.path.isdir(staged)
+    # and the committed current version is intact
+    assert sinks.read_table(spark, path).count() == 1
