@@ -1074,15 +1074,22 @@ def append_ivf_index(
             .filter(F.col("cell").isin(touched))
             .select("cell", "neighbor_id")
         )
+        # BREAK THE LINEAGE before the append: the novel set is derived
+        # from a scan of {index_dir}/corpus -- the same path the write
+        # below appends to. A persist() alone is advisory: on executor
+        # loss a recomputation would re-run the anti-join and re-list
+        # the corpus INCLUDING files this very write already committed,
+        # silently shrinking the batch mid-write. localCheckpoint
+        # (eager) materializes the rows and truncates the plan, so no
+        # recomputation can ever re-read the mutating path.
         novel = assigned.join(
             stored_ids, ["cell", "neighbor_id"], "left_anti"
-        ).persist()
+        ).localCheckpoint(eager=True)
         n = novel.count()
         if n:
             novel.write.mode("append").partitionBy("cell").parquet(
                 f"{index_dir}/corpus"
             )
-        novel.unpersist()
         return n
     finally:
         assigned.unpersist()

@@ -1566,6 +1566,16 @@ def q_event_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approximate in statistics, exact in verification). ``f2_exact``
     rides along as the accuracy audit.
 
+    Exactness precondition: gmean sums {AMS_G} z^2 doubles per group;
+    bit-exact oracle equality holds while each group's z^2 sum stays
+    below 2^53 (every partial is then an exact integer in a double and
+    summation order cannot matter). That bounds corpus size at roughly
+    sum(n_i)^2 < 2^53 per event_type -- ~9.5e7 rows per type, far past
+    every tested scale. Beyond it the ESTIMATE is still statistically
+    sound, but last-ulp ordering differences could flip the
+    (gmean ASC, g ASC) median ranking between engines; a deployment at
+    that scale should quantize gmean before ranking.
+
     Scale shape: the per-(type, user) pre-aggregation is one map-side
     combinable shuffle (shared with the exact audit); the signed fold
     is an additive groupBy bounded at {AMS_R} rows per type -- the

@@ -1941,7 +1941,17 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # copy of a hot shingle into ONE window partition -- windows have
     # no partial aggregation, so that re-created the hot-key straggler
     # the groupBy had absorbed map-side.)
-    local = spans.withColumn("pid", F.spark_partition_id())
+    # the spread key must be DETERMINISTIC: bad_clean and the
+    # survivors->bad_coll chain each evaluate phase 1 independently,
+    # so a spark_partition_id() key could differ between evaluations
+    # (executor loss, re-planned stage) and let a duplicate span be a
+    # local winner in one branch and a non-winner in the other --
+    # escaping excision. pmod(hash(doc_id, i), N) spreads a hot
+    # shingle's copies just as evenly and is a pure row function.
+    n_spread = max(spark.sparkContext.defaultParallelism, 32)
+    local = spans.withColumn(
+        "pid", F.pmod(F.hash("doc_id", "i"), F.lit(n_spread))
+    )
     w_local = Window.partitionBy("s", "pid").orderBy("doc_id", "i")
     p1 = local.withColumn("lrk", F.row_number().over(w_local))
     bad_clean = p1.filter(F.col("lrk") > 1).select("doc_id", "i")
@@ -2147,6 +2157,10 @@ EDITDIST_DENOM = 10
 # count per block at CAP*(CAP-1)/2 and makes the worst-case shuffle
 # linear in corpus size instead of quadratic in the hottest key
 EDITDIST_BLOCK_CAP = 32
+# phase-1 subgroup fan-out for the capped block build: a boilerplate
+# block's members spread over ~EDITDIST_SPREAD bounded partials before
+# the per-block merge (task state <= SPREAD * (CAP+1) ids)
+EDITDIST_SPREAD = 64
 
 
 def q_doc_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2173,15 +2187,25 @@ def q_doc_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY (texts are re-attached afterwards by two doc_id equi-joins on
     the corpus's own partitioning); the block join's skew risk is a
     boilerplate prefix shared by millions of docs -- so the plan CAPS
-    block width: blocks with more than ``EDITDIST_BLOCK_CAP`` members
-    (per side) are dropped before the self-join, bounding per-block
-    candidates at CAP*(CAP-1)/2 and the total candidate count at
-    CAP/2 * corpus size. A dropped block is boilerplate by definition
-    (32+ documents sharing an identical 24-char prefix); genuinely
-    near-identical pairs inside it still surface through their OTHER
-    end's block unless that end is boilerplate too. The DuckDB oracle
-    applies the identical HAVING cap, so the contract is exact, not
-    approximate.
+    block width at ``EDITDIST_BLOCK_CAP`` members (per side), bounding
+    per-block candidates at CAP*(CAP-1)/2 and the total candidate
+    count at CAP/2 * corpus size. The cap is FOLDED INTO the block
+    build itself (the r10 fold; the r9 shape paid a separate count
+    aggregation plus a membership join back onto the key stream, then
+    a two-sided self-join -- three extra corpus-keyed exchanges): one
+    two-phase aggregation both counts and collects each block, and
+    pairs explode directly from the <= CAP member arrays. Phase 1
+    groups by (blk, side, hash-spread) so a boilerplate block's
+    members land in ~S bounded subgroups (each partial keeps its count
+    plus at most CAP+1 ids -- over-cap blocks are discarded downstream,
+    so truncating their id lists loses nothing); phase 2 merges the
+    <= S partials per block -- at most S*(CAP+1) ids in any task --
+    sums the true width, and drops over-cap blocks. A dropped block is
+    boilerplate by definition (32+ documents sharing an identical
+    24-char prefix); genuinely near-identical pairs inside it still
+    surface through their OTHER end's block unless that end is
+    boilerplate too. The DuckDB oracle applies the identical cap via
+    HAVING, so the contract is exact, not approximate.
 
     Distance unit: UTF-8 BYTES, not code points -- DuckDB's
     levenshtein counts bytes while Spark's counts code points, so the
@@ -2210,25 +2234,45 @@ def q_doc_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("s").alias("side"),
     )
     keyed = pre.unionByName(suf)
-    # block-width cap: count members per (blk, side) and keep only
-    # blocks at or under the cap -- an aggregation on the SAME keys
-    # the self-join shuffles on, so the exchange is reused, and the
-    # count table joins back as the join's own build side
-    small_blocks = (
-        keyed.groupBy("blk", "side")
-        .agg(F.count(F.lit(1)).alias("blk_n"))
-        .filter(F.col("blk_n") <= EDITDIST_BLOCK_CAP)
-        .select("blk", "side")
-    )
-    keyed = keyed.join(small_blocks, ["blk", "side"])
-    cand = (
-        keyed.select("blk", "side", F.col("doc_id").alias("doc_id_a"))
-        .join(
-            keyed.select("blk", "side", F.col("doc_id").alias("doc_id_b")),
-            ["blk", "side"],
+    # cap folded into the block build: ONE two-phase aggregation
+    # counts AND collects each (blk, side) block, bounded against
+    # boilerplate skew by the hash-spread subgroup key (see docstring),
+    # and candidate pairs explode from the <= CAP member arrays -- no
+    # count join-back, no two-sided self-join
+    spread = F.pmod(F.hash("doc_id"), F.lit(EDITDIST_SPREAD))
+    p1 = (
+        keyed.groupBy("blk", "side", spread.alias("spr"))
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.slice(
+                F.collect_list("doc_id"), 1, EDITDIST_BLOCK_CAP + 1
+            ).alias("pids"),
         )
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
+    )
+    blocks = (
+        p1.groupBy("blk", "side")
+        .agg(
+            F.sum("pn").alias("blk_n"),
+            F.flatten(F.collect_list("pids")).alias("ids"),
+        )
+        .filter(F.col("blk_n") <= EDITDIST_BLOCK_CAP)
+    )
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc_id_a"),
+                    F.greatest(x, y).alias("doc_id_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        blocks.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_id_a", "p.doc_id_b")
         .distinct()
     )
     pairs = (
