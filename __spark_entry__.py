@@ -21,13 +21,15 @@ from sec_xbrl_finwarehouse_spark.plans import (
     corpus_queries,
     embedding_queries,
     events_queries,
+    image_queries,
     text_queries,
 )
 from sec_xbrl_finwarehouse_spark.plans import star_queries as sq
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# the 17 reference-parity star queries (window group 1 in r9)
+# the 17 reference-parity star queries (window group 1 in r9; all
+# carry green r9 rows and sit below the boundary this round)
 STAR_PARITY = {
     "statements_annual", "ratios_annual", "screener",
     "window_dedup_latest", "pivot_wide", "flow_stock_union",
@@ -37,13 +39,44 @@ STAR_PARITY = {
     "company_profile", "ratios_lookup",
 }
 
-# the 10 emb/text entries rotated just outside r8's window (latest
-# driver rows r5/r7) -- back inside for r9
-ROTATED_OUT_R8 = [
-    "emb_cosine_neardup", "emb_int8_quantize", "emb_hard_negatives",
-    "emb_kmeans_iter", "emb_dedup_clusters", "doc_semantic_dedup",
-    "emb_nearest_centroid", "doc_jaccard_pairs", "emb_lsh_neardup",
-    "doc_containment_pairs",
+# ---- r10 window policy -----------------------------------------------------
+# The driver's correctness gate covers the FIRST 50 entries in dict
+# order per round; the window ROTATES so no query's newest driver row
+# goes more than 2 rounds stale. r8 ran the text/corpus/emb packs
+# (CORRECTNESS_r08.json, 50/50 green); r9 ran the complement (star +
+# events + rotated-out emb/text + 5 changed-code entries, 50/50
+# green). r10 leads with every entry whose CURRENT plan has no driver
+# row, then back-fills with the oldest (r8-verified) entries.
+
+# (a) the 8 queries NEW in r9 -- locally verified then, never
+# driver-checked
+R10_NEVER_VERIFIED = [
+    "event_hll_distinct", "event_cm_heavy_hitters", "event_ams_f2",
+    "event_hll_sliding", "event_cm_sliding", "doc_dsir_sample",
+    "emb_knn_graph", "emb_knn_refine",
+]
+# (b) entries whose CODE changed in late r9 or r10 (green old rows,
+# but re-verification is mandatory after a semantics-touching edit):
+# paragraph/span dedup (text-keyed skew-safe elections late r9; span's
+# phase-1 spread key made deterministic r10), the edit-distance pair
+# (r10: cap folded into a two-phase bounded collect block build), and
+# the unigram-LM pair (r10: single-pass tf factoring)
+R10_CHANGED = [
+    "doc_paragraph_dedup", "doc_span_dedup",
+    "doc_editdist_neardup", "doc_editdist_clusters",
+    "doc_unigram_logprob", "doc_ccnet_bucket",
+]
+# (c) queries NEW in r10: perceptual-hash image near-dup
+R10_NEW = ["image_phash", "image_neardup"]
+
+# (d) 34 back-fill slots from the 42 remaining r8-verified entries.
+# All 42 are byte-identical since r8, so 8 must sit out one round;
+# the sit-outs are the simplest map-side stat queries (heaviest unit
+# coverage, no join/window risk) and they LEAD r11's window:
+R11_LEADS = [
+    "doc_length_histogram", "doc_domain_mix", "doc_global_shuffle",
+    "doc_token_stats", "doc_chunk", "doc_train_test_split",
+    "doc_bpe_token_count", "doc_fingerprint",
 ]
 
 
@@ -54,23 +87,6 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: the driver's correctness gate covers the first
-    # 50 entries in dict order per round. The window ROTATES each round
-    # so every query's driver verdict stays <= 2 rounds old: r8 ran the
-    # text/corpus/emb packs (all 50 green, CORRECTNESS_r08.json); r9 is
-    # the exact complement -- the 45 entries OUTSIDE r8's window (17
-    # reference-parity star + 22 events + the 10 rotated-out emb/text
-    # entries, whose latest rows are r5/r7) PLUS the 5 queries whose
-    # CODE changed this round and must be driver re-verified despite
-    # green r8 rows: doc_editdist_neardup/_clusters (block-width skew
-    # cap, both engines), doc_span_dedup (single-exchange winner
-    # election + gap-slice reassembly), emb_lsh_ann_topk and
-    # emb_ann_recall (Hamming-<=2 multi-probe, both engines). 45 + 5 =
-    # 50 exactly. After this round every pre-r9 query carries a green
-    # r8-or-r9 driver row (the two NEW r9 sketches, locally verified,
-    # take r10 window slots -- see below). The entries below the boundary are
-    # r8-green and byte-identical since. All pass
-    # tools/check_correctness.py locally regardless of position.
     all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # reference-parity pipeline + operators (SURVEY §2 / §3,
         # FIXTURES.md §C mapping)
@@ -95,55 +111,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **text_queries.QUERIES,
         **corpus_queries.QUERIES,
         **embedding_queries.QUERIES,
+        **image_queries.QUERIES,
     }
-    # r9 changed-code entries (green r8 rows, but re-verification is
-    # mandatory after a semantics-touching edit)
-    changed = [
-        "doc_editdist_neardup",
-        "doc_editdist_clusters",
-        "doc_span_dedup",
-        "emb_lsh_ann_topk",
-        "emb_ann_recall",
-    ]
-    # the 4 sketch-family events were INSIDE r8's window (green r8
-    # rows, unchanged since) -- they sit below the boundary this round.
-    # event_hll_distinct, event_cm_heavy_hitters, event_ams_f2, and
-    # event_hll_sliding are
-    # NEW in r9: the window is already exactly full with must-re-verify
-    # entries, so they sit just below the boundary (locally verified
-    # via tools/check_correctness.py + unit-tested) and take four of
-    # r10's window slots (with doc_dsir_sample, emb_knn_graph, and
-    # emb_knn_refine claiming three more -- 7 new r9 queries total).
-    # doc_paragraph_dedup's and doc_span_dedup's PLANS changed late in
-    # r9 (text-keyed skew-safe winner elections: a map-side-combinable
-    # groupBy(para) min-agg, resp. a two-phase (s, pid)/(s) row_number;
-    # oracle SQL and results byte-identical, sf0.01 OK_EXACT
-    # re-checked) -- both keep their green rows below the boundary and
-    # join the r10 window for driver re-verification.
-    r8_events = {"event_kmv_distinct", "event_histogram_quantiles",
-                 "event_kmv_overlap", "event_bloom_semijoin",
-                 "event_hll_distinct", "event_cm_heavy_hitters",
-                 "event_ams_f2", "event_hll_sliding", "event_cm_sliding"}
-    window_events = [n for n in events_queries.QUERIES
-                     if n not in r8_events]
-    # doc_dsir_sample is also NEW in r9 (below boundary, locally
-    # verified, r10 window slot) -- it lands in r8_window naturally
-    # since it was never in any prior window
-    r8_window = [
+    must = R10_NEVER_VERIFIED + R10_CHANGED + R10_NEW  # 16 slots
+    # back-fill: r8-verified entries in stable dict order, skipping the
+    # 8 r11 leads and everything already in the must set. Entries with
+    # green r9 rows (star parity, the non-sketch events, the r9-window
+    # emb/text rotations) sit below the boundary -- their rows are one
+    # round old, the youngest available.
+    r9_green = STAR_PARITY | {
+        n for n in events_queries.QUERIES
+        if n not in {"event_kmv_distinct", "event_histogram_quantiles",
+                     "event_kmv_overlap", "event_bloom_semijoin",
+                     "event_hll_distinct", "event_cm_heavy_hitters",
+                     "event_ams_f2", "event_hll_sliding",
+                     "event_cm_sliding"}
+    } | {
+        "emb_cosine_neardup", "emb_int8_quantize", "emb_hard_negatives",
+        "emb_kmeans_iter", "emb_dedup_clusters", "doc_semantic_dedup",
+        "emb_nearest_centroid", "doc_jaccard_pairs", "emb_lsh_neardup",
+        "doc_containment_pairs", "emb_lsh_ann_topk", "emb_ann_recall",
+    }
+    backfill = [
         n for n in all_q
-        if n not in STAR_PARITY and n not in window_events
-        and n not in ROTATED_OUT_R8 and n not in changed
+        if n not in must and n not in r9_green and n not in R11_LEADS
     ]
-    window = (
-        [n for n in all_q if n in STAR_PARITY]
-        + window_events
-        + ROTATED_OUT_R8
-        + changed
-    )
+    window = must + backfill
     assert len(window) == 50, len(window)
     ordered = {n: all_q[n] for n in window}
-    # --- window boundary (entries below carry green r8 rows) ---
-    ordered.update({n: all_q[n] for n in r8_window})
+    # --- window boundary: r11 leads first (their r8 rows age out
+    # next round), then the r9-green remainder ---
+    ordered.update({n: all_q[n] for n in R11_LEADS})
+    ordered.update({n: all_q[n] for n in all_q if n not in ordered})
+    assert len(ordered) == len(all_q)
     return ordered
 
 
@@ -154,4 +154,5 @@ def oracle_sql() -> dict[str, str]:
         **text_queries.ORACLES,
         **corpus_queries.ORACLES,
         **embedding_queries.ORACLES,
+        **image_queries.ORACLES,
     }

@@ -1141,9 +1141,21 @@ def append_ivf_index_versioned(
     neighbor_id) key so replays are idempotent BY KEY, and the pointer
     swap publishes atomically (no torn-batch window at all -- the
     difference from the plain-parquet appender). Returns the number of
-    cell partitions rewritten."""
+    cell partitions rewritten.
+
+    Split-aware: on an :func:`optimize_ivf_index`-ed index the
+    by-key merge alone cannot see an id stored under a SUB-cell (the
+    quantizer assigns the parent cell), so replayed ids in split
+    parents are dropped by a (quantizer-cell, id) anti-join against
+    only the touched parents' storage cells -- partition-pruned,
+    batch-sized, same contract as the plain appender's guard -- and
+    the version's cell map is carried forward so the commit never
+    loses the split layout."""
+    import json
+
     from .. import sinks
 
+    path = f"{index_dir}/corpus"
     cent = sinks.read_table(spark, f"{index_dir}/centroids")
     assigned = (
         new_vectors.select("neighbor_id", "emb")
@@ -1151,10 +1163,192 @@ def append_ivf_index_versioned(
         .select("neighbor_id", "emb",
                 _nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
     )
+    cellmap = _ivf_cellmap(path)
+    extra = {IVF_CELLMAP_META: json.dumps(cellmap)} if cellmap else None
+    if cellmap:
+        batch = assigned.persist()
+        try:
+            touched = [
+                r["cell"]
+                for r in batch.select("cell").distinct().collect()
+            ]
+            split_touched = [p for p in touched if p in cellmap]
+            if split_touched:
+                storage = [
+                    sc for p in split_touched
+                    for sc in (_ivf_storage_cells(p, cellmap) + [p])
+                ]
+                stored_pairs = (
+                    sinks.read_table(spark, path)
+                    .filter(F.col("cell").isin(storage))
+                    .select(_ivf_parent(F.col("cell")).alias("cell"),
+                            "neighbor_id")
+                )
+                # localCheckpoint: same mutating-path lineage-break
+                # rationale as the plain appender
+                batch = batch.join(
+                    stored_pairs, ["cell", "neighbor_id"], "left_anti"
+                ).localCheckpoint(eager=True)
+            return sinks.upsert_partitioned(
+                spark, path, batch,
+                keys=["cell", "neighbor_id"], partition_col="cell",
+                audit=False, manifest_extra=extra,
+            )
+        finally:
+            assigned.unpersist()
     return sinks.upsert_partitioned(
-        spark, f"{index_dir}/corpus", assigned,
+        spark, path, assigned,
         keys=["cell", "neighbor_id"], partition_col="cell", audit=False,
+        manifest_extra=extra,
     )
+
+
+# ---- IVF cell maintenance: split/rebalance hot cells -----------------------
+
+# storage-cell encoding for split cells: quantizer cell p's sub-cell s
+# is stored under (p + 1) * IVF_SPLIT_BASE + s (the +1 keeps parent
+# 0's sub-cells out of the quantizer-label range). Quantizer labels
+# are far below the base, so parent(storage) = (storage >> 12) - 1
+# for storage >= base, identity otherwise -- pure arithmetic, no
+# lookup table in the data path.
+IVF_SPLIT_BASE = 4096
+IVF_CELLMAP_META = "_ivf_cellmap.json"
+
+
+def _ivf_parent(cell_col):
+    """Quantizer cell of a storage cell (identity for unsplit cells)."""
+    return F.when(
+        cell_col >= IVF_SPLIT_BASE, F.shiftright(cell_col, 12) - 1
+    ).otherwise(cell_col)
+
+
+def _ivf_cellmap(path: str, version: str | None = None) -> dict[int, int]:
+    """The quantizer-cell -> n_subcells map committed atomically with
+    the corpus version (empty for a never-optimized index)."""
+    import json
+
+    from .. import sinks
+
+    raw = sinks.read_version_meta(path, IVF_CELLMAP_META, version=version)
+    return {int(k): int(v) for k, v in json.loads(raw).items()} if raw \
+        else {}
+
+
+def _ivf_storage_cells(parent: int, cellmap: dict[int, int]) -> list[int]:
+    n = cellmap.get(parent, 1)
+    if n <= 1:
+        return [parent]
+    return [(parent + 1) * IVF_SPLIT_BASE + s for s in range(n)]
+
+
+def _expand_probe_cells(
+    spark: SparkSession, probes: DataFrame, cellmap: dict[int, int]
+) -> DataFrame:
+    """Rewrite a probe list's quantizer cells into STORAGE cells: split
+    parents fan out to their sub-cells (plus the parent itself, which
+    post-split appends repopulate); unsplit cells pass through. The
+    mapping is centroid-count-sized -- a broadcast join, so the stored
+    scan's dynamic partition pruning sees the exact storage-cell
+    list."""
+    if not cellmap:
+        return probes
+    rows = []
+    for p, n in cellmap.items():
+        rows.append((p, p))  # appends land in the parent dir post-split
+        for sc in _ivf_storage_cells(p, cellmap):
+            if sc != p:
+                rows.append((p, sc))
+    mapdf = spark.createDataFrame(rows, "parent int, storage int")
+    return (
+        probes.join(
+            F.broadcast(mapdf), probes["cell"] == mapdf["parent"], "left"
+        )
+        .withColumn("cell", F.coalesce("storage", "cell"))
+        .drop("parent", "storage")
+    )
+
+
+def optimize_ivf_index(
+    spark: SparkSession, index_dir: str, max_cell_rows: int
+) -> int:
+    """Split/rebalance HOT cells of a versioned IVF index:
+    :func:`append_ivf_index_versioned` grows a skew-heavy quantizer
+    cell without bound (one giant inverted list = one straggler task
+    and one giant file per probe touching it), so this maintenance
+    pass re-shards any quantizer cell holding more than
+    ``max_cell_rows`` vectors into ceil(n / max) hash-assigned
+    sub-cells (``xxhash64(neighbor_id) mod n_subs`` -- balanced and
+    deterministic). The split is TRANSPARENT to search: the quantizer
+    is untouched, probes expand a split cell to the union of its
+    sub-cells (:func:`_expand_probe_cells`), and that union holds
+    exactly the parent's rows -- so probe results are BIT-IDENTICAL
+    before and after (asserted in tests/test_ivf_index.py). Semantic
+    re-clustering of a hot region is a quantizer retrain, i.e. an
+    explicit rebuild -- same FAISS split of responsibilities as
+    append's fixed-quantizer contract.
+
+    Runs under the versioned sink via :func:`sinks.replace_where`:
+    only the re-sharded parents' partitions are rewritten (everything
+    else hard-links), the cell->n_subs map commits ATOMICALLY with the
+    data as version metadata, and a crash mid-optimize leaves the
+    previous version current. Idempotent: a second run with the same
+    threshold finds every layout already at its desired shape and
+    publishes nothing. Returns the number of quantizer cells
+    re-sharded."""
+    import json
+    import math
+
+    from .. import sinks
+
+    path = f"{index_dir}/corpus"
+    corpus = sinks.read_table(spark, path)
+    # per-quantizer-cell widths + the present storage layout: both
+    # centroid-count-sized driver lists (metadata, like every
+    # partition list in sinks.py)
+    stats = corpus.groupBy(
+        _ivf_parent(F.col("cell")).alias("parent")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("cell").alias("present"),
+    ).collect()
+    cellmap: dict[int, int] = {}
+    rewrite: dict[int, int] = {}
+    values: list[int] = []
+    for r in stats:
+        n_subs = min(
+            math.ceil(r["n"] / max_cell_rows), IVF_SPLIT_BASE - 1
+        ) if r["n"] > max_cell_rows else 1
+        if n_subs > 1:
+            cellmap[r["parent"]] = n_subs
+        desired = set(_ivf_storage_cells(r["parent"], cellmap))
+        if set(r["present"]) != desired:
+            rewrite[r["parent"]] = n_subs
+            values.extend(r["present"])
+    if not rewrite:
+        return 0
+    storage = None
+    for p, n_subs in rewrite.items():
+        tgt = (
+            F.lit(p).cast("int") if n_subs == 1
+            else (
+                F.lit((p + 1) * IVF_SPLIT_BASE)
+                + F.pmod(F.xxhash64("neighbor_id"), F.lit(n_subs))
+            ).cast("int")
+        )
+        cond = _ivf_parent(F.col("cell")) == p
+        storage = F.when(cond, tgt) if storage is None \
+            else storage.when(cond, tgt)
+    inc = (
+        corpus.filter(
+            _ivf_parent(F.col("cell")).isin(list(rewrite))
+        )
+        .withColumn("cell", storage)
+    )
+    sinks.replace_where(
+        spark, path, "cell", values, inc,
+        manifest_extra={IVF_CELLMAP_META: json.dumps(cellmap)},
+    )
+    return len(rewrite)
 
 
 def q_emb_ivf_index_probe_versioned(
@@ -1166,7 +1360,10 @@ def q_emb_ivf_index_probe_versioned(
     ANN read, e.g. to reproduce yesterday's retrieval results before an
     ingest batch changed the candidate set. Identical contract to
     :func:`q_emb_ivf_index_probe` otherwise; the stored scan keeps its
-    cell partition pruning because versions preserve the hive layout."""
+    cell partition pruning because versions preserve the hive layout.
+    Split-aware: probes expand through the version's cell map (committed
+    atomically with the data), so an :func:`optimize_ivf_index` pass is
+    invisible here except for better task balance."""
     from .. import sinks
 
     cent = sinks.read_table(spark, f"{index_dir}/centroids")
@@ -1179,6 +1376,9 @@ def q_emb_ivf_index_probe_versioned(
                 F.explode(F.transform(
                     _nearest_cells(F.col("qemb"), NPROBE), lambda s: s["cell"]
                 )).alias("cell"))
+    )
+    probes = _expand_probe_cells(
+        spark, probes, _ivf_cellmap(f"{index_dir}/corpus", version=version)
     )
     stored = sinks.read_table(spark, f"{index_dir}/corpus", version=version)
     scored = stored.join(F.broadcast(probes), "cell").select(

@@ -527,12 +527,22 @@ def write_replace(
         raise
 
 
-def read_version_meta(path: str, name: str) -> str | None:
+def read_version_meta(
+    path: str, name: str, version: str | None = None
+) -> str | None:
     """Read a ``manifest_extra`` file committed with the CURRENT version
-    (None if the table or the file does not exist). Because the file
-    lives inside the version directory, the value observed is always the
-    one committed atomically with the data being read."""
-    data_dir = current_data_dir(path)
+    (or with a retained ``version``, matching :func:`read_table`'s time
+    travel); None if the table or the file does not exist. Because the
+    file lives inside the version directory, the value observed is
+    always the one committed atomically with the data being read."""
+    if version is not None:
+        data_dir = os.path.join(path, version)
+        if not os.path.isdir(data_dir):
+            raise FileNotFoundError(
+                f"version {version!r} not retained under {path}"
+            )
+    else:
+        data_dir = current_data_dir(path)
     if data_dir is None:
         return None
     meta = os.path.join(data_dir, name)
@@ -732,6 +742,73 @@ def upsert_partitioned(
             # no-orphan contract (see write_replace): version_dir holds
             # only hard links + staged copies, safe to drop on ANY
             # publish failure, not just ConcurrentWriteError
+            shutil.rmtree(version_dir, ignore_errors=True)
+            raise
+        return len(rewritten)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def replace_where(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    values: Sequence,
+    incoming: DataFrame,
+    manifest_extra: dict[str, str] | None = None,
+) -> int:
+    """Delta-style ``replaceWhere`` on the versioned store: publish a
+    version in which the partitions whose ``partition_col`` is in
+    ``values`` are DROPPED and ``incoming``'s rows (written
+    hive-partitioned on ``partition_col``) stand in their place, with
+    every other partition hard-linked (zero copy, zero read). Unlike
+    :func:`upsert_partitioned` this can REMOVE a partition value and
+    MOVE rows to new partition values -- the primitive a storage
+    reorganization (cell split, re-bucketing) needs, where a key's
+    partition assignment itself changes. ``incoming`` may target
+    partition values outside ``values``; any such existing partition
+    is replaced as well (it is part of the rewrite footprint).
+    Atomic publish + OCC, same contract as every versioned writer.
+    Returns the number of partitions written."""
+    cur = current_data_dir(path)
+    if cur is None:
+        raise FileNotFoundError(f"{path}: no current version to reorganize")
+    cur_names = [n for n in os.listdir(cur) if not n.startswith((".", "_"))]
+    if cur_names and not any(
+        n.startswith(f"{partition_col}=") for n in cur_names
+    ):
+        raise ValueError(
+            f"{path}: current version is not hive-partitioned on "
+            f"{partition_col!r}"
+        )
+    dropped = {f"{partition_col}={v}" for v in values}
+    staging = f"{path}.__staging__{uuid.uuid4().hex}"
+    incoming.write.mode("overwrite").partitionBy(partition_col).parquet(
+        staging
+    )
+    try:
+        rewritten = [n for n in os.listdir(staging)
+                     if n.startswith(f"{partition_col}=")]
+        version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
+        try:
+            os.mkdir(version_dir)
+            for name in os.listdir(cur):   # kept partitions: hard-link
+                if (name.startswith(f"{partition_col}=")
+                        and name not in dropped and name not in rewritten):
+                    src = os.path.join(cur, name)
+                    dst = os.path.join(version_dir, name)
+                    os.mkdir(dst)
+                    for f in os.listdir(src):
+                        if not f.startswith("."):
+                            os.link(os.path.join(src, f),
+                                    os.path.join(dst, f))
+            for name in rewritten:         # rewritten partitions: move in
+                os.rename(os.path.join(staging, name),
+                          os.path.join(version_dir, name))
+            _write_manifest_extra(version_dir, manifest_extra)
+            _publish_version(path, version_dir)
+        except Exception:
+            # no-orphan contract (see write_replace)
             shutil.rmtree(version_dir, ignore_errors=True)
             raise
         return len(rewritten)

@@ -253,3 +253,94 @@ def test_versioned_ivf_index_time_travel_probe(spark, tmp_path):
     again = sorted(map(tuple,
         eq.q_emb_ivf_index_probe_versioned(spark, SF_DIR, idx).collect()))
     assert again == got_now
+
+
+def test_optimize_ivf_index_splits_hot_cells_probe_identical(
+    spark, tmp_path
+):
+    """Cell maintenance contract (r10): a skew-appended index gets its
+    hot quantizer cells re-sharded into bounded sub-cells, probe
+    results stay BIT-IDENTICAL (the quantizer is untouched; sub-cells
+    union back to the parent's rows), partition pruning survives, the
+    pass is idempotent, and appends after a split remain idempotent
+    and carry the cell map forward."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from sec_xbrl_finwarehouse_spark import sinks
+
+    idx = str(tmp_path / "ivf_opt")
+    eq.build_ivf_index_versioned(spark, SF_DIR, idx)
+    corpus_path = f"{idx}/corpus"
+
+    base = sorted(map(tuple,
+        eq.q_emb_ivf_index_probe_versioned(spark, SF_DIR, idx).collect()))
+    assert len(base) > 0
+
+    widths = {
+        r["cell"]: r["n"]
+        for r in sinks.read_table(spark, corpus_path)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    max_w = max(widths.values())
+    threshold = max_w // 2  # forces at least the widest cell to split
+    n_split = eq.optimize_ivf_index(spark, idx, max_cell_rows=threshold)
+    assert n_split >= 1
+
+    # per-storage-cell widths are bounded post-split (hash sharding is
+    # not perfectly even; allow the bound on the TARGET width times a
+    # small imbalance factor, and require the hot parent's dir gone)
+    after = {
+        r["cell"]: r["n"]
+        for r in sinks.read_table(spark, corpus_path)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    split_parents = {
+        p for p, w in widths.items() if w > threshold
+    }
+    assert split_parents.isdisjoint(after)  # parent dirs replaced
+    for cell, n in after.items():
+        if cell >= eq.IVF_SPLIT_BASE:
+            assert n <= 2 * threshold  # bounded sub-cells
+    # the committed cell map names exactly the split parents
+    cellmap = eq._ivf_cellmap(corpus_path)
+    assert set(cellmap) == split_parents
+
+    # probes: bit-identical, still partition-pruned
+    opt = eq.q_emb_ivf_index_probe_versioned(spark, SF_DIR, idx)
+    assert sorted(map(tuple, opt.collect())) == base
+    plan = opt._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+    # idempotent: desired layout already present -> no new version
+    v_cur = [v["version"] for v in sinks.list_versions(corpus_path)
+             if v["is_current"]][0]
+    assert eq.optimize_ivf_index(spark, idx, max_cell_rows=threshold) == 0
+    assert [v["version"] for v in sinks.list_versions(corpus_path)
+            if v["is_current"]][0] == v_cur
+
+    # append onto the split index: replay-idempotent, map carried
+    hot_parent = next(iter(split_parents))
+    stored_ids = {
+        r["neighbor_id"]
+        for r in sinks.read_table(spark, corpus_path)
+        .select("neighbor_id").collect()
+    }
+    some_id = next(iter(stored_ids))
+    old_vec = (
+        sinks.read_table(spark, corpus_path)
+        .filter(F.col("neighbor_id") == some_id)
+        .select("neighbor_id", "emb")
+    )
+    new_vec = old_vec.select(
+        (F.col("neighbor_id") + 1_000_000).alias("neighbor_id"), "emb"
+    )
+    batch = old_vec.unionByName(new_vec)
+    eq.append_ivf_index_versioned(spark, idx, batch)
+    n_after_1 = sinks.read_table(spark, corpus_path).count()
+    eq.append_ivf_index_versioned(spark, idx, batch)  # replay
+    n_after_2 = sinks.read_table(spark, corpus_path).count()
+    assert n_after_1 == len(stored_ids) + 1  # old id deduped, new added
+    assert n_after_2 == n_after_1            # full replay is a no-op
+    assert eq._ivf_cellmap(corpus_path) == cellmap  # map survived

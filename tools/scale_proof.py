@@ -95,6 +95,12 @@ QUERIES = [
     # shape stays linear in it — only the pairwise near-dup queries
     # must stay out
     "doc_dup_ngram_frac",
+    # r10: eval-set decontamination — the n-gram semi-join twin of
+    # doc_dup_ngram_frac; marker amplification multiplies the document
+    # n-gram stream linearly while the eval-set side stays fixed, the
+    # honest workload (the only non-floor-proven entry without a
+    # two-point trend per the r9 verdict)
+    "doc_decontaminate",
     # r8: IVF+PQ composed ANN — cell-pruned ADC scan, the FAISS IVFPQ
     # layout; proves the composition keeps the pieces' scaling
     "emb_ivf_pq_ann_topk",
