@@ -413,46 +413,39 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits within ~1e-16 relative of a quantization boundary --
     negligible, and flagged by the oracle if it ever lands.
 
-    Scale shape (ONE pass over the tokenizer, zero wide exchanges of
-    token-level data): the token stream is folded straight into a
-    (doc_id, tok) -> tf aggregation -- map-side combinable, and
-    because the scan is hash-partitioned on doc_id the tf groupBy
-    needs no exchange at all (HashPartitioning(doc_id) satisfies the
-    clustering requirement of the superset key). Everything downstream
-    reads the persisted tf table, which Zipf's law makes far smaller
-    than the token stream it summarizes: the vocabulary-sized LM
-    (tf re-aggregated by token -- map-side combinable -- with the
-    corpus total as a SCALAR aggregation broadcast-crossed back; no
-    single-partition window anywhere), and the per-doc score, where
-    the broadcast LM join probes tf rows instead of every token
-    occurrence (Heaps' law keeps natural-language vocabularies orders
-    of magnitude smaller than the corpus). Exactness is untouched by
-    the tf factoring: floor stays around the SINGLE-token ln and tf
-    multiplies the resulting integer micro-nats OUTSIDE the floor, so
-    sum-over-occurrences == sum(tf * tok_unats) identically (the
-    rejected r-early formulation floored around tf*ln, which is a
-    different number). The pre-r10 shape tokenized twice (once for the
-    LM, once for the scoring probe) and probed the LM with the full
-    token stream -- this one does neither. At a vocabulary too large
-    to broadcast (byte-level tokens at extreme corpus breadth), swap
-    the broadcast hint for a shuffle join; semantics are unchanged."""
+    Scale shape (two passes over the tokenizer, zero wide exchanges of
+    token-level data): pass 1 aggregates the vocabulary-sized unigram
+    LM table -- counts by token, fully map-side combinable, plus the
+    corpus total as a SCALAR aggregation broadcast-crossed back onto
+    the count table (two-stage partial agg; no single-partition window
+    anywhere, so the vocabulary never funnels through one task).
+    Pass 2 BROADCASTS that LM (Heaps' law keeps natural-
+    language vocabularies orders of magnitude smaller than the corpus)
+    onto the raw token stream and aggregates straight to doc_id --
+    quantizing per token occurrence means no intermediate (doc_id, tok)
+    tf table is ever built or shuffled, and because each doc's tokens
+    explode inside one partition the per-doc partial agg completes
+    map-side (the exchange carries one partial per doc). A
+    (doc_id, tok) -> tf factoring with a persisted tf table was built
+    and A/B-measured in r10: exactness-identical (floor around the
+    single-token ln, tf multiplied outside), but slightly SLOWER at
+    10x/20x under matched JVM settings and a worse 100 TB shape -- on
+    an unpartitioned production scan the tf groupBy becomes a
+    token-stream-sized exchange and the persist a corpus-sized cache,
+    while the second tokenize pass here is pure map-side CPU over a
+    scan that reads twice. At a vocabulary too large to broadcast
+    (byte-level tokens at extreme corpus breadth), swap the broadcast
+    hint for a shuffle join; semantics are unchanged."""
     d = _documents(spark, sf_dir)
     # explode_OUTER keeps zero-token docs as one NULL-token row, so the
     # per-doc aggregation below covers EVERY doc and no corpus-sized
-    # re-join of the doc list is ever needed (NULL groups survive the
-    # tf groupBy as (doc_id, NULL, 1) rows)
+    # re-join of the doc list is ever needed
     toks = d.select(
         "doc_id", F.explode_outer(_tokens(F.col("text"))).alias("tok")
     )
-    # the ONE token-level aggregation; persisted because both the LM
-    # build and the scoring probe read it (without the persist the
-    # tokenizer would run twice -- the exact cost this shape removes)
-    tf = _persist_hot(
-        toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    )
     cnt = (
-        tf.filter(F.col("tok").isNotNull())
-        .groupBy("tok").agg(F.sum("tf").alias("cnt"))
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok").agg(F.count("*").alias("cnt"))
     )
     # corpus total as a scalar agg broadcast-crossed back on -- NOT a
     # Window.partitionBy() sum, which would funnel the whole vocabulary
@@ -466,16 +459,13 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("tok_unats"),
     )
     # left join: the NULL-token rows of empty docs pass through with
-    # tok_unats NULL; sum ignores them -> n_tokens 0, xent NULL
+    # tok_unats NULL; count("tok") ignores them -> n_tokens 0, xent NULL
     return (
-        tf.join(F.broadcast(lm), "tok", "left")
+        toks.join(F.broadcast(lm), "tok", "left")
         .groupBy("doc_id")
         .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("tok").isNotNull(), F.col("tf"))),
-                F.lit(0),
-            ).cast("long").alias("n_tokens"),
-            (-F.sum(F.col("tf") * F.col("tok_unats"))).alias("neg_unats"),
+            F.count("tok").alias("n_tokens"),
+            (-F.sum("tok_unats")).alias("neg_unats"),
         )
         .select(
             "doc_id",

@@ -1218,26 +1218,31 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram overlap check every serious pretraining pipeline runs against
     held-out evaluation sets before training.
 
-    Plan shape: the deterministic md5 split (q_doc_train_test_split)
-    partitions the corpus; test-side shingles are the SMALL side (the
-    benchmark set), so the overlap join is shingle-keyed with the test
-    side broadcastable at real scale; a semi-join (left_semi) marks
-    contaminated train docs without materializing the pair blowup, and
-    the contaminated-shingle count per doc comes from one distinct-agg
-    over the matched shingles only."""
-    ex = _persist_hot(_doc_shingles_exploded(spark, sf_dir))
-    split = q_doc_train_test_split(spark, sf_dir)
-    sides = ex.join(split, "doc_id")
-    train = sides.filter(F.col("split") == "train").select("doc_id", "shingle")
-    test_sh = (
-        sides.filter(F.col("split") == "test")
-        .select("shingle").distinct()
+    Plan shape: the deterministic md5 split is a PURE PROJECTION of
+    doc_id, so it is inlined as a column on the shingle stream (the
+    pre-r10 shape paid a doc-keyed join of the corpus-sized shingle
+    table against a split frame just to attach a value computable in
+    place). Test-side shingles are the SMALL side (the held-out
+    benchmark set), so the overlap join BROADCASTS them -- the train
+    shingle stream is probed map-side and never shuffles on the
+    shingle key (the r10 fix for the growing 10x/20x ratio: the
+    shuffle it removes is the only corpus-sized exchange the query
+    had). The per-doc contaminated count is a distinct-agg over
+    matched shingles only, with per-doc partials completing map-side
+    because each doc's shingles explode inside one partition."""
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    is_train = first_hex.isin(*TRAIN_HEX)
+    ex = _persist_hot(
+        _doc_shingles_exploded(spark, sf_dir).withColumn("tr", is_train)
     )
+    train = ex.filter(F.col("tr")).select("doc_id", "shingle")
+    test_sh = ex.filter(~F.col("tr")).select("shingle").distinct()
     hits = (
-        train.join(test_sh, "shingle")
+        train.join(F.broadcast(test_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_contaminated_shingles"))
     )
+    split = q_doc_train_test_split(spark, sf_dir)
     return (
         split.filter(F.col("split") == "train")
         .join(hits, "doc_id", "left")

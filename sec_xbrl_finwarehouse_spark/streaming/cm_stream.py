@@ -134,3 +134,50 @@ def cm_estimate(
             .alias("cm_estimate")
         )
     )
+
+
+def cm_sliding_estimate(
+    spark: SparkSession,
+    path: str,
+    candidates: DataFrame,
+    window_days: int | None = None,
+) -> DataFrame:
+    """Trailing-window frequency estimates for ``candidates(report_day,
+    item)`` from STREAMED daily counters: run :func:`foreach_batch_cm`
+    with the event DAY as the group column and the stored state IS the
+    daily counter table ``q_event_cm_sliding`` builds from scratch --
+    this reader sums each report day's member-day counters (the
+    non-idempotent monoid merge, applied across TIME; each day's fold
+    entered the store exactly once via the batch watermark) and probes
+    min-over-d-cells, zero-filled per cell before the min (same
+    rationale as :func:`cm_estimate`). Identical cell arithmetic to
+    the batch query, so stream and batch window estimates agree
+    bit-exactly on the same data (asserted in tests/test_cm_stream.py).
+    The window merge reads days x d x w counter rows only."""
+    from ..plans.events_queries import WAU_DAYS, cm_with_cells
+
+    w = WAU_DAYS if window_days is None else window_days
+    counters = sinks.read_table(spark, path).select(
+        F.to_date("group_key").alias("day"), "j", "pos", "c"
+    )
+    winc = (
+        counters.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), w - 1))
+            ).alias("report_day"),
+            "j", "pos", "c",
+        )
+        .groupBy("report_day", "j", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+    probes = cm_with_cells(
+        candidates.select("report_day", "item"), "item"
+    )
+    return (
+        probes.join(winc, ["report_day", "j", "pos"], "left")
+        .groupBy("report_day", "item")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long")
+            .alias("cm_estimate")
+        )
+    )

@@ -105,3 +105,47 @@ def hll_estimate(spark: SparkSession, path: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_buckets"),
     )
     return z.select("group_key", hll_estimate_col().alias("hll_estimate"))
+
+
+def hll_sliding_estimate(
+    spark: SparkSession, path: str, window_days: int | None = None
+) -> DataFrame:
+    """Trailing-window distinct estimates (day, hll_estimate) from
+    STREAMED daily registers: run :func:`foreach_batch_hll` with the
+    event DAY as the group column and the stored state IS the daily
+    register table ``q_event_hll_sliding`` builds from scratch -- this
+    reader answers any trailing window by the same explode + register
+    max merge, without ever re-reading events. Same estimator
+    arithmetic, so stream and batch sliding estimates agree bit-exactly
+    on the same data (asserted in tests/test_hll_stream.py). Report
+    days are restricted to stored (active) days, mirroring the batch
+    query. The window merge reads days x m register rows only --
+    metadata-sized at any event volume."""
+    from ..plans.events_queries import WAU_DAYS
+
+    w = WAU_DAYS if window_days is None else window_days
+    regs = sinks.read_table(spark, path).select(
+        F.to_date("group_key").alias("day"), "bucket", "mreg"
+    )
+    merged = (
+        regs.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), w - 1))
+            ).alias("report_day"),
+            "bucket", "mreg",
+        )
+        .groupBy("report_day", "bucket")
+        .agg(F.max("mreg").alias("mreg"))
+    )
+    z = merged.groupBy("report_day").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mreg"))).alias("z_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    days = regs.select(F.col("day").alias("report_day")).distinct()
+    return (
+        z.join(F.broadcast(days), "report_day", "left_semi")
+        .select(
+            F.col("report_day").alias("day"),
+            hll_estimate_col().alias("hll_estimate"),
+        )
+    )

@@ -147,3 +147,61 @@ def test_streaming_end_to_end_availablenow(spark, tmp_path):
     from sec_xbrl_finwarehouse_spark.plans.events_queries import CM_D
 
     assert n == len(ALL_ROWS) * CM_D
+
+
+def test_sliding_estimate_from_streamed_daily_counters(spark, tmp_path):
+    """r10 wiring: maintain DAILY counters through the stream sink
+    (group = event day), then answer the trailing-window frequency
+    probe from the streamed state alone -- estimates must equal the
+    batch q_event_cm_sliding's cm_estimate column, bit-for-bit, for
+    every (day, user) the batch query ranks."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    base = dt.datetime(2024, 3, 1, 9, 0, 0)
+    uid = 0
+    for d in range(5):
+        for u in range(30):
+            # user u fires (u % 4) + 1 events per active day
+            for _ in range((u % 4) + 1):
+                rows.append((uid, u + 7 * (d % 2), "view",
+                             base + dt.timedelta(days=d), 1.0))
+                uid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    events_dir = tmp_path / "ev"
+    df.write.parquet(str(events_dir / "events.parquet"))
+
+    path = str(tmp_path / "daily_cm")
+    sink = foreach_batch_cm(path, "day", "user_id", app_id="cm-daily")
+    for i in range(5):
+        day = (base + dt.timedelta(days=i)).date()
+        chunk = df.filter(F.to_date("ts") == F.lit(day)).withColumn(
+            "day", F.to_date("ts")
+        )
+        sink(chunk, i)
+
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        q_event_cm_sliding,
+    )
+    from sec_xbrl_finwarehouse_spark.streaming.cm_stream import (
+        cm_sliding_estimate,
+    )
+
+    batch = q_event_cm_sliding(spark, str(events_dir)).collect()
+    assert len(batch) > 0
+    cands = spark.createDataFrame(
+        [(r["day"], r["user_id"]) for r in batch],
+        "report_day date, item long",
+    )
+    got = {
+        (r["report_day"], r["item"]): r["cm_estimate"]
+        for r in cm_sliding_estimate(spark, path, cands).collect()
+    }
+    want = {(r["day"], r["user_id"]): r["cm_estimate"] for r in batch}
+    assert got == want

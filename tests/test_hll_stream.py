@@ -148,3 +148,56 @@ def test_streaming_end_to_end_availablenow(spark, tmp_path):
     assert stored.groupBy("group_key").count().filter(
         F.col("count") > HLL_M
     ).count() == 0
+
+
+def test_sliding_estimate_from_streamed_daily_registers(spark, tmp_path):
+    """r10 wiring: maintain DAILY registers through the stream sink
+    (group = event day), then answer the trailing-window query from the
+    streamed state alone -- estimates must equal the batch
+    q_event_hll_sliding's, bit-for-bit, on the same events."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    uid = 0
+    for d in range(6):
+        # varying daily populations with cross-day overlap
+        for u in range(40 + 13 * d):
+            rows.append((uid, u % (60 + 5 * d),
+                         "click", base + dt.timedelta(days=d), 1.0))
+            uid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    events_dir = tmp_path / "ev"
+    df.write.parquet(str(events_dir / "events.parquet"))
+
+    # stream the same rows day by day (micro-batch = one day's events),
+    # daily registers keyed by the event day
+    path = str(tmp_path / "daily_regs")
+    sink = foreach_batch_hll(path, "day", "user_id", app_id="hll-daily")
+    for i in range(6):
+        day = (base + dt.timedelta(days=i)).date()
+        chunk = df.filter(F.to_date("ts") == F.lit(day)).withColumn(
+            "day", F.to_date("ts")
+        )
+        sink(chunk, i)
+
+    from sec_xbrl_finwarehouse_spark.plans.events_queries import (
+        q_event_hll_sliding,
+    )
+    from sec_xbrl_finwarehouse_spark.streaming.hll_stream import (
+        hll_sliding_estimate,
+    )
+
+    got = {
+        r["day"]: r["hll_estimate"]
+        for r in hll_sliding_estimate(spark, path).collect()
+    }
+    want = {
+        r["day"]: r["hll_estimate"]
+        for r in q_event_hll_sliding(spark, str(events_dir)).collect()
+    }
+    assert got == want and len(got) == 6
