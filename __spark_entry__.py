@@ -66,17 +66,17 @@ R10_CHANGED = [
     "doc_editdist_neardup", "doc_editdist_clusters",
     "doc_unigram_logprob", "doc_ccnet_bucket",
 ]
-# (c) queries NEW in r10: perceptual-hash image near-dup
-R10_NEW = ["image_phash", "image_neardup"]
+# (c) queries NEW in r10: perceptual-hash image near-dup family
+R10_NEW = ["image_phash", "image_neardup", "image_dedup_clusters"]
 
-# (d) 34 back-fill slots from the 42 remaining r8-verified entries.
-# All 42 are byte-identical since r8, so 8 must sit out one round;
+# (d) 33 back-fill slots from the 42 remaining r8-verified entries.
+# All 42 are byte-identical since r8, so 9 must sit out one round;
 # the sit-outs are the simplest map-side stat queries (heaviest unit
 # coverage, no join/window risk) and they LEAD r11's window:
 R11_LEADS = [
     "doc_length_histogram", "doc_domain_mix", "doc_global_shuffle",
     "doc_token_stats", "doc_chunk", "doc_train_test_split",
-    "doc_bpe_token_count", "doc_fingerprint",
+    "doc_bpe_token_count", "doc_fingerprint", "doc_lang_id",
 ]
 
 

@@ -213,12 +213,75 @@ def _fmt(sql: str) -> str:
     )
 
 
+def q_image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual-dedup DECISION completed: banded Hamming pairs ->
+    transitive clusters via the shared Hash-Min connected-components
+    operator (the same pairwise-to-decision step the Jaccard and
+    edit-distance families ride), every document labeled with its
+    component's min doc_id and ``keep`` marking the canonical copy.
+    This is what an image-dedup pipeline actually EXECUTES at 100 TB:
+    keep one representative per visual near-dup clique, drop the
+    re-encodes/re-uploads. Documents outside every pair keep
+    themselves via the left join. Edge-sized iteration width,
+    localCheckpoint lineage truncation, scalar fixpoint action --
+    see operators/connected_components.py."""
+    from .text_queries import CC_MAX_ITERS, hash_min_components
+
+    pairs = q_image_neardup(spark, sf_dir).select(
+        F.col("d1").alias("d1"), F.col("d2").alias("d2")
+    )
+    labels = hash_min_components(pairs, CC_MAX_ITERS).withColumnRenamed(
+        "node_id", "doc_id"
+    )
+    docs = _documents(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .withColumn("cluster_rep", F.coalesce("rep", "doc_id"))
+        .select(
+            "doc_id",
+            "cluster_rep",
+            (F.col("cluster_rep") == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+IMAGE_DEDUP_CLUSTERS_SQL = """{ctes},
+banded AS (
+  SELECT doc_id, phash, t.band,
+         (phash >> (t.band * {band_bits})) & {band_mask} AS key
+  FROM ph CROSS JOIN (SELECT unnest(range(0, {bands})) AS band) t
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+    AND bit_count(xor(a.phash, b.phash)) <= {ham_max}
+),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs
+),
+walk AS (
+  SELECT a AS doc_id, a AS reach FROM edges
+  UNION
+  SELECT w.doc_id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+comp AS (SELECT doc_id, min(reach) AS cluster_rep FROM walk GROUP BY doc_id)
+SELECT x.doc_id,
+       coalesce(c.cluster_rep, x.doc_id) AS cluster_rep,
+       coalesce(c.cluster_rep, x.doc_id) = x.doc_id AS keep
+FROM documents x LEFT JOIN comp c USING (doc_id)
+"""
+
+
 QUERIES = {
     "image_phash": q_image_phash,
     "image_neardup": q_image_neardup,
+    "image_dedup_clusters": q_image_dedup_clusters,
 }
 
 ORACLES = {
     "image_phash": _fmt(IMAGE_PHASH_SQL),
     "image_neardup": _fmt(IMAGE_NEARDUP_SQL),
+    "image_dedup_clusters": "WITH RECURSIVE "
+    + _fmt(IMAGE_DEDUP_CLUSTERS_SQL).removeprefix("\nWITH "),
 }

@@ -77,7 +77,7 @@ ARROW_ALLOWED = {
     # (Catalyst higher-order functions have no let-binding, so a
     # column-expression DCT re-evaluates its input per element access
     # -- measured super-linear; see functions/phash.py)
-    "image_phash", "image_neardup",
+    "image_phash", "image_neardup", "image_dedup_clusters",
 }
 
 
