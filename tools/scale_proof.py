@@ -147,6 +147,9 @@ QUERIES = [
     # broadcast ratio join + TakeOrdered; marker amplification leaves
     # the bucket arithmetic untouched (same regime as the LM scorers)
     "doc_dsir_sample",
+    # r10: pHash fingerprints — one Arrow-batched raster+DCT map pass,
+    # no shuffle; marker amplification just multiplies the row count
+    "image_phash",
 ]
 
 PER_QUERY_CAP_SEC = 300.0
@@ -175,6 +178,12 @@ NEARDUP_QUERIES = [
     # linearly by construction).
     "doc_minhash_lsh_dedup",
     "doc_dedup_clusters",
+    # r10: pHash banded Hamming near-dup -- the Caesar translation
+    # shifts every character code identically within a copy, so
+    # within-copy raster/hash structure is preserved while cross-copy
+    # pixel profiles decorrelate, same linear-candidate story as the
+    # text near-dup family
+    "image_neardup",
     # r8: the MinHash accuracy audit rides the same banded-candidate
     # pipeline (audit cost O(pairs)); its oracle is the exhaustive
     # all-pairs join, expected to hit the cap like the dedup twins
