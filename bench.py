@@ -173,6 +173,11 @@ BENCH_QUERIES = [
     "event_funnel",
     "event_retention",
     "event_anomaly",
+    # r10: perceptual-hash image family (Arrow einsum kernel + banded
+    # Hamming join + Hash-Min clusters)
+    "image_phash",
+    "image_neardup",
+    "image_dedup_clusters",
 ]
 
 
@@ -235,7 +240,11 @@ def main() -> None:
 
     qmap = entrymod.queries()
     osql = entrymod.oracle_sql()
+    # explicit list first (stable ordering for cross-round diffs), then
+    # ANY queries() entry the list doesn't know yet -- a new query can
+    # never silently miss its regression tripwire again
     names = [n for n in BENCH_QUERIES if n in qmap]
+    names += [n for n in qmap if n not in BENCH_QUERIES]
     duck_probe, duck_once = _oracle_runner(sf_dir)
 
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
