@@ -789,6 +789,17 @@ def replace_where(
     try:
         rewritten = [n for n in os.listdir(staging)
                      if n.startswith(f"{partition_col}=")]
+        if not rewritten and dropped:
+            # an empty incoming under non-empty `values` would publish
+            # a version that silently DELETES those partitions -- a
+            # reorganization must re-insert the rows it displaces, so
+            # treat this as caller error (deletion is sinks.merge's
+            # explicit tombstone clause, never an accident here)
+            raise ValueError(
+                f"{path}: replace_where got an empty incoming frame "
+                f"while dropping {sorted(dropped)} -- refusing to "
+                "publish a silent partition deletion"
+            )
         version_dir = os.path.join(path, f"v_{uuid.uuid4().hex}")
         try:
             os.mkdir(version_dir)

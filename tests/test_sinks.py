@@ -984,3 +984,61 @@ def test_prune_spares_young_unstamped_dirs_reclaims_old(spark, tmp_path):
     assert not os.path.isdir(staged)
     # and the committed current version is intact
     assert sinks.read_table(spark, path).count() == 1
+
+
+def test_replace_where_moves_rows_and_drops_partitions(spark, tmp_path):
+    """r10 storage primitive: a reorganization can DROP partition
+    values and MOVE rows to new ones -- kept partitions hard-link,
+    dropped directories disappear, the publish is atomic, and an empty
+    incoming under non-empty values is refused (never a silent
+    deletion)."""
+    path = str(tmp_path / "t")
+    sinks.upsert_partitioned(
+        spark, path,
+        _mkp(spark, [(1, "a", 10), (2, "b", 10), (3, "c", 20),
+                     (4, "d", 30)]),
+        keys=["part", "k"], partition_col="part", audit=False,
+    )
+    v1 = sinks.current_data_dir(path)
+    inodes_before = {p: _inodes(v1, p) for p in _pdirs(v1)}
+
+    # split part=10 into part=101/part=102 (rows MOVE partition)
+    n = sinks.replace_where(
+        spark, path, "part", [10],
+        _mkp(spark, [(1, "a", 101), (2, "b", 102)]),
+        manifest_extra={"_reorg": "10->101,102"},
+    )
+    assert n == 2
+    v2 = sinks.current_data_dir(path)
+    assert _pdirs(v2) == ["part=101", "part=102", "part=20", "part=30"]
+    got = {(r["k"], r["v"], r["part"])
+           for r in sinks.read_table(spark, path).collect()}
+    assert got == {(1, "a", 101), (2, "b", 102), (3, "c", 20),
+                   (4, "d", 30)}
+    # untouched partitions: same inodes (hard links)
+    assert _inodes(v2, "part=20") == inodes_before["part=20"]
+    assert _inodes(v2, "part=30") == inodes_before["part=30"]
+    # manifest extra committed atomically with the version
+    assert sinks.read_version_meta(path, "_reorg") == "10->101,102"
+    # the pre-reorg version is retained and time-travels intact
+    old = os.path.basename(v1)
+    back = {(r["k"], r["part"]) for r in
+            sinks.read_table(spark, path, version=old).collect()}
+    assert back == {(1, 10), (2, 10), (3, 20), (4, 30)}
+
+    # incoming may also overwrite an EXISTING partition it targets
+    sinks.replace_where(
+        spark, path, "part", [], _mkp(spark, [(9, "z", 20)])
+    )
+    got = {(r["k"], r["part"])
+           for r in sinks.read_table(spark, path).collect()}
+    assert got == {(1, 101), (2, 102), (9, 20), (4, 30)}
+
+    # empty incoming + non-empty values: refused, table unchanged
+    cur = sinks.current_data_dir(path)
+    with pytest.raises(ValueError, match="silent partition deletion"):
+        sinks.replace_where(
+            spark, path, "part", [30],
+            _mkp(spark, [(1, "a", 10)]).filter("k > 100"),
+        )
+    assert sinks.current_data_dir(path) == cur
