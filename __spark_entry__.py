@@ -113,9 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **embedding_queries.QUERIES,
         **image_queries.QUERIES,
     }
-    must = R10_NEVER_VERIFIED + R10_CHANGED + R10_NEW  # 16 slots
+    must = R10_NEVER_VERIFIED + R10_CHANGED + R10_NEW  # 17 slots
     # back-fill: r8-verified entries in stable dict order, skipping the
-    # 8 r11 leads and everything already in the must set. Entries with
+    # 9 r11 leads and everything already in the must set. Entries with
     # green r9 rows (star parity, the non-sketch events, the r9-window
     # emb/text rotations) sit below the boundary -- their rows are one
     # round old, the youngest available.

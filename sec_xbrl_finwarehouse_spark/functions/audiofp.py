@@ -43,12 +43,13 @@ FP_FRAME = 256  # samples per analysis frame (hop = frame, no overlap)
 def _spectrum_rows(frames: np.ndarray) -> np.ndarray:
     """|DCT| spectral magnitudes of int16 frames, 32 bins per frame.
 
-    The 8x32 quantized pHash basis covers bins 0..7 of a 32-sample
-    transform; for audio we want 32 bins, so the frame (length 256) is
-    folded into 32 phase groups (sum of every 32nd sample -- an
-    integer polyphase decimation) and the full 32x32 DCT-II of the
-    folded vector is taken with an extended quantized table. All
-    integer: |sum(int16 * int16-scale table)| < 2**53."""
+    The frame (length 256) is energy-decimated to a 32-sample envelope
+    by summing CONSECUTIVE 8-sample blocks (a boxcar low-pass + 8x
+    downsample -- integer, order-preserving in time), and the full
+    32x32 quantized DCT-II of that envelope is taken with the extended
+    table below; bins therefore describe the envelope's spectral
+    shape up to the decimated Nyquist, which is what survives
+    re-encoding. All integer: |sum(int * table)| < 2**53."""
     t32 = _ext_table()
     folded = frames.reshape(frames.shape[0], PHASH_N, -1).sum(axis=2)
     return np.abs(folded @ t32.T)

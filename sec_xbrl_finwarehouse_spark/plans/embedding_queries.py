@@ -1311,6 +1311,17 @@ def optimize_ivf_index(
         F.count(F.lit(1)).alias("n"),
         F.collect_set("cell").alias("present"),
     ).collect()
+    # the arithmetic storage encoding REQUIRES quantizer labels below
+    # the base -- a quantizer with >= IVF_SPLIT_BASE cells would alias
+    # real cells with sub-cells and silently corrupt probes, so fail
+    # loudly here (raise the base for wide quantizers)
+    max_parent = max((r["parent"] for r in stats), default=0)
+    if max_parent >= IVF_SPLIT_BASE:
+        raise ValueError(
+            f"quantizer cell {max_parent} >= IVF_SPLIT_BASE "
+            f"{IVF_SPLIT_BASE}: the split encoding would alias it; "
+            "raise IVF_SPLIT_BASE for this quantizer width"
+        )
     cellmap: dict[int, int] = {}
     rewrite: dict[int, int] = {}
     values: list[int] = []
@@ -1363,8 +1374,18 @@ def q_emb_ivf_index_probe_versioned(
     cell partition pruning because versions preserve the hive layout.
     Split-aware: probes expand through the version's cell map (committed
     atomically with the data), so an :func:`optimize_ivf_index` pass is
-    invisible here except for better task balance."""
+    invisible here except for better task balance. The version pointer
+    is resolved ONCE and pins both the cell map and the corpus scan --
+    resolving twice could tear across a concurrent optimize publish
+    (stale map against the re-sharded layout: split-parent probes
+    would silently match nothing)."""
+    import os as _os
+
     from .. import sinks
+
+    if version is None:
+        cur = sinks.current_data_dir(f"{index_dir}/corpus")
+        version = _os.path.basename(cur) if cur else None
 
     cent = sinks.read_table(spark, f"{index_dir}/centroids")
     queries = _embeddings(spark, sf_dir).filter(

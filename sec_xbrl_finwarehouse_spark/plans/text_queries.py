@@ -1222,12 +1222,19 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, so it is inlined as a column on the shingle stream (the
     pre-r10 shape paid a doc-keyed join of the corpus-sized shingle
     table against a split frame just to attach a value computable in
-    place). Test-side shingles are the SMALL side (the held-out
-    benchmark set), so the overlap join BROADCASTS them -- the train
-    shingle stream is probed map-side and never shuffles on the
-    shingle key (the r10 fix for the growing 10x/20x ratio: the
-    shuffle it removes is the only corpus-sized exchange the query
-    had). The per-doc contaminated count is a distinct-agg over
+    place). Test-side shingles are the SMALL side, so the overlap
+    join BROADCASTS them -- the train shingle stream is probed
+    map-side and never shuffles on the shingle key (the r10 fix for
+    the growing 10x/20x ratio: the shuffle it removes is the only
+    corpus-sized exchange the query had). Scale caveat: HERE the
+    "benchmark" is the corpus's own md5 test split (the
+    driver-checkable stand-in), so the broadcast side is
+    corpus-proportional (~1/8) and the forced hint only holds to the
+    broadcast limit; a real deployment decontaminates against an
+    EXTERNAL eval suite, which is genuinely tiny -- that production
+    path is plans/decontam_index.py (eval shingles materialized once,
+    batches probed against the broadcast index). The per-doc
+    contaminated count is a distinct-agg over
     matched shingles only, with per-doc partials completing map-side
     because each doc's shingles explode inside one partition."""
     first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)

@@ -320,14 +320,24 @@ def test_optimize_ivf_index_splits_hot_cells_probe_identical(
     assert [v["version"] for v in sinks.list_versions(corpus_path)
             if v["is_current"]][0] == v_cur
 
-    # append onto the split index: replay-idempotent, map carried
+    # append onto the split index: replay-idempotent, map carried.
+    # The replayed id is taken FROM A SPLIT PARENT's sub-cells so the
+    # split-aware (quantizer-cell, id) anti-join -- not the ordinary
+    # by-key merge -- is what must dedup it.
     hot_parent = next(iter(split_parents))
     stored_ids = {
         r["neighbor_id"]
         for r in sinks.read_table(spark, corpus_path)
         .select("neighbor_id").collect()
     }
-    some_id = next(iter(stored_ids))
+    some_id = (
+        sinks.read_table(spark, corpus_path)
+        .filter(F.col("cell") >= eq.IVF_SPLIT_BASE)
+        .filter(
+            (F.shiftright(F.col("cell"), 12) - 1) == hot_parent
+        )
+        .select("neighbor_id").first()["neighbor_id"]
+    )
     old_vec = (
         sinks.read_table(spark, corpus_path)
         .filter(F.col("neighbor_id") == some_id)
