@@ -1150,12 +1150,20 @@ def append_ivf_index_versioned(
     only the touched parents' storage cells -- partition-pruned,
     batch-sized, same contract as the plain appender's guard -- and
     the version's cell map is carried forward so the commit never
-    loses the split layout."""
+    loses the split layout. The cell map, the anti-join's stored side,
+    and the publish are all PINNED to one version: the map is read as
+    of the version the upsert commits against (``occ=True``), so a
+    concurrent :func:`optimize_ivf_index` publish surfaces as a
+    retryable ConcurrentWriteError instead of a torn merge that could
+    re-add replayed ids or carry a stale (pre-split) map forward."""
     import json
+    import os as _os
 
     from .. import sinks
 
     path = f"{index_dir}/corpus"
+    cur = sinks.current_data_dir(path)
+    pinned = _os.path.basename(cur) if cur else None
     cent = sinks.read_table(spark, f"{index_dir}/centroids")
     assigned = (
         new_vectors.select("neighbor_id", "emb")
@@ -1163,7 +1171,7 @@ def append_ivf_index_versioned(
         .select("neighbor_id", "emb",
                 _nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
     )
-    cellmap = _ivf_cellmap(path)
+    cellmap = _ivf_cellmap(path, version=pinned) if pinned else {}
     extra = {IVF_CELLMAP_META: json.dumps(cellmap)} if cellmap else None
     if cellmap:
         batch = assigned.persist()
@@ -1179,7 +1187,7 @@ def append_ivf_index_versioned(
                     for sc in (_ivf_storage_cells(p, cellmap) + [p])
                 ]
                 stored_pairs = (
-                    sinks.read_table(spark, path)
+                    sinks.read_table(spark, path, version=pinned)
                     .filter(F.col("cell").isin(storage))
                     .select(_ivf_parent(F.col("cell")).alias("cell"),
                             "neighbor_id")
@@ -1193,13 +1201,14 @@ def append_ivf_index_versioned(
                 spark, path, batch,
                 keys=["cell", "neighbor_id"], partition_col="cell",
                 audit=False, manifest_extra=extra,
+                occ=pinned if pinned else True,
             )
         finally:
             assigned.unpersist()
     return sinks.upsert_partitioned(
         spark, path, assigned,
         keys=["cell", "neighbor_id"], partition_col="cell", audit=False,
-        manifest_extra=extra,
+        manifest_extra=extra, occ=pinned if pinned else True,
     )
 
 

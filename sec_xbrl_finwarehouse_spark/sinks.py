@@ -639,6 +639,7 @@ def upsert_partitioned(
     partition_col: str,
     audit: bool = True,
     manifest_extra: dict[str, str] | None = None,
+    occ: bool | str = False,
 ) -> int:
     """Partition-pruned copy-on-write upsert: the table is stored
     hive-partitioned on ``partition_col`` (which must be a key prefix --
@@ -657,12 +658,29 @@ def upsert_partitioned(
     ``partition_col`` must be one of ``keys`` (otherwise a key could
     move between partitions and the untouched-partition reuse would
     leave a stale copy behind).
+
+    ``occ=True`` turns the read-merge-publish into an optimistic
+    read-modify-write (same contract as :func:`upsert`): the publish
+    goes through only if the pointer still names the version this call
+    read its stored side from, else :class:`ConcurrentWriteError`.
+    Passing a version NAME instead of True pins the expectation to a
+    version the CALLER already resolved -- the guard a caller needs
+    when its merge DECISIONS (not just the merged rows) depend on what
+    it read earlier, e.g. the IVF appender's split-aware dedup against
+    the version's cell map: any publish racing in after the caller's
+    read fails this commit instead of tearing it.
     """
     if partition_col not in keys:
         raise ValueError(
             f"partition_col {partition_col!r} must be one of keys {list(keys)}"
         )
     cur = current_data_dir(path)
+    if isinstance(occ, str):
+        expect = occ
+    elif occ:
+        expect = EXPECT_ABSENT if cur is None else os.path.basename(cur)
+    else:
+        expect = None
     if cur is None:
         tmp = f"{path}.__staging__{uuid.uuid4().hex}"
         _merge_with_audit(None, incoming, keys, audit).write.mode(
@@ -673,7 +691,7 @@ def upsert_partitioned(
         try:
             os.rename(tmp, version_dir)
             _write_manifest_extra(version_dir, manifest_extra)
-            _publish_version(path, version_dir)
+            _publish_version(path, version_dir, expect_version=expect)
         except Exception:
             # same no-orphan contract as write_replace: a failed publish
             # (OSError, manifest write, OCC) must not leave a v_<hex>
@@ -737,7 +755,7 @@ def upsert_partitioned(
                 os.rename(os.path.join(staging, name),
                           os.path.join(version_dir, name))
             _write_manifest_extra(version_dir, manifest_extra)
-            _publish_version(path, version_dir)
+            _publish_version(path, version_dir, expect_version=expect)
         except Exception:
             # no-orphan contract (see write_replace): version_dir holds
             # only hard links + staged copies, safe to drop on ANY

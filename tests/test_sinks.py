@@ -1042,3 +1042,38 @@ def test_replace_where_moves_rows_and_drops_partitions(spark, tmp_path):
             _mkp(spark, [(1, "a", 10)]).filter("k > 100"),
         )
     assert sinks.current_data_dir(path) == cur
+
+
+def test_upsert_partitioned_occ_rejects_racing_publish(spark, tmp_path):
+    """occ=True / occ=<version> turn the partitioned upsert into an
+    optimistic read-modify-write: a publish that raced in after the
+    caller's read fails the commit (ConcurrentWriteError), the table
+    keeps the other writer's version."""
+    path = str(tmp_path / "t")
+    sinks.upsert_partitioned(
+        spark, path, _mkp(spark, [(1, "a", 10)]),
+        keys=["part", "k"], partition_col="part", audit=False,
+    )
+    v1 = os.path.basename(sinks.current_data_dir(path))
+    # another writer publishes
+    sinks.upsert_partitioned(
+        spark, path, _mkp(spark, [(2, "b", 20)]),
+        keys=["part", "k"], partition_col="part", audit=False,
+    )
+    v2 = sinks.current_data_dir(path)
+    # a commit pinned to the superseded version must fail...
+    with pytest.raises(sinks.ConcurrentWriteError):
+        sinks.upsert_partitioned(
+            spark, path, _mkp(spark, [(3, "c", 30)]),
+            keys=["part", "k"], partition_col="part", audit=False,
+            occ=v1,
+        )
+    assert sinks.current_data_dir(path) == v2  # loser left no trace
+    # ...and occ=True (expect what THIS call reads) still commits
+    sinks.upsert_partitioned(
+        spark, path, _mkp(spark, [(3, "c", 30)]),
+        keys=["part", "k"], partition_col="part", audit=False, occ=True,
+    )
+    got = {(r["k"], r["part"])
+           for r in sinks.read_table(spark, path).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30)}
