@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sec_xbrl_finwarehouse_spark import oracles
 from sec_xbrl_finwarehouse_spark.plans import (
+    audio_queries,
     corpus_queries,
     embedding_queries,
     events_queries,
@@ -39,44 +40,56 @@ STAR_PARITY = {
     "company_profile", "ratios_lookup",
 }
 
-# ---- r10 window policy -----------------------------------------------------
+# ---- r11 window policy -----------------------------------------------------
 # The driver's correctness gate covers the FIRST 50 entries in dict
 # order per round; the window ROTATES so no query's newest driver row
-# goes more than 2 rounds stale. r8 ran the text/corpus/emb packs
-# (CORRECTNESS_r08.json, 50/50 green); r9 ran the complement (star +
-# events + rotated-out emb/text + 5 changed-code entries, 50/50
-# green). r10 leads with every entry whose CURRENT plan has no driver
-# row, then back-fills with the oldest (r8-verified) entries.
+# goes more than 2 rounds stale. r10 ran the 50 entries frozen in
+# R10_WINDOW below (CORRECTNESS_r10.json, 50/50 green). r11 leads with
+# the 9 R11_LEADS (their newest rows are r8 -- two rounds stale), then
+# everything NEW or semantics-CHANGED this round, then back-fills with
+# the r9-verified entries; the 10 r9 entries that do not fit are
+# frozen as R12_LEADS so no row ever ages past two rounds.
 
-# (a) the 8 queries NEW in r9 -- locally verified then, never
-# driver-checked
-R10_NEVER_VERIFIED = [
+# the 50 entries CORRECTNESS_r10.json verified (newest rows r10) --
+# frozen verbatim so future rotations are self-documenting
+R10_WINDOW = [
     "event_hll_distinct", "event_cm_heavy_hitters", "event_ams_f2",
     "event_hll_sliding", "event_cm_sliding", "doc_dsir_sample",
-    "emb_knn_graph", "emb_knn_refine",
+    "emb_knn_graph", "emb_knn_refine", "doc_paragraph_dedup",
+    "doc_span_dedup", "doc_editdist_neardup", "doc_editdist_clusters",
+    "doc_unigram_logprob", "doc_ccnet_bucket", "image_phash",
+    "image_neardup", "image_dedup_clusters", "event_histogram_quantiles",
+    "event_kmv_distinct", "event_kmv_overlap", "event_bloom_semijoin",
+    "doc_weighted_sample", "doc_exact_dedup", "doc_quality",
+    "doc_ngram_novelty", "doc_minhash_lsh_dedup",
+    "doc_minhash_jaccard_est", "doc_dedup_clusters", "doc_simhash",
+    "doc_simhash_neardup", "doc_stratified_sample", "doc_dedup_keep_best",
+    "doc_corpus_build", "doc_ngram_df", "doc_tfidf_topk",
+    "doc_decontaminate", "doc_seq_packing", "doc_mixture_sample",
+    "doc_dup_ngram_frac", "doc_repetition", "doc_bigram_logprob",
+    "doc_pii_scan", "emb_ivf_recall", "emb_ivfpq_recall",
+    "emb_prefix_rerank_topk", "emb_ann_topk", "emb_ivf_ann_topk",
+    "emb_pq_ann_topk", "emb_ivf_pq_ann_topk", "emb_hard_negatives_ann",
 ]
-# (b) entries whose CODE changed in late r9 or r10 (green old rows,
-# but re-verification is mandatory after a semantics-touching edit):
-# paragraph/span dedup (text-keyed skew-safe elections late r9; span's
-# phase-1 spread key made deterministic r10), the edit-distance pair
-# (r10: cap folded into a two-phase bounded collect block build), and
-# the unigram-LM pair (r10: single-pass tf factoring)
-R10_CHANGED = [
-    "doc_paragraph_dedup", "doc_span_dedup",
-    "doc_editdist_neardup", "doc_editdist_clusters",
-    "doc_unigram_logprob", "doc_ccnet_bucket",
-]
-# (c) queries NEW in r10: perceptual-hash image near-dup family
-R10_NEW = ["image_phash", "image_neardup", "image_dedup_clusters"]
 
-# (d) 33 back-fill slots from the 42 remaining r8-verified entries.
-# All 42 are byte-identical since r8, so 9 must sit out one round;
-# the sit-outs are the simplest map-side stat queries (heaviest unit
-# coverage, no join/window risk) and they LEAD r11's window:
+# (a) the 9 r8-verified sit-outs from r10's back-fill (newest rows r8,
+# two rounds stale): they LEAD the r11 window, as planned in r10
 R11_LEADS = [
     "doc_length_histogram", "doc_domain_mix", "doc_global_shuffle",
     "doc_token_stats", "doc_chunk", "doc_train_test_split",
     "doc_bpe_token_count", "doc_fingerprint", "doc_lang_id",
+]
+# (b) queries NEW in r11: the perceptual AUDIO fingerprint family
+# (text->PCM driver path, kernel shared with the WAV codec path)
+R11_NEW = [
+    "audio_fingerprint", "audio_neardup", "audio_dedup_clusters",
+]
+# (c) entries whose CODE changed in r11 (green r10 rows, but
+# re-verification is mandatory after a semantics-touching edit):
+# decontaminate's test-side broadcast hint is now gated on source
+# size (ADVICE r10) -- same plan at bench SFs, new code path
+R11_CHANGED = [
+    "doc_decontaminate",
 ]
 
 
@@ -112,36 +125,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **corpus_queries.QUERIES,
         **embedding_queries.QUERIES,
         **image_queries.QUERIES,
+        **audio_queries.QUERIES,
     }
-    must = R10_NEVER_VERIFIED + R10_CHANGED + R10_NEW  # 17 slots
-    # back-fill: r8-verified entries in stable dict order, skipping the
-    # 9 r11 leads and everything already in the must set. Entries with
-    # green r9 rows (star parity, the non-sketch events, the r9-window
-    # emb/text rotations) sit below the boundary -- their rows are one
-    # round old, the youngest available.
-    r9_green = STAR_PARITY | {
-        n for n in events_queries.QUERIES
-        if n not in {"event_kmv_distinct", "event_histogram_quantiles",
-                     "event_kmv_overlap", "event_bloom_semijoin",
-                     "event_hll_distinct", "event_cm_heavy_hitters",
-                     "event_ams_f2", "event_hll_sliding",
-                     "event_cm_sliding"}
-    } | {
-        "emb_cosine_neardup", "emb_int8_quantize", "emb_hard_negatives",
-        "emb_kmeans_iter", "emb_dedup_clusters", "doc_semantic_dedup",
-        "emb_nearest_centroid", "doc_jaccard_pairs", "emb_lsh_neardup",
-        "doc_containment_pairs", "emb_lsh_ann_topk", "emb_ann_recall",
-    }
-    backfill = [
+    must = R11_LEADS + R11_NEW + R11_CHANGED  # 13 slots
+    # back-fill: entries whose newest driver row is r9 (everything
+    # below r10's boundary except the r8-stale leads), in stable dict
+    # order. 47 candidates, 37 slots -- the sit-outs lead r12.
+    r9_newest = [
         n for n in all_q
-        if n not in must and n not in r9_green and n not in R11_LEADS
+        if n not in R10_WINDOW and n not in R11_LEADS
+        and n not in R11_NEW and n not in R11_CHANGED
     ]
+    backfill = r9_newest[: 50 - len(must)]
     window = must + backfill
     assert len(window) == 50, len(window)
     ordered = {n: all_q[n] for n in window}
-    # --- window boundary: r11 leads first (their r8 rows age out
-    # next round), then the r9-green remainder ---
-    ordered.update({n: all_q[n] for n in R11_LEADS})
+    # --- window boundary: r12 leads (r9 rows aging out next round)
+    # first below the line, then the r10-verified remainder ---
+    ordered.update({n: all_q[n] for n in r9_newest})
     ordered.update({n: all_q[n] for n in all_q if n not in ordered})
     assert len(ordered) == len(all_q)
     return ordered
@@ -155,4 +156,5 @@ def oracle_sql() -> dict[str, str]:
         **corpus_queries.ORACLES,
         **embedding_queries.ORACLES,
         **image_queries.ORACLES,
+        **audio_queries.ORACLES,
     }

@@ -20,11 +20,21 @@ arithmetic is already exact -- so equal payloads hash equally on any
 platform, and the locality properties are pinned by tests
 (tests/test_audiofp.py), not luck.
 
-Like the other multimodal kernels this is test-corpus-only surface:
-the driver's parquet tables ship no audio column, so there is no
-driver query/oracle pair -- the fingerprint is exercised against
-synthesized WAV fixtures through the real decoder, exactly like the
-PNG/JPEG/GIF codec tests. No counterpart in `/root/reference/`.
+Driver-checkable surface (r11): the test corpus ships no audio
+column, so -- exactly like the image family's deterministic text
+raster (plans/image_queries.py) -- the driver queries synthesize
+deterministic PCM from each document's TEXT (:func:`text_pcm_np`: one
+integer sample per character, codepoint clamped to 255 -- the same
+byte signal the image raster reads, consumed as a 1-D waveform) and
+run it through the SAME integer sub-pipeline
+(:func:`_grid255_from_int_pcm` -> :func:`..functions.phash.
+phash64_batch`) the WAV path uses after its int16 re-quantization.
+The sharing is structural, not copy-paste: both paths call the same
+function objects, asserted in tests/test_audiofp.py. The REAL
+decoded-PCM path (:func:`audio_fingerprint_features`) remains
+exercised against synthesized WAV fixtures through the real decoder,
+like the PNG/JPEG/GIF codec tests. No counterpart in
+`/root/reference/`.
 """
 
 from __future__ import annotations
@@ -87,25 +97,23 @@ def _ext_table() -> np.ndarray:
     return _EXT
 
 
-def audio_fingerprint_np(samples: np.ndarray) -> int | None:
-    """64-bit perceptual fingerprint of a mono-foldable PCM buffer
-    ((n, ch) float in [-1, 1) or 1-D), or None when the clip is too
-    short to fill one analysis frame.
-
-    Pipeline: mono fold -> int16 re-quantization -> 256-sample frames
+def _grid255_from_int_pcm(pcm: np.ndarray) -> np.ndarray | None:
+    """The shared INTEGER sub-pipeline: an int PCM buffer (any
+    amplitude scale -- the grid normalizes) to the (32 slots, 32 bins)
+    [0, 255] time-frequency grid phash64 hashes, or None when the
+    buffer is too short to fill one analysis frame. 256-sample frames
     -> 32-bin integer DCT magnitudes per frame -> frames pooled into
-    32 equal time slots (integer mean) -> grid scaled to [0, 255] by
-    e * 255 // max_e -> :func:`..functions.phash.phash64_batch`."""
-    a = np.asarray(samples, dtype=np.float64)
-    if a.ndim == 2:
-        a = a.mean(axis=1)
-    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int64)
+    32 equal time slots (integer mean, cumsum form) -> grid scaled by
+    ``e * 255 // max_e`` (all-zero input yields the all-zero grid).
+    Both the WAV path (int16-requantized samples) and the text-PCM
+    driver path (:func:`text_pcm_np`) call THIS function -- the kernel
+    sharing is a single code path, asserted in tests."""
+    pcm = np.asarray(pcm, dtype=np.int64)
     n_frames = len(pcm) // FP_FRAME
     if n_frames == 0:
         return None
     frames = pcm[: n_frames * FP_FRAME].reshape(n_frames, FP_FRAME)
     spec = _spectrum_rows(frames)  # (n_frames, 32)
-    # pool frames into 32 equal time slots (integer mean, cumsum form)
     bounds = (np.arange(PHASH_N + 1, dtype=np.int64) * n_frames) // PHASH_N
     cs = np.concatenate(
         [np.zeros((1, PHASH_N), dtype=np.int64), np.cumsum(spec, axis=0)]
@@ -114,9 +122,76 @@ def audio_fingerprint_np(samples: np.ndarray) -> int | None:
     grid = (cs[bounds[1:]] - cs[bounds[:-1]]) // cnt  # (32 slots, 32 bins)
     mx = int(grid.max())
     if mx <= 0:
-        return 0
-    grid255 = (grid * 255) // mx
+        return np.zeros((PHASH_N, PHASH_N), dtype=np.int64)
+    return (grid * 255) // mx
+
+
+def audio_fingerprint_np(samples: np.ndarray) -> int | None:
+    """64-bit perceptual fingerprint of a mono-foldable PCM buffer
+    ((n, ch) float in [-1, 1) or 1-D), or None when the clip is too
+    short to fill one analysis frame.
+
+    Pipeline: mono fold -> int16 re-quantization ->
+    :func:`_grid255_from_int_pcm` ->
+    :func:`..functions.phash.phash64_batch`."""
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 2:
+        a = a.mean(axis=1)
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int64)
+    grid255 = _grid255_from_int_pcm(pcm)
+    if grid255 is None:
+        return None
     return int(phash64_batch(grid255.reshape(1, PHASH_N, PHASH_N))[0])
+
+
+def text_pcm_np(text: str) -> np.ndarray:
+    """Deterministic PCM from text -- the driver-checkable stand-in
+    for an audio column (the 1-D twin of phash.raster32_np's byte
+    signal): one integer sample per character, the codepoint clamped
+    to 255, MINUS the clip's integer mean. The centering is part of
+    the synthesis, not the kernel: real audio is already zero-mean,
+    while a prose byte signal is all-positive -- without centering the
+    envelope DC dominates every spectrum and ALL prose collapses to
+    one fingerprint (measured: 291/291 sf0.01 docs hashed identically
+    raw; 99 distinct template clusters centered). Amplitude scale is
+    irrelevant (the grid normalizes by its max), so the centered codes
+    feed :func:`_grid255_from_int_pcm` directly -- no fake float/int16
+    round-trip that could diverge from the SQL oracle's integer
+    arithmetic."""
+    if not text:
+        return np.zeros(0, dtype=np.int64)
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    codes = np.minimum(cp, 255).astype(np.int64)
+    return codes - int(codes.sum()) // len(codes)
+
+
+def text_audiofp_column(text_col):
+    """Audio fingerprint of the deterministic text PCM as an
+    Arrow-vectorized pandas UDF column -- per-row numpy grid build
+    (cumsum pooling), ONE batched einsum DCT hash per Arrow batch
+    (same batching as phash.text_phash_column, same measured reason:
+    Catalyst higher-order functions have no let-binding, so a
+    column-expression DCT is super-linear in expression depth).
+    Documents shorter than FP_FRAME characters yield NULL (too short
+    to fill one analysis frame -- mirrored by the SQL oracle's
+    ``nf > 0`` guard)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _afp(texts: pd.Series) -> pd.Series:
+        out: list[int | None] = [None] * len(texts)
+        grids, idx = [], []
+        for i, t in enumerate(texts):
+            g = _grid255_from_int_pcm(text_pcm_np(t or ""))
+            if g is not None:
+                grids.append(g)
+                idx.append(i)
+        if grids:
+            for i, h in zip(idx, phash64_batch(np.stack(grids))):
+                out[i] = int(h)
+        return pd.Series(pd.array(out, dtype="Int64"))
+
+    return _afp(text_col)
 
 
 def audio_fingerprint_features(media: DataFrame) -> DataFrame:

@@ -1221,13 +1221,20 @@ def append_ivf_index_versioned(
 # for storage >= base, identity otherwise -- pure arithmetic, no
 # lookup table in the data path.
 IVF_SPLIT_BASE = 4096
+# the parent decode shifts by log2(base): DERIVED, so raising the base
+# for a wider quantizer (the optimize guard's advertised remedy) cannot
+# leave a stale hardcoded shift silently mis-decoding parents
+_IVF_SPLIT_SHIFT = IVF_SPLIT_BASE.bit_length() - 1
+assert IVF_SPLIT_BASE == 1 << _IVF_SPLIT_SHIFT, \
+    "IVF_SPLIT_BASE must be a power of two (shift-decoded)"
 IVF_CELLMAP_META = "_ivf_cellmap.json"
 
 
 def _ivf_parent(cell_col):
     """Quantizer cell of a storage cell (identity for unsplit cells)."""
     return F.when(
-        cell_col >= IVF_SPLIT_BASE, F.shiftright(cell_col, 12) - 1
+        cell_col >= IVF_SPLIT_BASE,
+        F.shiftright(cell_col, _IVF_SPLIT_SHIFT) - 1,
     ).otherwise(cell_col)
 
 
@@ -1303,14 +1310,29 @@ def optimize_ivf_index(
     previous version current. Idempotent: a second run with the same
     threshold finds every layout already at its desired shape and
     publishes nothing. Returns the number of quantizer cells
-    re-sharded."""
+    re-sharded.
+
+    OCC: the current version is resolved ONCE at entry; the stats
+    scan, the rewrite scan, and the publish are all pinned to it
+    (``expect_version`` threads through replace_where), so a versioned
+    append committing mid-optimize surfaces as ConcurrentWriteError --
+    retry the optimize -- instead of being silently dropped from the
+    rewritten partitions (the same torn-merge class the appender's
+    own ``occ=`` pinning closes from the other side)."""
     import json
     import math
+    import os as _os
 
     from .. import sinks
 
     path = f"{index_dir}/corpus"
-    corpus = sinks.read_table(spark, path)
+    cur = sinks.current_data_dir(path)
+    if cur is None:
+        raise FileNotFoundError(f"{path}: no index to optimize")
+    base = _os.path.basename(cur)
+    # legacy flat layouts have no version to pin (single-writer only)
+    pinned = base if base.startswith("v_") else None
+    corpus = sinks.read_table(spark, path, version=pinned)
     # per-quantizer-cell widths + the present storage layout: both
     # centroid-count-sized driver lists (metadata, like every
     # partition list in sinks.py)
@@ -1367,6 +1389,7 @@ def optimize_ivf_index(
     sinks.replace_where(
         spark, path, "cell", values, inc,
         manifest_extra={IVF_CELLMAP_META: json.dumps(cellmap)},
+        expect_version=pinned,
     )
     return len(rewrite)
 

@@ -152,7 +152,20 @@ pix AS (
                     - greatest(((p * len) >> 10) - greatest((len >> 6), 1), 0))
            ELSE 0 END) AS px
   FROM codes
-),
+)""" + "{tail}"
+
+
+def phash_tail_ctes(px_src: str) -> str:
+    """The DCT-sandwich + median-threshold + bit-pack CTE tail ending
+    in ``ph(doc_id, phash)`` -- ONE spelling of the phash64_batch
+    arithmetic shared by every oracle that hashes a 32x32 grid: the
+    image raster here and the audio time-frequency grid
+    (plans/audio_queries.py). ``px_src`` names the producing CTE,
+    whose ``px`` column is the row-major 1024-value grid; ``tt``'s
+    ``t`` table needs only its first 256 entries (rows 0..7 of the
+    DCT basis), so the audio oracle's extended 1024-entry table reads
+    identically."""
+    return f""",
 m AS (
   SELECT doc_id,
          list_transform(range(0, {PHASH_D_N}), i ->
@@ -160,7 +173,7 @@ m AS (
              t[CAST((i // {PHASH_N}) * {PHASH_N} + r AS BIGINT) + 1]
              * px[CAST(r * {PHASH_N} + (i % {PHASH_N}) AS BIGINT) + 1]))
            AS BIGINT)) AS mm
-  FROM pix CROSS JOIN tt
+  FROM {px_src} CROSS JOIN tt
 ),
 cc AS (
   SELECT doc_id,
@@ -180,6 +193,9 @@ ph AS (
   FROM (SELECT doc_id, c, list_sort(c[2:{PHASH_DD}])[{PHASH_MED}] AS med
         FROM cc)
 )"""
+
+
+_IMAGE_PHASH_CTES = _IMAGE_PHASH_CTES.format(tail=phash_tail_ctes("pix"))
 
 IMAGE_PHASH_SQL = """{ctes}
 SELECT doc_id, phash FROM ph

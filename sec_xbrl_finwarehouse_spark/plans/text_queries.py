@@ -68,6 +68,36 @@ LANG_MARKERS = {
 EN_STOPWORDS = ["the", "a", "an", "of", "is", "and", "to", "in"]
 
 
+# forced-broadcast ceiling for decontaminate's corpus-proportional test
+# side: 128 MiB of source parquet (~10x the largest measured
+# scale-proof corpus; distinct test shingles expand to roughly
+# SHINGLE_K/8 x the text bytes, comfortably inside any driver)
+DECONTAM_BROADCAST_MAX_BYTES = 128 << 20
+
+
+def _source_bytes(path: str) -> int:
+    """On-disk bytes of a local parquet table (file or directory) --
+    the metadata a broadcast gate can read for free instead of running
+    a count job. Returns -1 for a non-local/unknown source (remote
+    URIs at production scale): the caller must then leave strategy
+    choice to AQE rather than force a hint."""
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if not os.path.isdir(path):
+        return -1
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents scan, spread across cores when the file layout is too
     small to parallelize naturally (single-row-group local test files
@@ -1229,8 +1259,16 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized exchange the query had). Scale caveat: HERE the
     "benchmark" is the corpus's own md5 test split (the
     driver-checkable stand-in), so the broadcast side is
-    corpus-proportional (~1/8) and the forced hint only holds to the
-    broadcast limit; a real deployment decontaminates against an
+    corpus-proportional (~1/8 of distinct shingles) -- a FORCED hint
+    would bypass Spark's size threshold and turn into a driver OOM at
+    large SFs instead of a graceful shuffle fallback. The hint is
+    therefore GATED on the source table's on-disk size
+    (DECONTAM_BROADCAST_MAX_BYTES, an order of magnitude above the
+    largest measured scale-proof corpus; test-side shingle bytes are
+    ~K/8 x the text bytes, so the gated broadcast stays well under
+    driver memory): small/measured SFs keep the measured broadcast
+    plan, larger or remote (size-unknown) sources let AQE pick the
+    strategy at runtime. A real deployment decontaminates against an
     EXTERNAL eval suite, which is genuinely tiny -- that production
     path is plans/decontam_index.py (eval shingles materialized once,
     batches probed against the broadcast index). The per-doc
@@ -1244,8 +1282,11 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = ex.filter(F.col("tr")).select("doc_id", "shingle")
     test_sh = ex.filter(~F.col("tr")).select("shingle").distinct()
+    src_bytes = _source_bytes(table_path(sf_dir, "documents"))
+    if 0 <= src_bytes <= DECONTAM_BROADCAST_MAX_BYTES:
+        test_sh = F.broadcast(test_sh)
     hits = (
-        train.join(F.broadcast(test_sh), "shingle")
+        train.join(test_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_contaminated_shingles"))
     )
@@ -2208,11 +2249,15 @@ def q_doc_editdist_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase aggregation both counts and collects each block, and
     pairs explode directly from the <= CAP member arrays. Phase 1
     groups by (blk, side, hash-spread) so a boilerplate block's
-    members land in ~S bounded subgroups (each partial keeps its count
-    plus at most CAP+1 ids -- over-cap blocks are discarded downstream,
-    so truncating their id lists loses nothing); phase 2 merges the
-    <= S partials per block -- at most S*(CAP+1) ids in any task --
-    sums the true width, and drops over-cap blocks. A dropped block is
+    members land in ~S subgroups; each subgroup's aggregation task
+    still BUFFERS its full ~width/S member list while collect_list
+    runs (slice truncates only the completed result to CAP+1 ids --
+    Catalyst has no buffer-bounding collect), so the real phase-1
+    bound is the hottest block's width divided by the spread, not
+    CAP+1. Truncation loses nothing because over-cap blocks are
+    discarded downstream by the true summed count. Phase 2 merges the
+    <= S truncated partials per block -- at most S*(CAP+1) ids in any
+    task -- sums the true width, and drops over-cap blocks. A dropped block is
     boilerplate by definition (32+ documents sharing an identical
     24-char prefix); genuinely near-identical pairs inside it still
     surface through their OTHER end's block unless that end is

@@ -117,6 +117,28 @@ _SEQ_FILE = "_SEQ"
 # stamp; old enough unstamped dirs are pre-_SEQ legacy debris
 _STAGE_GRACE_SEC = 300.0
 
+# meta files a DATA-CHANGING publish must never copy from the previous
+# version: _SEQ is re-stamped inside the commit lock, and a stale
+# _FILE_STATS manifest on a version whose files changed would make
+# read_table_pruned silently drop the unlisted files (the invariant
+# commit_meta_only documents — stats only survive link-identical
+# publishes). STATS_META (defined with the stats writer below) asserts
+# its membership here so the two constants cannot drift apart.
+_NO_CARRY_META = {_SEQ_FILE, "_FILE_STATS"}
+
+
+def _carry_meta_forward(src_dir: str, version_dir: str) -> None:
+    """Copy the previous version's commit-metadata (``_``-prefixed)
+    files — stream txn markers, ingest watermarks, index cell maps —
+    into an unpublished version directory, minus :data:`_NO_CARRY_META`.
+    Callers write their own ``manifest_extra`` AFTER this, so
+    caller-supplied values overlay the carried ones."""
+    for name in os.listdir(src_dir):
+        src = os.path.join(src_dir, name)
+        if (name.startswith("_") and name not in _NO_CARRY_META
+                and os.path.isfile(src)):
+            shutil.copy2(src, os.path.join(version_dir, name))
+
 
 def _version_seq(path: str, name: str) -> int | None:
     """The commit sequence persisted in a version's manifest, or None
@@ -774,6 +796,7 @@ def replace_where(
     values: Sequence,
     incoming: DataFrame,
     manifest_extra: dict[str, str] | None = None,
+    expect_version: str | None = None,
 ) -> int:
     """Delta-style ``replaceWhere`` on the versioned store: publish a
     version in which the partitions whose ``partition_col`` is in
@@ -786,7 +809,19 @@ def replace_where(
     partition assignment itself changes. ``incoming`` may target
     partition values outside ``values``; any such existing partition
     is replaced as well (it is part of the rewrite footprint).
-    Atomic publish + OCC, same contract as every versioned writer.
+
+    Atomic publish; ``expect_version`` enables the same OCC contract as
+    every versioned writer — a reorganizer computes ``incoming`` from a
+    snapshot read, so it MUST pass the snapshot's version or a writer
+    committing in between is silently erased from the rewritten
+    partitions (the torn-merge class). ``None`` is last-write-wins,
+    acceptable only for single-writer maintenance windows.
+
+    The previous version's ``_`` commit-metadata files (stream txn
+    markers, ingest watermarks, index cell maps) are carried forward
+    and overlaid by ``manifest_extra`` — a partition reorganization
+    must not erase a stream's idempotence marker. ``_FILE_STATS`` is
+    deliberately dropped (data changed; see :data:`_NO_CARRY_META`).
     Returns the number of partitions written."""
     cur = current_data_dir(path)
     if cur is None:
@@ -834,8 +869,10 @@ def replace_where(
             for name in rewritten:         # rewritten partitions: move in
                 os.rename(os.path.join(staging, name),
                           os.path.join(version_dir, name))
+            _carry_meta_forward(cur, version_dir)
             _write_manifest_extra(version_dir, manifest_extra)
-            _publish_version(path, version_dir)
+            _publish_version(path, version_dir,
+                             expect_version=expect_version)
         except Exception:
             # no-orphan contract (see write_replace)
             shutil.rmtree(version_dir, ignore_errors=True)
@@ -1496,6 +1533,9 @@ def merge(
 
 
 STATS_META = "_FILE_STATS"
+# pruned reads trust the stats manifest to list EVERY live file, so a
+# data-changing publish must never copy it forward (see _NO_CARRY_META)
+assert STATS_META in _NO_CARRY_META
 
 
 def _stat_encode(v):

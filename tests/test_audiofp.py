@@ -91,3 +91,62 @@ def test_audio_fingerprint_features_kernel(spark):
     assert out[1]["afp"] == audio_fingerprint_np(samples)
     assert out[2]["afp"] is None and out[2]["decoded_real"] is False
     assert out[4]["afp"] is None and out[4]["decoded_real"] is False
+
+
+def test_text_pcm_path_shares_wav_kernel_byte_identically():
+    """r11 driver path contract: the text->PCM fingerprint is the SAME
+    code path the WAV path runs after int16 re-quantization -- feeding
+    the text codes through the float API (codes/32767 survive the
+    round-trip exactly, all values <= 255) must produce the identical
+    hash, and short texts are None in both spellings."""
+    from sec_xbrl_finwarehouse_spark.functions.audiofp import (
+        _grid255_from_int_pcm,
+        text_pcm_np,
+    )
+    from sec_xbrl_finwarehouse_spark.functions.phash import (
+        PHASH_N,
+        phash64_batch,
+    )
+
+    text = ("the quick brown fox jumps over the lazy dog. " * 12)[:520]
+    pcm = text_pcm_np(text)
+    assert len(pcm) == len(text)
+    assert pcm.max() <= 255 and pcm.min() >= -255  # centered codes
+    assert abs(int(pcm.sum())) < len(pcm)  # zero-mean up to floor error
+    grid = _grid255_from_int_pcm(pcm)
+    direct = int(phash64_batch(grid.reshape(1, PHASH_N, PHASH_N))[0])
+    via_float = audio_fingerprint_np(pcm.astype(np.float64) / 32767.0)
+    assert direct == via_float
+
+    assert _grid255_from_int_pcm(text_pcm_np("x" * (FP_FRAME - 1))) is None
+    assert audio_fingerprint_np(np.zeros(FP_FRAME - 1)) is None
+
+
+def test_text_fingerprint_locality():
+    """Substitution-class edits (the audio-noise analogue on the text
+    PCM) move few hash bits; different material lands far -- the same
+    locality contract the WAV fixtures pin, now on the driver path."""
+    from sec_xbrl_finwarehouse_spark.functions.audiofp import (
+        _grid255_from_int_pcm,
+        text_pcm_np,
+    )
+    from sec_xbrl_finwarehouse_spark.functions.phash import (
+        PHASH_N,
+        phash64_batch,
+    )
+
+    def fp(t):
+        g = _grid255_from_int_pcm(text_pcm_np(t))  # centered synthesis
+        return int(phash64_batch(g.reshape(1, PHASH_N, PHASH_N))[0])
+
+    base = ("lorem ipsum dolor sit amet, consectetur adipiscing elit, "
+            "sed do eiusmod tempor incididunt ut labore et dolore " * 8)
+    edited = list(base)
+    for i in range(40, len(edited), 97):  # scattered substitutions
+        edited[i] = "#"
+    ham_noise = bin(fp(base) ^ fp("".join(edited))).count("1")
+    other = ("now is the winter of our discontent made glorious summer "
+             "by this son of york and all the clouds that loured " * 8)
+    ham_diff = bin(fp(base) ^ fp(other)).count("1")
+    assert ham_noise <= 8, ham_noise
+    assert ham_diff > 14, ham_diff

@@ -333,9 +333,7 @@ def test_optimize_ivf_index_splits_hot_cells_probe_identical(
     some_id = (
         sinks.read_table(spark, corpus_path)
         .filter(F.col("cell") >= eq.IVF_SPLIT_BASE)
-        .filter(
-            (F.shiftright(F.col("cell"), 12) - 1) == hot_parent
-        )
+        .filter(eq._ivf_parent(F.col("cell")) == hot_parent)
         .select("neighbor_id").first()["neighbor_id"]
     )
     old_vec = (
@@ -354,3 +352,61 @@ def test_optimize_ivf_index_splits_hot_cells_probe_identical(
     assert n_after_1 == len(stored_ids) + 1  # old id deduped, new added
     assert n_after_2 == n_after_1            # full replay is a no-op
     assert eq._ivf_cellmap(corpus_path) == cellmap  # map survived
+
+
+def test_optimize_ivf_index_occ_rejects_racing_append(
+    spark, tmp_path, monkeypatch
+):
+    """r11 (ADVICE): optimize_ivf_index pins its entry snapshot and
+    threads it as replace_where's expect_version, so an append
+    publishing between optimize's corpus scan and its publish surfaces
+    as a retryable ConcurrentWriteError -- never a torn merge that
+    drops the append from the rewritten partitions. The racing
+    append's row must survive, and the retried optimize must land."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sec_xbrl_finwarehouse_spark import sinks
+
+    idx = str(tmp_path / "ivf_occ")
+    eq.build_ivf_index_versioned(spark, SF_DIR, idx)
+    corpus_path = f"{idx}/corpus"
+    widths = [
+        r["n"] for r in sinks.read_table(spark, corpus_path)
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    threshold = max(widths) // 2  # at least one cell must split
+
+    racer = (
+        sinks.read_table(spark, corpus_path)
+        .select("neighbor_id", "emb").limit(1)
+        .select((F.col("neighbor_id") + 5_000_000).alias("neighbor_id"),
+                "emb")
+        .localCheckpoint(eager=True)
+    )
+    real_replace = sinks.replace_where
+
+    def racing_replace(*args, **kwargs):
+        eq.append_ivf_index_versioned(spark, idx, racer)
+        return real_replace(*args, **kwargs)
+
+    monkeypatch.setattr(sinks, "replace_where", racing_replace)
+    with pytest.raises(sinks.ConcurrentWriteError):
+        eq.optimize_ivf_index(spark, idx, max_cell_rows=threshold)
+    monkeypatch.setattr(sinks, "replace_where", real_replace)
+
+    # the append won the race and is current
+    ids = {
+        r["neighbor_id"]
+        for r in sinks.read_table(spark, corpus_path)
+        .select("neighbor_id").collect()
+    }
+    assert any(i >= 5_000_000 for i in ids)
+    # the retried optimize sees the appended row and commits
+    assert eq.optimize_ivf_index(spark, idx, max_cell_rows=threshold) >= 1
+    ids_after = {
+        r["neighbor_id"]
+        for r in sinks.read_table(spark, corpus_path)
+        .select("neighbor_id").collect()
+    }
+    assert ids_after == ids  # reorg moved rows, lost none

@@ -78,6 +78,9 @@ ARROW_ALLOWED = {
     # column-expression DCT re-evaluates its input per element access
     # -- measured super-linear; see functions/phash.py)
     "image_phash", "image_neardup", "image_dedup_clusters",
+    # r11: the audio fingerprint rides the same batched-einsum Arrow
+    # kernel (functions/audiofp.py shares phash64_batch)
+    "audio_fingerprint", "audio_neardup", "audio_dedup_clusters",
 }
 
 

@@ -1044,6 +1044,49 @@ def test_replace_where_moves_rows_and_drops_partitions(spark, tmp_path):
     assert sinks.current_data_dir(path) == cur
 
 
+def test_replace_where_occ_and_meta_carry_forward(spark, tmp_path):
+    """r11 (ADVICE): replace_where is a read-modify-write, so (a) a
+    publish racing in between the reorganizer's snapshot and its commit
+    must surface as ConcurrentWriteError when the snapshot version is
+    pinned via expect_version, and (b) the previous version's commit
+    metadata (txn markers, watermarks) rides the reorg -- overlaid by
+    manifest_extra -- while _FILE_STATS (stale for changed files) is
+    dropped."""
+    path = str(tmp_path / "t")
+    sinks.upsert_partitioned(
+        spark, path, _mkp(spark, [(1, "a", 10), (3, "c", 20)]),
+        keys=["part", "k"], partition_col="part", audit=False,
+        manifest_extra={"_watermark": "w1", "_keepme": "v0"},
+    )
+    # plant a stats manifest on the current version: it must NOT ride
+    with open(os.path.join(sinks.current_data_dir(path),
+                           sinks.STATS_META), "w") as f:
+        f.write("{}")
+    v1 = os.path.basename(sinks.current_data_dir(path))
+
+    # (b) pinned reorg commits, carrying meta with overlay
+    sinks.replace_where(
+        spark, path, "part", [10], _mkp(spark, [(1, "a", 101)]),
+        manifest_extra={"_watermark": "w2"}, expect_version=v1,
+    )
+    assert sinks.read_version_meta(path, "_watermark") == "w2"  # overlay
+    assert sinks.read_version_meta(path, "_keepme") == "v0"     # carried
+    assert sinks.read_version_meta(path, sinks.STATS_META) is None
+    v2 = sinks.current_data_dir(path)
+
+    # (a) a reorg still pinned to the superseded snapshot must fail --
+    # the torn-merge guard -- and leave the winner's version current
+    with pytest.raises(sinks.ConcurrentWriteError):
+        sinks.replace_where(
+            spark, path, "part", [20],
+            _mkp(spark, [(3, "c", 202)]), expect_version=v1,
+        )
+    assert sinks.current_data_dir(path) == v2  # loser left no trace
+    got = {(r["k"], r["part"])
+           for r in sinks.read_table(spark, path).collect()}
+    assert got == {(1, 101), (3, 20)}
+
+
 def test_upsert_partitioned_occ_rejects_racing_publish(spark, tmp_path):
     """occ=True / occ=<version> turn the partitioned upsert into an
     optimistic read-modify-write: a publish that raced in after the
