@@ -80,16 +80,27 @@ R11_LEADS = [
     "doc_bpe_token_count", "doc_fingerprint", "doc_lang_id",
 ]
 # (b) queries NEW in r11: the perceptual AUDIO fingerprint family
-# (text->PCM driver path, kernel shared with the WAV codec path)
+# (text->PCM driver path, kernel shared with the WAV codec path) and
+# the sampled recall monitor (the at-scale recall-audit shape)
 R11_NEW = [
     "audio_fingerprint", "audio_neardup", "audio_dedup_clusters",
+    "emb_ann_recall_sampled",
 ]
 # (c) entries whose CODE changed in r11 (green r10 rows, but
 # re-verification is mandatory after a semantics-touching edit):
 # decontaminate's test-side broadcast hint is now gated on source
-# size (ADVICE r10) -- same plan at bench SFs, new code path
+# size (ADVICE r10); the ANN rankers grew the sample_queries flag and
+# the recall harness threads it, so every query through those code
+# paths re-verifies
 R11_CHANGED = [
     "doc_decontaminate",
+    "emb_ann_topk", "emb_lsh_ann_topk",
+    "emb_ann_recall", "emb_ivf_recall", "emb_ivfpq_recall",
+    # the LSH bucket UDF grew the lsh_bits density knob (default
+    # pinned to LSH_BITS -- behavior-identical, but every caller
+    # re-verifies)
+    "emb_lsh_neardup", "emb_dedup_clusters", "doc_semantic_dedup",
+    "emb_knn_graph", "emb_knn_refine",
 ]
 
 

@@ -41,6 +41,18 @@ from ..sources.tables import parallelize_scan, table_path
 
 N_QUERIES = 10        # vec_id < N_QUERIES are the query set
 TOPK = 5
+
+# deterministic engine-portable query sample for the at-scale recall
+# monitor: first md5 hex of the query_id's decimal string in 0..7
+# (~half the eval set; same md5-split idiom as the train/test split)
+RECALL_SAMPLE_HEX = ("0", "1", "2", "3", "4", "5", "6", "7")
+
+
+def _sample_pred(col):
+    """The md5 sample predicate on a query-id column."""
+    return F.substring(F.md5(col.cast("string")), 1, 1).isin(
+        *RECALL_SAMPLE_HEX
+    )
 NEARDUP_COS = 0.4
 LSH_TABLES = 8
 LSH_BITS = 8
@@ -143,13 +155,21 @@ _DUCK_COS = (
 
 # ---- brute-force cosine top-k ---------------------------------------------
 
-def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_ann_topk(
+    spark: SparkSession, sf_dir: str, sample_queries: bool = False,
+) -> DataFrame:
     """Top-5 cosine neighbors in the corpus (vec_id >= 10) for each of
     the 10 query vectors (vec_id < 10). Queries are broadcast; the
     corpus is scanned once with no shuffle; per-query ranking is a
-    window keyed by query_id."""
+    window keyed by query_id. ``sample_queries`` restricts the QUERY
+    side to the md5 sample BEFORE scoring (the at-scale recall-audit
+    path: brute-force cost proportional to the sample by construction,
+    not by optimizer grace)."""
     e = _embeddings(spark, sf_dir)
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    if sample_queries:
+        queries = queries.filter(_sample_pred(F.col("vec_id")))
+    queries = queries.select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
@@ -361,7 +381,7 @@ WHERE rk = 1
 
 # ---- LSH bucketed ANN (scale path; portable planes -> SQL oracle) ----------
 
-def _lsh_planes(dim: int) -> np.ndarray:
+def _lsh_planes(dim: int, n_planes: int | None = None) -> np.ndarray:
     """Rademacher (+-1) hyperplanes, entry (j, i) = parity of the
     md5-derived 60-bit hash of ``"lsh_{j}_{i}"`` -- the same bits
     DuckDB's ``md5`` yields, so the SQL oracle reproduces the exact
@@ -371,7 +391,7 @@ def _lsh_planes(dim: int) -> np.ndarray:
     Deterministic across executors with no RNG state to ship."""
     import hashlib
 
-    n = LSH_TABLES * LSH_BITS
+    n = LSH_TABLES * LSH_BITS if n_planes is None else n_planes
     arr = np.empty((n, dim))
     for j in range(n):
         for i in range(dim):
@@ -380,33 +400,43 @@ def _lsh_planes(dim: int) -> np.ndarray:
     return arr
 
 
-def _lsh_buckets_udf():
+def _lsh_buckets_udf(lsh_bits: int = LSH_BITS):
     """Pandas UDF: embedding -> array of LSH_TABLES bucket ids.
 
-    Random-hyperplane signatures: LSH_TABLES tables x LSH_BITS planes
-    (:func:`_lsh_planes`, rebuilt per batch from md5 -- trivial next to
-    the GEMM). Arrow-batched matmul -- one numpy GEMM per batch, no
-    per-row Python."""
+    Random-hyperplane signatures: LSH_TABLES tables x ``lsh_bits``
+    planes (:func:`_lsh_planes`, rebuilt per batch from md5 -- trivial
+    next to the GEMM). Arrow-batched matmul -- one numpy GEMM per
+    batch, no per-row Python.
+
+    ``lsh_bits`` is THE density knob the k-NN graph's 100 TB story
+    names (BASELINE.md r9: at fixed 8-bit buckets, per-bucket
+    population -- and with it candidate-pair count -- grows linearly
+    with corpus size in both engines): each +1 bit halves the expected
+    bucket population, so production holds per-bucket density constant
+    by stepping bits with log2(corpus growth). Default unchanged --
+    every oracle-paired query pins LSH_BITS."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
     def buckets(emb: pd.Series) -> pd.Series:
         if len(emb) == 0:  # empty Arrow batch: np.stack would raise
             return pd.Series([], dtype=object)
-        planes = _lsh_planes(len(emb.iloc[0]))
+        planes = _lsh_planes(len(emb.iloc[0]), LSH_TABLES * lsh_bits)
         m = np.stack(emb.to_numpy())                     # (batch, dim)
-        bits = (m @ planes.T) > 0                        # (batch, T*B)
-        weights = (1 << np.arange(LSH_BITS)).astype("int64")
+        bits = (m @ planes.T) > 0                        # (batch, T*bits)
+        weights = (1 << np.arange(lsh_bits)).astype("int64")
         out = []
         for row in bits:
-            ids = row.reshape(LSH_TABLES, LSH_BITS) @ weights
+            ids = row.reshape(LSH_TABLES, lsh_bits) @ weights
             out.append(ids.tolist())
         return pd.Series(out)
 
     return buckets
 
 
-def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_lsh_ann_topk(
+    spark: SparkSession, sf_dir: str, sample_queries: bool = False,
+) -> DataFrame:
     """ANN top-k via random-hyperplane LSH with Hamming-distance-<=2
     MULTI-PROBE: bucket both sides per table, fan the query side out to
     its own bucket plus every 1-bit and 2-bit-flip neighbor bucket (37
@@ -436,8 +466,13 @@ def q_emb_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "emb", buckets("emb").alias("bks")
         ).select("vec_id", "emb", F.posexplode("bks").alias("tbl", "bucket"))
 
+    qside = e.filter(F.col("vec_id") < N_QUERIES)
+    if sample_queries:
+        # at-scale recall-audit path: the sample lands on the query
+        # scan, so bucketing + probe fan-out pay only for the sample
+        qside = qside.filter(_sample_pred(F.col("vec_id")))
     q = (
-        _bucketed(e.filter(F.col("vec_id") < N_QUERIES))
+        _bucketed(qside)
         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
                 "tbl", "bucket")
     )
@@ -664,7 +699,9 @@ FROM embeddings v LEFT JOIN comp c USING (vec_id)
 
 # ---- k-NN graph (every vector's neighbor list, LSH candidates) --------------
 
-def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_emb_knn_graph(
+    spark: SparkSession, sf_dir: str, lsh_bits: int = LSH_BITS,
+) -> DataFrame:
     """ALL-CORPUS k-NN GRAPH: every vector's top-{TOPK} nearest
     neighbors by cosine among the candidates sharing at least one LSH
     (table, bucket) with it -- the precursor structure for
@@ -688,9 +725,16 @@ def q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-candidate shape as this query. Deterministic: md5-derived
     planes (:func:`_lsh_planes`), round-6 cosine, neighbor_id
     tie-break -- the DuckDB oracle reproduces the full graph
-    bit-exactly."""
+    bit-exactly.
+
+    ``lsh_bits`` (default :data:`LSH_BITS`, which the oracle pins) is
+    the per-bucket density knob: BOTH engines grow superlinearly at
+    fixed 8-bit buckets (BASELINE.md r9), and production holds bucket
+    density -- and therefore wall clock per row -- roughly constant by
+    stepping bits with log2(corpus growth); measured at 20x in
+    BASELINE.md r11."""
     e = _embeddings(spark, sf_dir, parallel=False).select("vec_id", "emb")
-    buckets = _lsh_buckets_udf()
+    buckets = _lsh_buckets_udf(lsh_bits)
     b = (
         e.select("vec_id", buckets("emb").alias("bks"))
         .select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
@@ -2444,12 +2488,32 @@ def q_emb_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, q_emb_lsh_ann_topk)
 
 
-def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
+def _recall_vs_exact(
+    spark: SparkSession, sf_dir: str, approx_fn, sampled: bool = False,
+) -> DataFrame:
     """recall@{TOPK} of ``approx_fn``'s ranking against the exact
     brute-force top-k -- the ONE harness both recall queries share so
-    the measurement itself can never drift between them."""
-    exact = q_emb_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = approx_fn(spark, sf_dir).select("query_id", "neighbor_id")
+    the measurement itself can never drift between them.
+
+    ``sampled=True`` audits only the md5-selected query subset
+    (:data:`RECALL_SAMPLE_HEX`), threaded into BOTH rankers'
+    ``sample_queries`` so the restriction lands on the query-side scan
+    by construction -- the exact brute-force pass (the audit's
+    dominant cost) scores only the sampled queries, making the
+    audit's cost proportional to the SAMPLE, not the eval set. (An
+    output-side filter was built first and measured: Catalyst pushed
+    it below the top-k windows but stopped above the scoring join, so
+    the brute force still paid for every query -- hence the
+    constructor-level flag. Sample-sized scan asserted in
+    tests/test_embeddings.py.)"""
+    exact = q_emb_ann_topk(
+        spark, sf_dir, sample_queries=sampled
+    ).select("query_id", "neighbor_id")
+    approx = approx_fn(
+        spark, sf_dir, sample_queries=sampled
+    ).select("query_id", "neighbor_id") if sampled else approx_fn(
+        spark, sf_dir
+    ).select("query_id", "neighbor_id")
     hits = (
         approx.join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -2467,12 +2531,20 @@ def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx_fn) -> DataFrame:
     )
 
 
-def _recall_sql(approx_sql: str) -> str:
+def _recall_sql(approx_sql: str, sampled: bool = False) -> str:
     """Shared oracle harness: the exact ranking is a named CTE evaluated
-    ONCE (the old spelling inlined the brute-force subquery twice)."""
+    ONCE (the old spelling inlined the brute-force subquery twice).
+    ``sampled`` mirrors the Spark harness's md5 query sample."""
+    pred = (
+        "WHERE substring(md5(CAST(query_id AS VARCHAR)), 1, 1) IN "
+        + repr(tuple(RECALL_SAMPLE_HEX))
+        if sampled else ""
+    )
     return f"""
-WITH exact AS ({EMB_ANN_TOPK_SQL}),
-approx AS ({approx_sql}),
+WITH exact0 AS ({EMB_ANN_TOPK_SQL}),
+exact AS (SELECT * FROM exact0 {pred}),
+approx0 AS ({approx_sql}),
+approx AS (SELECT * FROM approx0 {pred}),
 h AS (
   SELECT a.query_id, count(*) AS n
   FROM approx a
@@ -2489,6 +2561,21 @@ LEFT JOIN h USING (query_id)
 
 
 EMB_ANN_RECALL_SQL = _recall_sql(EMB_LSH_ANN_TOPK_SQL)
+
+
+def q_emb_ann_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale recall monitor: recall@{TOPK} audited on the
+    md5-sampled query subset only -- the exact brute-force pass (the
+    audit's dominant cost, by design proportional to eval-set size)
+    scores ONLY the sampled queries, because the sample predicate
+    pushes below both rankers' top-k windows into the query-side
+    scans. Production shape for a large eval set: fixed-rate sampled
+    audit per index publish, the full :func:`q_emb_ann_recall` on
+    demand."""
+    return _recall_vs_exact(spark, sf_dir, q_emb_lsh_ann_topk, sampled=True)
+
+
+EMB_ANN_RECALL_SAMPLED_SQL = _recall_sql(EMB_LSH_ANN_TOPK_SQL, sampled=True)
 
 
 def q_emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2516,6 +2603,7 @@ EMB_IVFPQ_RECALL_SQL = _recall_sql(EMB_IVF_PQ_ANN_TOPK_SQL)
 
 QUERIES = {
     "emb_ann_recall": q_emb_ann_recall,
+    "emb_ann_recall_sampled": q_emb_ann_recall_sampled,
     "emb_ivf_recall": q_emb_ivf_recall,
     "emb_ivfpq_recall": q_emb_ivfpq_recall,
     "emb_prefix_rerank_topk": q_emb_prefix_rerank_topk,
@@ -2539,6 +2627,7 @@ QUERIES = {
 
 ORACLES = {
     "emb_ann_recall": EMB_ANN_RECALL_SQL,
+    "emb_ann_recall_sampled": EMB_ANN_RECALL_SAMPLED_SQL,
     "emb_ivf_recall": EMB_IVF_RECALL_SQL,
     "emb_ivfpq_recall": EMB_IVFPQ_RECALL_SQL,
     "emb_prefix_rerank_topk": EMB_PREFIX_RERANK_SQL,

@@ -1,0 +1,97 @@
+"""Streaming corpus builder, FULLY composed: exactly-once document
+ingest with benchmark DECONTAMINATION and incremental near-dup DEDUP
+in one ``foreachBatch`` stage pipeline.
+
+r10 shipped the two stored indexes separately (plans/decontam_index.py
+probes a broadcast eval-shingle table; streaming/dedup_ingest.py
+dedups against the stored MinHash index); this module is the natural
+composition a production pipeline runs at the ingest edge -- per
+micro-batch:
+
+1. PROBE the decontamination index: documents sharing any shingle with
+   the held-out eval set are dropped FIRST. Ordering is deliberate,
+   for both cost and semantics: the probe is a map-side broadcast join
+   (cheapest stage, shrinks the dedup's input), and a contaminated
+   document must not enter the corpus OR the MinHash index -- it is
+   not in the corpus, so a later CLEAN near-duplicate of it must still
+   be admitted (suppressing it against a ghost would silently lose
+   content; the discriminating case is pinned in
+   tests/test_corpus_ingest_stream.py).
+2. DEDUP the clean remainder against the stored MinHash index and
+   append novel docs + their signatures exactly as
+   :func:`..streaming.dedup_ingest.foreach_batch_dedup_ingest` --
+   this module delegates to that sink verbatim, inheriting its
+   three-table (app_id, batch_id) watermarks, its write order, and
+   its crash-replay healing.
+
+Delivery semantics: the decontamination verdict is a DETERMINISTIC
+pure function of (batch, stored index version), so a crash/replay
+re-filters to the identical clean set and the inner sink's
+replay-safety argument applies unchanged -- any crash/retry sequence
+converges to the crash-free state (crash-interleaving tested). The
+one new assumption: the eval index is STATIC across a batch's
+retries (rebuilding the benchmark index mid-stream is a pipeline
+restart, same single-writer contract as the index tables).
+
+Scale shape per batch: probe cost is batch-sized and shuffle-free
+(broadcast index); everything downstream is dedup_ingest's documented
+batch-sized shape. The corpus is never scanned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.decontam_index import decontaminate_incremental
+from .dedup_ingest import foreach_batch_dedup_ingest
+from .stream_sink import _already_committed
+
+
+def foreach_batch_corpus_ingest(
+    corpus_path: str,
+    bands_path: str,
+    shingles_path: str,
+    decontam_index_dir: str,
+    app_id: str,
+) -> Callable[[DataFrame, int], None]:
+    """Build the composed ``foreachBatch`` function: decontaminate each
+    (doc_id, text) micro-batch against the stored eval index, then
+    dedup the clean remainder against the stored MinHash index and
+    append (corpus, bands, shingles) exactly once.
+
+    Usage::
+
+        (docs.writeStream
+            .foreachBatch(foreach_batch_corpus_ingest(
+                corpus, bands, shingles, decontam_idx,
+                app_id="docs-ingest-v1"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start())
+
+    Same contracts as the inner sink: new doc_ids disjoint and
+    monotone across batches; one logical stream per table tuple."""
+    inner = foreach_batch_dedup_ingest(
+        corpus_path, bands_path, shingles_path, app_id
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        paths = (corpus_path, bands_path, shingles_path)
+        if all(_already_committed(p, app_id, batch_id) for p in paths):
+            return  # fully-committed replay: skip even the probe
+        spark = batch_df.sparkSession
+        verdicts = decontaminate_incremental(
+            spark, batch_df, decontam_index_dir
+        )
+        clean = batch_df.join(
+            F.broadcast(
+                verdicts.filter(~F.col("contaminated")).select("doc_id")
+            ),
+            "doc_id",
+        )
+        inner(clean, batch_id)
+
+    return _sink

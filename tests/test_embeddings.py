@@ -390,3 +390,33 @@ def test_hard_negatives_ann_cross_label_and_rank_order(spark):
         assert cosines == sorted(cosines, reverse=True)
         # rounding in both paths is 6dp; allow one ulp of slack
         assert cosines[0] <= exact_best[qid] + 1e-6
+
+
+def test_sampled_recall_is_scan_level_and_subset_consistent(spark):
+    """r11 at-scale recall monitor: the md5 query sample must land
+    directly on the query-side parquet scans (the exact brute-force
+    pass pays only for the sample -- an output-side filter was
+    measured to stall above the scoring join), and the sampled rows
+    must equal the full audit restricted to the sampled ids."""
+    import hashlib
+
+    sf = "/root/testdata/sf0.001"
+    sampled_ids = {
+        i for i in range(eq.N_QUERIES)
+        if hashlib.md5(str(i).encode()).hexdigest()[0]
+        in eq.RECALL_SAMPLE_HEX
+    }
+    df = eq.q_emb_ann_recall_sampled(spark, sf)
+    got = {(r["query_id"], r["n_hits"], r["recall"]) for r in df.collect()}
+    assert {g[0] for g in got} == sampled_ids
+    full = {(r["query_id"], r["n_hits"], r["recall"])
+            for r in eq.q_emb_ann_recall(spark, sf).collect()}
+    assert got == {f for f in full if f[0] in sampled_ids}
+
+    # every md5-sample Filter sits DIRECTLY on a parquet relation
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    md5_at = [i for i, l in enumerate(lines) if "md5" in l]
+    assert md5_at, "sample predicate vanished from the plan"
+    for i in md5_at:
+        assert "Relation" in lines[i + 1] and "parquet" in lines[i + 1], \
+            lines[i:i + 2]

@@ -71,8 +71,8 @@ BNLJ_ALLOWED = {
 ARROW_ALLOWED = {
     # LSH hyperplane projection is an Arrow-vectorized pandas UDF
     "emb_lsh_ann_topk", "emb_lsh_neardup", "emb_dedup_clusters",
-    "doc_semantic_dedup", "emb_ann_recall", "emb_knn_graph",
-    "emb_knn_refine",
+    "doc_semantic_dedup", "emb_ann_recall", "emb_ann_recall_sampled",
+    "emb_knn_graph", "emb_knn_refine",
     # r10: the pHash raster+DCT runs as a batched-einsum Arrow kernel
     # (Catalyst higher-order functions have no let-binding, so a
     # column-expression DCT re-evaluates its input per element access
