@@ -44,6 +44,12 @@ os.environ.setdefault(
 # second amplification point for the MAIN corpus, so the floor-bound
 # ratio trends become two-point measurements like the near-dup family's
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+# amplification points for the decorrelated (Caesar / sign-flip)
+# corpora; "50" extends the trend to the r11 50x de-risking datum
+MULTS = tuple(
+    int(m) for m in
+    os.environ.get("SPARK_GRAFT_SCALE_MULTS", "10,20").split(",")
+)
 SRC = "/root/testdata/sf0.1"
 SHIFTS = {  # table -> {column: stride}; strides exceed any source key
     "lineitem": {"l_orderkey": 10_000_000, "l_suppkey": 1_000_000},
@@ -188,6 +194,15 @@ NEARDUP_QUERIES = [
     # pipeline (audit cost O(pairs)); its oracle is the exhaustive
     # all-pairs join, expected to hit the cap like the dedup twins
     "doc_minhash_jaccard_est",
+    # r11: the unigram-LM pair runs on the Caesar corpus ON PURPOSE,
+    # not as near-dup queries but because the rotation is the
+    # VOCABULARY-SCALED datum the r10 verdict asked for: each copy's
+    # tokens rotate to distinct words, so the LM table grows ~linearly
+    # with copies (the marker corpus holds vocabulary fixed at the
+    # source's ~40 tokens -- DuckDB's hash-agg sweet spot, the
+    # confound behind the 2.3x-at-20x residual).
+    "doc_unigram_logprob",
+    "doc_ccnet_bucket",
 ]
 # Embedding-space near-dup/graph queries get the same treatment as the
 # text near-dup family: the main amplification copies embeddings
@@ -205,6 +220,14 @@ NEARDUP_EMB_QUERIES = [
     # so its cost tracks the seed graph's candidate density -- measured
     # on the same decorrelated corpus
     "emb_knn_refine",
+    # r11: the recall-audit pair (the only non-capped family without a
+    # two-point trend per the r10 verdict). Copy 0 keeps the original
+    # query ids, so the eval set stays 10 queries while the corpus the
+    # exact brute-force pass must sweep grows linearly -- the honest
+    # audit-cost workload; the sampled variant is the at-scale shape
+    # (cost proportional to the md5 query sample).
+    "emb_ann_recall",
+    "emb_ann_recall_sampled",
 ]
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _DIGIT = "0123456789"
@@ -420,9 +443,9 @@ def main() -> None:
         n for n in NEARDUP_QUERIES if n in qmap and (not only or n in only)
     ]
     if neardup_names:
-        # two amplification points (10x, 20x) so the ratio TREND is a
-        # measurement, not an extrapolation
-        for mult in (10, 20):
+        # multiple amplification points so the ratio TREND is a
+        # measurement, not an extrapolation (MULTS; default 10x + 20x)
+        for mult in MULTS:
             nd_dir = f"{out_dir}_neardup{'' if mult == 10 else mult}"
             if not os.path.exists(f"{nd_dir}/documents.parquet"):
                 t0 = time.time()
@@ -436,7 +459,12 @@ def main() -> None:
                 f"'{nd_dir}/documents.parquet/*.parquet'"
             )
             for name in neardup_names:
-                key = name if mult == 10 else f"{name}@{mult}x"
+                # queries measured on BOTH corpora (the vocab-scaled
+                # LM pair) keep their marker-corpus row under the bare
+                # name; Caesar rows always carry the suffix then
+                key = name if mult == 10 and name not in QUERIES \
+                    else f"{name}@caesar{mult}x" if name in QUERIES \
+                    else f"{name}@{mult}x"
                 results[key] = {
                     **measure(name, nd_dir, nd_con),
                     "corpus": f"neardup-decorrelated x{mult}",
@@ -448,7 +476,7 @@ def main() -> None:
         n for n in NEARDUP_EMB_QUERIES if n in qmap and (not only or n in only)
     ]
     if nde_names:
-        for mult in (10, 20):
+        for mult in MULTS:
             nde_dir = f"{out_dir}_ndemb{'' if mult == 10 else mult}"
             if not os.path.exists(f"{nde_dir}/embeddings.parquet"):
                 t0 = time.time()
