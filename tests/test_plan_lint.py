@@ -43,7 +43,8 @@ BANNED = [
 BNLJ_ALLOWED = {
     # broadcast cross joins of scalar/tiny sides (totals, query sets,
     # centroid and codebook arrays) -- bounded by construction
-    "emb_ann_recall", "emb_ivf_recall", "emb_ann_topk", "emb_ivf_ann_topk",
+    "emb_ann_recall", "emb_ann_recall_sampled",
+    "emb_ivf_recall", "emb_ann_topk", "emb_ivf_ann_topk",
     "emb_prefix_rerank_topk",
     "emb_cosine_neardup", "emb_nearest_centroid", "emb_pq_ann_topk",
     "emb_hard_negatives", "emb_kmeans_iter", "emb_lsh_ann_topk",

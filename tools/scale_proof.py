@@ -203,6 +203,11 @@ NEARDUP_QUERIES = [
     # confound behind the 2.3x-at-20x residual).
     "doc_unigram_logprob",
     "doc_ccnet_bucket",
+    # r11 cont.: the bigram LM joins the vocab-scaled datum set -- its
+    # pair vocabulary grows even faster under the rotation (distinct
+    # bigrams scale ~linearly with copies like unigrams, but from a
+    # much larger base), the same floor-closure test
+    "doc_bigram_logprob",
 ]
 # Embedding-space near-dup/graph queries get the same treatment as the
 # text near-dup family: the main amplification copies embeddings
