@@ -190,6 +190,11 @@ NEARDUP_QUERIES = [
     # pixel profiles decorrelate, same linear-candidate story as the
     # text near-dup family
     "image_neardup",
+    # r11: the audio fingerprint twin rides the same corpus for the
+    # same reason (the text->PCM signal sees the rotated byte values;
+    # zero-centering keeps within-copy spectra near the original's
+    # while cross-copy wrap-arounds decorrelate the grids)
+    "audio_neardup",
     # r8: the MinHash accuracy audit rides the same banded-candidate
     # pipeline (audit cost O(pairs)); its oracle is the exhaustive
     # all-pairs join, expected to hit the cap like the dedup twins
