@@ -43,12 +43,14 @@ STAR_PARITY = {
 # ---- r11 window policy -----------------------------------------------------
 # The driver's correctness gate covers the FIRST 50 entries in dict
 # order per round; the window ROTATES so no query's newest driver row
-# goes more than 2 rounds stale. r10 ran the 50 entries frozen in
-# R10_WINDOW below (CORRECTNESS_r10.json, 50/50 green). r11 leads with
-# the 9 R11_LEADS (their newest rows are r8 -- two rounds stale), then
-# everything NEW or semantics-CHANGED this round, then back-fills with
-# the r9-verified entries; the 10 r9 entries that do not fit are
-# frozen as R12_LEADS so no row ever ages past two rounds.
+# goes stale longer than the surface/window ratio forces (oldest rows
+# always lead). r10 ran the 50 entries frozen in R10_WINDOW below
+# (CORRECTNESS_r10.json, 50/50 green). r11 leads with the 9 R11_LEADS
+# (their newest rows are r8 -- two rounds stale), then everything NEW
+# or semantics-CHANGED this round, then back-fills with the
+# r9-verified entries; the r9 entries that do not fit (16 of 42 after
+# the R11_CHANGED additions) are the r12 leads, visible as the head
+# of list(queries())[50:].
 
 # the 50 entries CORRECTNESS_r10.json verified (newest rows r10) --
 # frozen verbatim so future rotations are self-documenting
@@ -138,10 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **image_queries.QUERIES,
         **audio_queries.QUERIES,
     }
-    must = R11_LEADS + R11_NEW + R11_CHANGED  # 13 slots
+    must = R11_LEADS + R11_NEW + R11_CHANGED  # 24 slots
     # back-fill: entries whose newest driver row is r9 (everything
-    # below r10's boundary except the r8-stale leads), in stable dict
-    # order. 47 candidates, 37 slots -- the sit-outs lead r12.
+    # below r10's boundary except the r8-stale leads and the changed
+    # set), in stable dict order. 42 candidates, 26 slots -- the 16
+    # sit-outs lead r12.
     r9_newest = [
         n for n in all_q
         if n not in R10_WINDOW and n not in R11_LEADS

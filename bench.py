@@ -205,21 +205,48 @@ SPIKE_FACTOR = 1.5
 SPIKE_EXTRA_REPS = 3
 
 
-def _load_floor(sf: str) -> dict:
+def _floor_host() -> str:
+    """Floors are per-host: minima from a fast machine would make every
+    query on a slower one 'spike' (3 wasted extra reps each) and a
+    save would corrupt the fast host's history."""
+    import platform
+
+    return platform.node() or "unknown"
+
+
+def _load_floor_file() -> dict:
     try:
         with open(FLOOR_PATH, encoding="utf-8") as f:
             d = json.load(f)
-        if d.get("sf") == sf:
+        if "hosts" in d:
             return d
+        # migrate the r11 single-(host,sf) format in place
+        if "sf" in d:
+            return {"hosts": {_floor_host(): {d["sf"]: {
+                "spark": d.get("spark", {}), "duck": d.get("duck", {}),
+            }}}}
     except (OSError, ValueError):
         pass
-    return {"sf": sf, "spark": {}, "duck": {}}
+    return {"hosts": {}}
 
 
-def _save_floor(floor: dict) -> None:
+def _load_floor(sf: str) -> tuple[dict, dict]:
+    """(whole file, this host+sf's {"spark": .., "duck": ..} slot) --
+    the slot is live-referenced inside the file dict, so mutating it
+    and saving the file preserves every other host's and SF's
+    history (the r11 review found the flat format wiped them)."""
+    whole = _load_floor_file()
+    slot = (
+        whole["hosts"].setdefault(_floor_host(), {})
+        .setdefault(sf, {"spark": {}, "duck": {}})
+    )
+    return whole, slot
+
+
+def _save_floor(whole: dict) -> None:
     try:
         with open(FLOOR_PATH, "w", encoding="utf-8") as f:
-            json.dump(floor, f, indent=1, sort_keys=True)
+            json.dump(whole, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError:
         pass  # read-only checkout: the floor is an optimization only
@@ -282,7 +309,7 @@ def main() -> None:
     names = [n for n in BENCH_QUERIES if n in qmap]
     names += [n for n in qmap if n not in BENCH_QUERIES]
     duck_probe, duck_once = _oracle_runner(sf_dir)
-    floor = _load_floor(sf)
+    floor_file, floor = _load_floor(sf)
 
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
@@ -344,7 +371,7 @@ def main() -> None:
             if oracle[name] > 0:
                 ratio[name] = round(timings[name] / oracle[name], 2)
 
-    _save_floor(floor)
+    _save_floor(floor_file)
     total = round(sum(timings.values()), 3)
     oracle_total = round(sum(oracle.values()), 3)
     # min-over-runs view: per-query minima across every bench run at

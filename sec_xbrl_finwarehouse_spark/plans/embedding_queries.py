@@ -2506,14 +2506,15 @@ def _recall_vs_exact(
     the brute force still paid for every query -- hence the
     constructor-level flag. Sample-sized scan asserted in
     tests/test_embeddings.py.)"""
-    exact = q_emb_ann_topk(
-        spark, sf_dir, sample_queries=sampled
-    ).select("query_id", "neighbor_id")
-    approx = approx_fn(
-        spark, sf_dir, sample_queries=sampled
-    ).select("query_id", "neighbor_id") if sampled else approx_fn(
-        spark, sf_dir
-    ).select("query_id", "neighbor_id")
+    # the kwarg is passed only when sampling, so rankers without the
+    # flag (IVF/IVFPQ recall paths) keep working unsampled
+    kw = {"sample_queries": True} if sampled else {}
+    exact = q_emb_ann_topk(spark, sf_dir, **kw).select(
+        "query_id", "neighbor_id"
+    )
+    approx = approx_fn(spark, sf_dir, **kw).select(
+        "query_id", "neighbor_id"
+    )
     hits = (
         approx.join(exact, ["query_id", "neighbor_id"])
         .groupBy("query_id")

@@ -88,7 +88,11 @@ def _source_bytes(path: str) -> int:
     if not os.path.isdir(path):
         return -1
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        # prune hidden/metadata TREES too (a crashed write's
+        # _temporary/ attempts must not inflate the measured size and
+        # silently flip the gate), matching the per-file rule
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in files:
             if not f.startswith((".", "_")):
                 try:

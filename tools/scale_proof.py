@@ -190,11 +190,6 @@ NEARDUP_QUERIES = [
     # pixel profiles decorrelate, same linear-candidate story as the
     # text near-dup family
     "image_neardup",
-    # r11: the audio fingerprint twin rides the same corpus for the
-    # same reason (the text->PCM signal sees the rotated byte values;
-    # zero-centering keeps within-copy spectra near the original's
-    # while cross-copy wrap-arounds decorrelate the grids)
-    "audio_neardup",
     # r8: the MinHash accuracy audit rides the same banded-candidate
     # pipeline (audit cost O(pairs)); its oracle is the exhaustive
     # all-pairs join, expected to hit the cap like the dedup twins
@@ -224,6 +219,58 @@ NEARDUP_QUERIES = [
 # preserved exactly) while cross-copy cosines decorrelate to ~0 under
 # the random sign pattern -- so candidate density scales linearly like
 # independent shards of a bigger corpus, the honest workload.
+# The audio fingerprint canNOT ride the Caesar corpus: the rotation
+# is ~a constant code shift and text_pcm_np's zero-centering REMOVES
+# constant shifts, so cross-copy fingerprints stay near-identical and
+# the pair set blows up quadratically (measured at 50x: the collected
+# result exceeded spark.driver.maxResultSize -- the exact manufactured
+# blowup this module's docstring forbids; the image raster survives
+# the rotation only because its UN-centered pixel windows feel the
+# wrap-arounds). Audio gets its own corpus: copy i>0 applies a
+# per-copy md5-seeded RANDOM PERMUTATION of letters+digits -- a
+# bijection, so each copy's internal near-dup density matches the
+# source's while cross-copy CODE sequences scramble. Residual honesty
+# caveat, measured: any character bijection preserves SPACES, and the
+# synthetic corpus's templated word-length rhythm -- which dominates
+# the envelope spectrum -- gives a ~1% background collision density
+# that no text-level decorrelation removes. PAIR-output queries
+# (audio_neardup) therefore grow quadratically in OUTPUT SIZE on this
+# corpus regardless of engine (real audio shards decorrelate far
+# better); the scale datum is the DECISION query instead, whose
+# output is corpus-sized and whose internal banded join + Hash-Min
+# closure is the same plan shape proven linear on the image twin.
+NEARDUP_AUDIO_QUERIES = [
+    "audio_dedup_clusters",
+]
+
+
+def build_neardup_audio(spark, out_dir: str, copies: int = COPIES) -> None:
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(f"{SRC}/documents.parquet")
+    chars = _ALPHA + _ALPHA.upper() + _DIGIT
+    parts = [src]
+    for i in range(1, copies):
+        rng = random.Random(
+            int(hashlib.md5(f"audioperm_{i}".encode()).hexdigest()[:15], 16)
+        )
+        perm = list(chars)
+        rng.shuffle(perm)
+        parts.append(
+            src.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            .withColumn("text", F.translate("text", chars, "".join(perm)))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(N_FILES).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
 NEARDUP_EMB_QUERIES = [
     "emb_knn_graph",
     # NN-descent round: the 2-hop expansion is k^2-bounded per vector,
@@ -478,6 +525,33 @@ def main() -> None:
                 results[key] = {
                     **measure(name, nd_dir, nd_con),
                     "corpus": f"neardup-decorrelated x{mult}",
+                }
+                print(json.dumps({"query": key, **results[key]}),
+                      file=sys.stderr)
+
+    nda_names = [
+        n for n in NEARDUP_AUDIO_QUERIES
+        if n in qmap and (not only or n in only)
+    ]
+    if nda_names:
+        for mult in MULTS:
+            nda_dir = f"{out_dir}_ndaudio{'' if mult == 10 else mult}"
+            if not os.path.exists(f"{nda_dir}/documents.parquet"):
+                t0 = time.time()
+                build_neardup_audio(spark, nda_dir, copies=mult)
+                print(f"built {nda_dir} in {time.time() - t0:.1f}s",
+                      file=sys.stderr)
+            nda_con = duckdb.connect()
+            nda_con.sql(f"SET threads TO {os.cpu_count()}")
+            nda_con.sql(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"'{nda_dir}/documents.parquet/*.parquet'"
+            )
+            for name in nda_names:
+                key = name if mult == 10 else f"{name}@{mult}x"
+                results[key] = {
+                    **measure(name, nda_dir, nda_con),
+                    "corpus": f"perm-decorrelated x{mult}",
                 }
                 print(json.dumps({"query": key, **results[key]}),
                       file=sys.stderr)
