@@ -208,10 +208,17 @@ SPIKE_EXTRA_REPS = 3
 def _floor_host() -> str:
     """Floors are per-host: minima from a fast machine would make every
     query on a slower one 'spike' (3 wasted extra reps each) and a
-    save would corrupt the fast host's history."""
+    save would corrupt the fast host's history. The key is
+    hostname + a hardware hint (cpu count), because containers/CI
+    boxes sharing a generic hostname like 'localhost' would otherwise
+    share one slot (ADVICE r11); SPARK_GRAFT_BENCH_HOST overrides
+    outright for fleets where neither is distinguishing."""
     import platform
 
-    return platform.node() or "unknown"
+    override = os.environ.get("SPARK_GRAFT_BENCH_HOST")
+    if override:
+        return override
+    return f"{platform.node() or 'unknown'}/c{os.cpu_count()}"
 
 
 def _load_floor_file() -> dict:
@@ -236,8 +243,14 @@ def _load_floor(sf: str) -> tuple[dict, dict]:
     and saving the file preserves every other host's and SF's
     history (the r11 review found the flat format wiped them)."""
     whole = _load_floor_file()
+    host = _floor_host()
+    # migrate pre-r12 bare-hostname slots to the hostname/cN key (the
+    # hardware hint was added in r12; same machine, same history)
+    bare = host.rsplit("/c", 1)[0]
+    if host not in whole["hosts"] and bare in whole["hosts"]:
+        whole["hosts"][host] = whole["hosts"].pop(bare)
     slot = (
-        whole["hosts"].setdefault(_floor_host(), {})
+        whole["hosts"].setdefault(host, {})
         .setdefault(sf, {"spark": {}, "duck": {}})
     )
     return whole, slot
@@ -310,6 +323,18 @@ def main() -> None:
     names += [n for n in qmap if n not in BENCH_QUERIES]
     duck_probe, duck_once = _oracle_runner(sf_dir)
     floor_file, floor = _load_floor(sf)
+    # floors are minima over ALL past runs, so a query whose PLAN
+    # intentionally changed would trip the spike re-timer on every
+    # future run if its new honest time exceeds the old plan's floor
+    # (ADVICE r11). The entry module exports the round's changed set;
+    # reset those floors ONCE per epoch (not per run -- popping every
+    # run would forfeit min-over-runs within the round).
+    reset = getattr(entrymod, "FLOOR_RESET", None)
+    if reset and floor.get("epoch") != reset["epoch"]:
+        for n in reset["queries"]:
+            floor["spark"].pop(n, None)
+            floor["duck"].pop(n, None)
+        floor["epoch"] = reset["epoch"]
 
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 

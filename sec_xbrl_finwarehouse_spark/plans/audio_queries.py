@@ -166,17 +166,26 @@ codes0 AS (
          CAST(length(coalesce(text, '')) AS BIGINT) AS len
   FROM documents
 ),
+codes1 AS (
+  -- the clip's integer-mean code, hoisted to a COLUMN so the
+  -- centering lambda below is O(len): inside list_transform DuckDB
+  -- re-evaluates list_sum(cd0) per element, which made this CTE
+  -- O(len^2) per document (ADVICE r11)
+  SELECT doc_id, cd0, len,
+         CASE WHEN len > 0 THEN CAST(list_sum(cd0) AS BIGINT) // len
+              ELSE 0 END AS mean_code
+  FROM codes0
+),
 codes AS (
   -- zero-center: subtract the clip's integer-mean code (audiofp.py
   -- text_pcm_np -- prose byte signals are all-positive; uncentered,
   -- the envelope DC collapses every fingerprint to one value)
   SELECT doc_id,
          CASE WHEN len > 0
-              THEN list_transform(cd0, x ->
-                     x - CAST(list_sum(cd0) AS BIGINT) // len)
+              THEN list_transform(cd0, x -> x - mean_code)
               ELSE cd0 END AS cd,
          len // {FP_FRAME} AS nf
-  FROM codes0
+  FROM codes1
 ),
 folded AS (
   -- frame f = i // 32, envelope bin b = i mod 32: sum of the 8
