@@ -249,11 +249,15 @@ FROM tok
 
 # ---- BPE-ish regex token count ---------------------------------------------
 
-# GPT-2-style pretokenizer, restricted to syntax RE2 (DuckDB) and Java
-# (Spark) interpret identically: alternation of contraction suffixes,
-# space-prefixed letter runs, digit runs, punctuation runs, whitespace.
-# No lookaheads (RE2 has none), no \p classes (ASCII approximation).
-BPE_PATTERN = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+# the GPT-2-style pretokenizer lives beside the true-BPE kernel now
+# (functions/bpe.py, r12); re-exported here because this module's
+# oracles and external tools reference it under this name.
+from ..functions.bpe import (  # noqa: E402
+    BPE_MERGES,
+    BPE_PATTERN,
+    ENC_SEP,
+    bpe_encode_batches,
+)
 
 
 def q_doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +286,109 @@ SELECT doc_id,
                        x -> regexp_matches(x, '\\S')))
          AS n_bpe_tokens
 FROM documents
+"""
+
+
+# ---- true BPE encode (pinned merges fixture) --------------------------------
+
+def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE byte-pair encoding under the pinned {len(BPE_MERGES)}-rule
+    merges fixture (functions/bpe.py -- trained by
+    tools/train_bpe_fixture.py): per document, the exact post-merge
+    token count plus the md5 of the full ENC_SEP-joined token stream,
+    so the oracle verifies the complete encoding bit-for-bit, not just
+    a count. This is the tokenizer the sequence-packing /
+    token-budgeting stack should key on -- the regex estimator
+    (:func:`q_doc_bpe_token_count`) over-counts by whatever the merge
+    table compresses, and non-uniformly across documents.
+
+    One Arrow-batched ``mapInPandas`` kernel: zero shuffle, merges
+    broadcast by closure, per-task pretoken memo (Zipf-distributed
+    pretokens make the effective cost ~O(distinct pretokens)). See
+    functions/bpe.py for the greedy/rank-order equivalence contract
+    the DuckDB oracle relies on."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    return d.mapInPandas(
+        bpe_encode_batches,
+        "doc_id bigint, n_bpe_tokens bigint, enc_md5 string",
+    )
+
+
+def _bpe_merges_values_sql() -> str:
+    rows = ", ".join(
+        f"({r}, '{a.replace(chr(39), chr(39) * 2)}', "
+        f"'{b.replace(chr(39), chr(39) * 2)}')"
+        for r, (a, b) in enumerate(BPE_MERGES)
+    )
+    return rows
+
+
+# Oracle: the rank-order formulation -- a fixed-depth recursive CTE
+# applying each merge rule exhaustively once, rank 0..R-1, over the
+# DISTINCT pretokens (the same memo trick as the kernel). The one
+# subtle part is the left-to-right non-overlap semantics for a == b
+# runs: mk marks every (a, b) adjacency; a marked position STARTS a
+# merge iff the run of consecutive marks immediately before it has
+# even length (positions after an odd run are consumed by the merge
+# starting one to their left). Equivalence of rank-order passes with
+# the kernel's greedy loop holds because the pinned merges list is
+# well-formed (training order) -- asserted in tests/test_bpe_encode.py.
+DOC_BPE_ENCODE_SQL = f"""
+WITH RECURSIVE merges(r, a, b) AS (
+  SELECT * FROM (VALUES {_bpe_merges_values_sql()}) m(r, a, b)
+),
+pre AS (
+  SELECT doc_id,
+         regexp_extract_all(coalesce(text, ''),
+                            '{BPE_PATTERN.replace("'", "''")}') AS toks
+  FROM documents
+),
+pt AS (
+  SELECT doc_id,
+         unnest(toks) AS tok,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM pre
+),
+dtok AS (SELECT DISTINCT tok FROM pt),
+enc AS (
+  SELECT tok, regexp_extract_all(tok, '(?s).') AS syms, 0 AS r
+  FROM dtok
+  UNION ALL
+  SELECT tok,
+         flatten(list_transform(range(1, n + 1), i ->
+           CASE WHEN st[i] THEN [a || b]
+                WHEN i > 1 AND st[i - 1] THEN []::VARCHAR[]
+                ELSE [syms[i]] END)) AS syms,
+         r + 1 AS r
+  FROM (
+    SELECT tok, syms, r, a, b, n,
+           list_transform(range(1, n + 1), i ->
+             mk[i] AND
+             (i - 1 - list_max(list_transform(range(0, i), j ->
+                CASE WHEN j = 0 OR NOT mk[j] THEN j ELSE -1 END))) % 2 = 0
+           ) AS st
+    FROM (
+      SELECT e.tok, e.syms, e.r, m.a, m.b, len(e.syms) AS n,
+             list_transform(range(1, len(e.syms) + 1), i ->
+               i < len(e.syms) AND e.syms[i] = m.a AND e.syms[i + 1] = m.b
+             ) AS mk
+      FROM enc e JOIN merges m ON m.r = e.r
+    ) s1
+  ) s2
+),
+done AS (SELECT tok, syms FROM enc WHERE r = {len(BPE_MERGES)}),
+docenc AS (
+  SELECT pt.doc_id,
+         CAST(sum(len(d.syms)) AS BIGINT) AS n_bpe_tokens,
+         string_agg(array_to_string(d.syms, chr(31)), chr(31)
+                    ORDER BY pt.pos) AS enc
+  FROM pt JOIN done d USING (tok)
+  GROUP BY pt.doc_id
+)
+SELECT x.doc_id,
+       coalesce(de.n_bpe_tokens, 0) AS n_bpe_tokens,
+       md5(coalesce(de.enc, '')) AS enc_md5
+FROM documents x LEFT JOIN docenc de USING (doc_id)
 """
 
 
@@ -2487,6 +2594,7 @@ QUERIES = {
     "doc_paragraph_dedup": q_doc_paragraph_dedup,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_bpe_token_count": q_doc_bpe_token_count,
+    "doc_bpe_encode": q_doc_bpe_encode,
     "doc_train_test_split": q_doc_train_test_split,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
@@ -2518,6 +2626,7 @@ ORACLES = {
     "doc_paragraph_dedup": DOC_PARAGRAPH_DEDUP_SQL,
     "doc_exact_dedup": DOC_EXACT_DEDUP_SQL,
     "doc_bpe_token_count": DOC_BPE_TOKEN_COUNT_SQL,
+    "doc_bpe_encode": DOC_BPE_ENCODE_SQL,
     "doc_train_test_split": DOC_TRAIN_TEST_SPLIT_SQL,
     "doc_token_stats": DOC_TOKEN_STATS_SQL,
     "doc_quality": DOC_QUALITY_SQL,
