@@ -20,6 +20,7 @@ from sec_xbrl_finwarehouse_spark import oracles
 from sec_xbrl_finwarehouse_spark.plans import (
     audio_queries,
     corpus_queries,
+    crossmodal_queries,
     embedding_queries,
     events_queries,
     image_queries,
@@ -40,17 +41,19 @@ STAR_PARITY = {
     "company_profile", "ratios_lookup",
 }
 
-# ---- r11 window policy -----------------------------------------------------
+# ---- window rotation policy (r12 active) ------------------------------------
 # The driver's correctness gate covers the FIRST 50 entries in dict
 # order per round; the window ROTATES so no query's newest driver row
 # goes stale longer than the surface/window ratio forces (oldest rows
 # always lead). r10 ran the 50 entries frozen in R10_WINDOW below
-# (CORRECTNESS_r10.json, 50/50 green). r11 leads with the 9 R11_LEADS
-# (their newest rows are r8 -- two rounds stale), then everything NEW
-# or semantics-CHANGED this round, then back-fills with the
-# r9-verified entries; the r9 entries that do not fit (16 of 42 after
-# the R11_CHANGED additions) are the r12 leads, visible as the head
-# of list(queries())[50:].
+# (CORRECTNESS_r10.json, 50/50 green); r11 ran R11_WINDOW
+# (CORRECTNESS_r11.json, 50/50 green). r12 leads with the 16
+# R12_LEADS (the r9-newest entries that sat out r11 -- their rows are
+# three rounds stale, the oldest on record), then the r12 NEW and
+# semantics-CHANGED entries, then back-fills with the oldest remaining
+# rows: R10_WINDOW entries not re-verified since r10, in R10_WINDOW
+# order. The r10-verified entries that do not fit are the r13 leads,
+# visible as the head of list(queries())[50:].
 
 # the 50 entries CORRECTNESS_r10.json verified (newest rows r10) --
 # frozen verbatim so future rotations are self-documenting
@@ -74,36 +77,60 @@ R10_WINDOW = [
     "emb_pq_ann_topk", "emb_ivf_pq_ann_topk", "emb_hard_negatives_ann",
 ]
 
-# (a) the 9 r8-verified sit-outs from r10's back-fill (newest rows r8,
-# two rounds stale): they LEAD the r11 window, as planned in r10
-R11_LEADS = [
+# the 50 entries CORRECTNESS_r11.json verified (newest rows r11) --
+# frozen verbatim, like R10_WINDOW, so rotations self-document
+R11_WINDOW = [
     "doc_length_histogram", "doc_domain_mix", "doc_global_shuffle",
     "doc_token_stats", "doc_chunk", "doc_train_test_split",
     "doc_bpe_token_count", "doc_fingerprint", "doc_lang_id",
-]
-# (b) queries NEW in r11: the perceptual AUDIO fingerprint family
-# (text->PCM driver path, kernel shared with the WAV codec path) and
-# the sampled recall monitor (the at-scale recall-audit shape)
-R11_NEW = [
     "audio_fingerprint", "audio_neardup", "audio_dedup_clusters",
-    "emb_ann_recall_sampled",
+    "emb_ann_recall_sampled", "doc_decontaminate", "emb_ann_topk",
+    "emb_lsh_ann_topk", "emb_ann_recall", "emb_ivf_recall",
+    "emb_ivfpq_recall", "emb_lsh_neardup", "emb_dedup_clusters",
+    "doc_semantic_dedup", "emb_knn_graph", "emb_knn_refine",
+    "statements_annual", "ratios_annual", "screener",
+    "window_dedup_latest", "pivot_wide", "flow_stock_union",
+    "window_dedup_priority", "coalesce_priority", "annual_period_filter",
+    "top_k_orders", "natural_key_dedup", "insert_if_absent",
+    "upsert_latest_wins", "statements_annual_v2", "statements_annual_v1",
+    "company_profile", "ratios_lookup", "event_gap_fill",
+    "event_scd2", "event_window_agg", "event_transitions",
+    "event_dau_wau", "event_sliding_window", "event_sessionize",
+    "event_asof_join", "event_rollup",
 ]
-# (c) entries whose CODE changed in r11 (green r10 rows, but
-# re-verification is mandatory after a semantics-touching edit):
-# decontaminate's test-side broadcast hint is now gated on source
-# size (ADVICE r10); the ANN rankers grew the sample_queries flag and
-# the recall harness threads it, so every query through those code
-# paths re-verifies
-R11_CHANGED = [
-    "doc_decontaminate",
-    "emb_ann_topk", "emb_lsh_ann_topk",
-    "emb_ann_recall", "emb_ivf_recall", "emb_ivfpq_recall",
-    # the LSH bucket UDF grew the lsh_bits density knob (default
-    # pinned to LSH_BITS -- behavior-identical, but every caller
-    # re-verifies)
-    "emb_lsh_neardup", "emb_dedup_clusters", "doc_semantic_dedup",
-    "emb_knn_graph", "emb_knn_refine",
+
+# (a) the 16 r9-verified entries that sat out both r10 and r11 (their
+# newest rows are r9, three rounds stale -- oldest on record): they
+# LEAD the r12 window, as planned in r11
+R12_LEADS = [
+    "event_daily_growth", "event_topk_per_user", "event_distinct_users",
+    "event_interval_join", "event_percentiles", "event_cube",
+    "event_funnel", "event_retention", "event_anomaly",
+    "doc_jaccard_pairs", "doc_containment_pairs", "emb_cosine_neardup",
+    "emb_nearest_centroid", "emb_int8_quantize", "emb_hard_negatives",
+    "emb_kmeans_iter",
 ]
+# (b) queries NEW in r12: the true-BPE encoder (pinned merges
+# fixture), the trained hashed-feature quality classifier, and the
+# cross-modal (text+image+audio) dedup-cluster union
+R12_NEW = [
+    "doc_bpe_encode", "doc_quality_classifier",
+    "multimodal_dedup_clusters",
+]
+# (c) entries whose CODE changed in r12: the audio oracle's
+# zero-centering was rewritten O(len^2) -> O(len) (ADVICE r11 --
+# value-identical, but every oracle-touching edit re-verifies), and
+# doc_bpe_token_count's BPE_PATTERN moved to functions/bpe.py
+# (re-exported; expression unchanged, re-verified anyway)
+R12_CHANGED = [
+    "audio_fingerprint", "audio_neardup", "audio_dedup_clusters",
+    "doc_bpe_token_count",
+]
+
+# bench.py reads this to reset per-query floors ONCE when a plan
+# changes (new queries have no floor; no existing SPARK plan changed
+# in r12 -- the audio edits were oracle-side only)
+FLOOR_RESET = {"epoch": "r12", "queries": list(R12_NEW)}
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -139,24 +166,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **embedding_queries.QUERIES,
         **image_queries.QUERIES,
         **audio_queries.QUERIES,
+        **crossmodal_queries.QUERIES,
     }
-    must = R11_LEADS + R11_NEW + R11_CHANGED  # 24 slots
-    # back-fill: entries whose newest driver row is r9 (everything
-    # below r10's boundary except the r8-stale leads and the changed
-    # set), in stable dict order. 42 candidates, 26 slots -- the 16
-    # sit-outs lead r12.
-    r9_newest = [
-        n for n in all_q
-        if n not in R10_WINDOW and n not in R11_LEADS
-        and n not in R11_NEW and n not in R11_CHANGED
+    must = R12_LEADS + R12_NEW + R12_CHANGED  # 23 slots
+    # back-fill with the OLDEST remaining rows: R10_WINDOW entries not
+    # re-verified since r10 (R11_WINDOW covered six of them via the
+    # r11 changed set), in R10_WINDOW order. 44 candidates, 27 slots
+    # -- the 17 sit-outs lead r13.
+    r10_newest = [
+        n for n in R10_WINDOW
+        if n not in R11_WINDOW and n not in must
     ]
-    backfill = r9_newest[: 50 - len(must)]
+    backfill = r10_newest[: 50 - len(must)]
     window = must + backfill
+    # uniqueness, not just length (ADVICE r11): a name accidentally
+    # listed in two must-lists would silently shrink the verified
+    # window while a bare len() check still passes
     assert len(window) == 50, len(window)
+    assert len(set(window)) == 50, sorted(
+        n for n in set(window) if window.count(n) > 1
+    )
     ordered = {n: all_q[n] for n in window}
-    # --- window boundary: r12 leads (r9 rows aging out next round)
-    # first below the line, then the r10-verified remainder ---
-    ordered.update({n: all_q[n] for n in r9_newest})
+    # --- window boundary: r13 leads (r10 rows aging out next round)
+    # first below the line, then the r11-verified remainder ---
+    ordered.update({n: all_q[n] for n in r10_newest})
     ordered.update({n: all_q[n] for n in all_q if n not in ordered})
     assert len(ordered) == len(all_q)
     return ordered
@@ -171,4 +204,5 @@ def oracle_sql() -> dict[str, str]:
         **embedding_queries.ORACLES,
         **image_queries.ORACLES,
         **audio_queries.ORACLES,
+        **crossmodal_queries.ORACLES,
     }
