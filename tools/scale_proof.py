@@ -176,6 +176,11 @@ NEARDUP_QUERIES = [
     # bijection) while cross-copy prefixes/suffixes decorrelate, so
     # candidate density scales linearly like the other near-dup ops.
     "doc_editdist_neardup",
+    # r12: the ER decision query -- the same blocking+verify core plus
+    # the Hash-Min closure over the verified pair graph; the closure's
+    # iteration count on a growing pair graph is the one thing the
+    # neardup datum above cannot see (VERDICT r11 weak entry #1)
+    "doc_editdist_clusters",
     # r8: the MinHash chain's scale datums run here too -- their DuckDB
     # comparator is the exhaustive all-pairs oracle (O(n^2) list
     # intersections), so expect it to hit PER_QUERY_CAP_SEC at 10x; the
