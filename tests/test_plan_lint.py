@@ -82,6 +82,9 @@ ARROW_ALLOWED = {
     # r11: the audio fingerprint rides the same batched-einsum Arrow
     # kernel (functions/audiofp.py shares phash64_batch)
     "audio_fingerprint", "audio_neardup", "audio_dedup_clusters",
+    # r12: the cross-modal union composes the image and audio pair
+    # graphs, so their allowed Arrow kernels appear in its plan
+    "multimodal_dedup_clusters",
 }
 
 
