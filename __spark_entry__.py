@@ -111,11 +111,13 @@ R12_LEADS = [
     "emb_kmeans_iter",
 ]
 # (b) queries NEW in r12: the true-BPE encoder (pinned merges
-# fixture), the trained hashed-feature quality classifier, and the
-# cross-modal (text+image+audio) dedup-cluster union
+# fixture), the trained hashed-feature quality classifier, the
+# cross-modal (text+image+audio) dedup-cluster union, and sequence
+# packing budgeted on true-BPE counts (the encoder composed with the
+# shard-local packing window)
 R12_NEW = [
     "doc_bpe_encode", "doc_quality_classifier",
-    "multimodal_dedup_clusters",
+    "multimodal_dedup_clusters", "doc_bpe_seq_packing",
 ]
 # (c) entries whose CODE changed in r12: the audio oracle's
 # zero-centering was rewritten O(len^2) -> O(len) (ADVICE r11 --

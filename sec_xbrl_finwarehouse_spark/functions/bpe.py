@@ -152,6 +152,35 @@ def encode_text(
     return out
 
 
+def bpe_count_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` kernel: (doc_id, text) -> (doc_id, n_tokens).
+    The counts-only sibling of :func:`bpe_encode_batches` for consumers
+    that budget on token counts (sequence packing): column pruning
+    cannot reach inside a kernel, so skipping the per-doc digest here
+    is the moral equivalent of projecting enc_md5 away before it is
+    computed. Same memo, same contract."""
+    rx = re.compile(BPE_PATTERN)
+    memo: dict[str, list[str]] = {}
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pd.Series(
+                    [
+                        len(encode_text(
+                            t if isinstance(t, str) else "",
+                            _rx=rx, _memo=memo,
+                        ))
+                        for t in pdf["text"]
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+
+
 def bpe_encode_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:

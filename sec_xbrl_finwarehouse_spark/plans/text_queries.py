@@ -256,6 +256,7 @@ from ..functions.bpe import (  # noqa: E402
     BPE_MERGES,
     BPE_PATTERN,
     ENC_SEP,
+    bpe_count_batches,
     bpe_encode_batches,
 )
 
@@ -333,8 +334,10 @@ def _bpe_merges_values_sql() -> str:
 # starting one to their left). Equivalence of rank-order passes with
 # the kernel's greedy loop holds because the pinned merges list is
 # well-formed (training order) -- asserted in tests/test_bpe_encode.py.
-DOC_BPE_ENCODE_SQL = f"""
-WITH RECURSIVE merges(r, a, b) AS (
+# The CTE chain up to `done` (pretokenize -> distinct pretokens ->
+# rank-order merges -> final symbol lists) is shared verbatim with the
+# BPE-budgeted packing oracle below, so the two can never drift.
+_BPE_CTE_BODY = f"""merges(r, a, b) AS (
   SELECT * FROM (VALUES {_bpe_merges_values_sql()}) m(r, a, b)
 ),
 pre AS (
@@ -376,7 +379,10 @@ enc AS (
     ) s1
   ) s2
 ),
-done AS (SELECT tok, syms FROM enc WHERE r = {len(BPE_MERGES)}),
+done AS (SELECT tok, syms FROM enc WHERE r = {len(BPE_MERGES)})"""
+
+DOC_BPE_ENCODE_SQL = f"""
+WITH RECURSIVE {_BPE_CTE_BODY},
 docenc AS (
   SELECT pt.doc_id,
          CAST(sum(len(d.syms)) AS BIGINT) AS n_bpe_tokens,
@@ -1347,6 +1353,65 @@ SELECT doc_id, shard, n_tokens,
        CAST(floor((sum(n_tokens) OVER w - n_tokens)
                   / {PACK_WINDOW}) AS BIGINT) AS pack_id
 FROM d
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# ---- sequence packing on TRUE BPE budgets ----------------------------------
+
+def q_doc_bpe_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted on TRUE BPE token counts (the pinned
+    merges fixture, functions/bpe.py) instead of the whitespace
+    estimate :func:`q_doc_seq_packing` keys on. The r11 verdict's
+    point made executable: the regex/whitespace estimator drifts
+    against the real tokenizer NON-UNIFORMLY across documents (merge
+    compression depends on content), so packs budgeted on estimates
+    overflow or underfill real context windows -- this query is the
+    packer a training pipeline would actually run once it has a
+    tokenizer.
+
+    Plan shape = the counts-only BPE kernel (one ``mapInPandas`` pass,
+    zero exchange, no per-doc digest work -- column pruning cannot
+    reach inside a kernel, so the pruning is done by choosing the
+    kernel) followed by the same shard-local cumulative-sum window as
+    the estimator-based packer: ``doc_id % {PACK_SHARDS}`` shards,
+    one window per shard, no global ordering anywhere. At 100 TB the
+    encode pass is embarrassingly parallel and the window shuffles
+    once on the shard key."""
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    counted = d.mapInPandas(
+        bpe_count_batches, "doc_id bigint, n_tokens bigint"
+    )
+    sharded = counted.withColumn("shard", F.col("doc_id") % PACK_SHARDS)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return sharded.select(
+        "doc_id", "shard", "n_tokens",
+        cum.alias("cum_tokens"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(PACK_WINDOW)).alias("pack_id"),
+    )
+
+
+# counts CTE = the encode oracle's chain with the digest aggregation
+# swapped for a count; the merge machinery is _BPE_CTE_BODY verbatim
+DOC_BPE_SEQ_PACKING_SQL = f"""
+WITH RECURSIVE {_BPE_CTE_BODY},
+counts AS (
+  SELECT pt.doc_id, CAST(sum(len(d.syms)) AS BIGINT) AS n_tokens
+  FROM pt JOIN done d USING (tok)
+  GROUP BY pt.doc_id
+),
+sharded AS (
+  SELECT x.doc_id,
+         CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+         x.doc_id % {PACK_SHARDS} AS shard
+  FROM documents x LEFT JOIN counts c USING (doc_id)
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(floor((sum(n_tokens) OVER w - n_tokens)
+                  / {PACK_WINDOW}) AS BIGINT) AS pack_id
+FROM sharded
 WINDOW w AS (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
 """
 
@@ -2615,6 +2680,7 @@ QUERIES = {
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_seq_packing": q_doc_seq_packing,
+    "doc_bpe_seq_packing": q_doc_bpe_seq_packing,
 }
 
 ORACLES = {
@@ -2647,4 +2713,5 @@ ORACLES = {
     "doc_tfidf_topk": DOC_TFIDF_TOPK_SQL,
     "doc_decontaminate": DOC_DECONTAMINATE_SQL,
     "doc_seq_packing": DOC_SEQ_PACKING_SQL,
+    "doc_bpe_seq_packing": DOC_BPE_SEQ_PACKING_SQL,
 }

@@ -182,6 +182,42 @@ def test_doc_bpe_encode_end_to_end(spark):
         assert got[doc_id] == exp, doc_id
 
 
+def test_doc_bpe_seq_packing_matches_python_packer(spark):
+    """The BPE-budgeted packer's shard/cumsum/pack assignment equals a
+    pure-Python packer over encode_text counts: same shards
+    (doc_id % PACK_SHARDS), same doc_id order, pack boundary at every
+    PACK_WINDOW preceding tokens."""
+    from sec_xbrl_finwarehouse_spark.plans.text_queries import (
+        PACK_SHARDS,
+        PACK_WINDOW,
+        q_doc_bpe_seq_packing,
+    )
+
+    got = {
+        r.doc_id: (r.shard, r.n_tokens, r.cum_tokens, r.pack_id)
+        for r in q_doc_bpe_seq_packing(spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+        " ORDER BY doc_id"
+    ).fetchall()
+    assert len(got) == len(rows)
+    cum: dict[int, int] = {}
+    for doc_id, text in rows:
+        shard = doc_id % PACK_SHARDS
+        n = len(encode_text(text or ""))
+        before = cum.get(shard, 0)
+        cum[shard] = before + n
+        exp = (shard, n, before + n, before // PACK_WINDOW)
+        assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
+    # budgets must differ from the whitespace estimator somewhere, or
+    # this query would be redundant with doc_seq_packing
+    ws = {
+        doc_id: len((text or "").split()) for doc_id, text in rows
+    }
+    assert any(got[d][1] != ws[d] for d in ws)
+
+
 def test_bpe_counts_are_at_most_pretoken_chars():
     """Merging only ever shortens: n_bpe_tokens <= n_chars, and for any
     pretoken hit by at least one rule, strictly fewer symbols."""

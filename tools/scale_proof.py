@@ -50,6 +50,10 @@ MULTS = tuple(
     int(m) for m in
     os.environ.get("SPARK_GRAFT_SCALE_MULTS", "10,20").split(",")
 )
+# timed Spark repetitions after the warmup pass (min-of-REPS is
+# reported); large amplifications (100x) can drop to 2 so one datum
+# doesn't cost four full passes over a 500k-doc corpus
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 SRC = "/root/testdata/sf0.1"
 SHIFTS = {  # table -> {column: stride}; strides exceed any source key
     "lineitem": {"l_orderkey": 10_000_000, "l_suppkey": 1_000_000},
@@ -480,7 +484,7 @@ def main() -> None:
         qmap[name](spark, data_dir).toPandas()  # warmup
         spark.catalog.clearCache()
         best = float("inf")
-        for _ in range(3):
+        for _ in range(REPS):
             t0 = time.time()
             qmap[name](spark, data_dir).toPandas()
             best = min(best, time.time() - t0)
