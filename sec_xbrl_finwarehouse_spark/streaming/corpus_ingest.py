@@ -95,3 +95,81 @@ def foreach_batch_corpus_ingest(
         inner(clean, batch_id)
 
     return _sink
+
+
+def foreach_batch_quality_corpus_ingest(
+    corpus_path: str,
+    bands_path: str,
+    shingles_path: str,
+    decontam_index_dir: str,
+    app_id: str,
+    *,
+    weights: dict[int, int] | None = None,
+    bias: float | None = None,
+    threshold: float | None = None,
+    n_buckets: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The fully-gated ingest edge: LEARNED QUALITY GATE (the r12
+    hashed-feature classifier) -> decontaminate -> dedup, one
+    exactly-once ``foreachBatch`` pipeline. Docs scoring below the
+    calibrated keep threshold are dropped before any index is touched.
+
+    Semantics mirror the decontamination stage's ghost argument one
+    level up: a quality-dropped document enters neither the corpus nor
+    the MinHash index, so a later HIGH-quality near-duplicate of it is
+    admitted on its own merit (suppressing it against a ghost would
+    silently lose content the gate approved; the discriminating case is
+    pinned in tests/test_corpus_ingest_stream.py). The three gates are
+    pure per-document predicates -- classifier of (text, pinned
+    weights), contamination of (text, static eval index), novelty of
+    (text, index-so-far) -- so quality/decontam ordering is
+    semantically free; the classifier runs FIRST because it is the only
+    gate needing no stored state (evaluable before any index read) and
+    it shrinks both index probes' input.
+
+    Replay safety: the quality verdict is DETERMINISTIC (pure function
+    of the batch and the pinned weight fixture -- plans/qc_weights.py,
+    or the planted table a test passes), so a crash/replay re-gates to
+    the identical kept set and the inner composition's convergence
+    argument applies unchanged. Same static-fixture assumption as the
+    eval index: retraining weights mid-stream is a pipeline restart.
+
+    Scale shape per batch: the gate is batch-sized -- map-side feature
+    explode, broadcast weight table, one per-doc aggregation -- and the
+    weight table is bucket-count-bounded regardless of vocabulary
+    (plans/corpus_queries.py scale note). The corpus is never scanned.
+
+    ``weights``/``bias``/``threshold``/``n_buckets`` default to the
+    trained fixture; tests plant vocabularies through them exactly like
+    ``score_documents_hashed``."""
+    from ..plans.corpus_queries import score_documents_hashed
+    from ..plans.qc_weights import (
+        QC_B,
+        QC_BIAS,
+        QC_KEEP_THRESHOLD,
+        QC_WEIGHTS,
+    )
+
+    w = QC_WEIGHTS if weights is None else weights
+    bs = QC_BIAS if bias is None else bias
+    th = QC_KEEP_THRESHOLD if threshold is None else threshold
+    nb = QC_B if n_buckets is None else n_buckets
+    inner = foreach_batch_corpus_ingest(
+        corpus_path, bands_path, shingles_path, decontam_index_dir, app_id
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        paths = (corpus_path, bands_path, shingles_path)
+        if all(_already_committed(p, app_id, batch_id) for p in paths):
+            return  # fully-committed replay: skip even the gate
+        kept_ids = (
+            score_documents_hashed(
+                batch_df.select("doc_id", "text"), w, bs, th, b=nb
+            )
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        kept = batch_df.join(F.broadcast(kept_ids), "doc_id")
+        inner(kept, batch_id)
+
+    return _sink

@@ -31,6 +31,7 @@ from sec_xbrl_finwarehouse_spark.plans.text_queries import TRAIN_HEX
 from sec_xbrl_finwarehouse_spark.streaming import dedup_ingest
 from sec_xbrl_finwarehouse_spark.streaming.corpus_ingest import (
     foreach_batch_corpus_ingest,
+    foreach_batch_quality_corpus_ingest,
 )
 
 BASE = [f"w{i}" for i in range(40)]
@@ -137,6 +138,45 @@ def test_fully_committed_replay_is_metadata_noop(spark, tmp_path):
     assert [sinks.current_data_dir(p)
             for p in (corpus, bands, shingles)] == versions
     _assert_converged(spark, corpus, bands, shingles)
+
+
+def test_quality_gate_drops_before_index_and_ghosts(spark, tmp_path):
+    """The quality-gated composition's discriminating case: doc 0 fails
+    the planted classifier and must enter neither the corpus nor the
+    MinHash index; doc 2 -- a HIGH-quality near-dup of dropped doc 0
+    (same 36/40-token shape the plain composition's test proves is
+    within the dedup threshold) -- must be admitted on its own merit.
+    An implementation that indexes quality-dropped docs, or gates
+    after dedup, keeps {1} instead of {1, 2}."""
+    qb = 1 << 40  # collision-free planted buckets (md5[:12] is 48 bits)
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:12], 16) % qb
+
+    idx = _build_eval_index(spark, tmp_path)
+    corpus, bands, shingles = _paths(tmp_path)
+    neutral = [f"m{i}" for i in range(36)]
+    low = " ".join(neutral + ["bad1", "bad2", "bad3", "bad4"])
+    high = " ".join(neutral + ["ok1", "ok2", "ok3", "ok4"])
+    # 4 negative unigrams / 79 features = -0.101 < -0.05; every other
+    # doc scores exactly 0.0 and keeps
+    w = {bucket(f"bad{i}"): -2_000_000 for i in (1, 2, 3, 4)}
+    sink = foreach_batch_quality_corpus_ingest(
+        corpus, bands, shingles, idx, app_id="qc-v1",
+        weights=w, bias=0.0, threshold=-0.05, n_buckets=qb,
+    )
+    sink(_docs(spark, [(0, low),
+                       (1, " ".join(f"u{i}" for i in range(40)))]), 0)
+    sink(_docs(spark, [(2, high)]), 1)
+    for table in (corpus, bands, shingles):
+        got = {r["doc_id"] for r in sinks.read_table(spark, table)
+               .select("doc_id").distinct().collect()}
+        assert got == {1, 2}, (table, got)
+    # fully-committed replay through the gated path is a metadata noop
+    versions = [sinks.current_data_dir(p) for p in (corpus, bands, shingles)]
+    sink(_docs(spark, [(2, high)]), 1)
+    assert [sinks.current_data_dir(p)
+            for p in (corpus, bands, shingles)] == versions
 
 
 def test_crash_between_appends_heals_on_replay(spark, tmp_path, monkeypatch):
