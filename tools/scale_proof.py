@@ -168,11 +168,19 @@ PER_QUERY_CAP_SEC = 300.0
 # the marker-token amplification leaves cross-copy texts ~identical, so
 # running a near-dup query on it would measure a manufactured quadratic
 # clique blowup. Here each copy i>0 is passed through a per-copy
-# CAESAR-ROTATED character translation instead: within a copy every
-# document shifts identically, so the copy's internal near-dup structure
-# (token overlap, hamming distances) is preserved, while cross-copy
-# token hashes decorrelate completely -- candidate density scales ~10x
-# linearly, exactly like ten independent shards of a bigger corpus.
+# character bijection instead -- Caesar rotation for i < 26, md5-seeded
+# random permutation for i >= 26 (see build_neardup's docstring for the
+# r12 post-mortem on why rotations alias above the alphabet period):
+# within a copy every document translates identically, so the copy's
+# internal near-dup structure (token overlap, hamming distances) is
+# preserved, while cross-copy token hashes decorrelate completely --
+# candidate density scales linearly, exactly like independent shards of
+# a bigger corpus.
+# generator version stamped into each decorrelated dir's .gen marker:
+# bump when build_neardup's construction changes so stale dirs can
+# never be silently remeasured (the .copies trick, for semantics)
+NEARDUP_GEN = "caesar26+perm-v2"
+
 NEARDUP_QUERIES = [
     "doc_simhash_neardup",
     # r8: edit-distance blocking near-dup -- the Caesar translation
@@ -334,24 +342,54 @@ def build_neardup_emb(spark, out_dir: str, copies: int = COPIES) -> None:
     )
 
 
-def build_neardup(spark, out_dir: str, copies: int = COPIES) -> None:
+def build_neardup(spark, out_dir: str, copies: int = COPIES,
+                  src_dir: str | None = None) -> None:
+    """Decorrelated document corpus: copy 0 unshifted; copies 1..25 are
+    Caesar rotations (kept so the 10x/20x corpora and their recorded
+    datums stay byte-comparable across rounds); copies >= 26 get a
+    per-copy md5-seeded RANDOM PERMUTATION of letters+digits (the
+    audio builder's construction) instead.
+
+    Why the switch at 26 (r12 post-mortem): the alphabet has only 26
+    rotations, and ``_ALPHA[i:]`` for i >= 26 silently slices past the
+    end, degenerating the rotation to the IDENTITY -- so the r11 "50x"
+    corpus had copies 26..49 letter-identical to copy 0 (copies 30, 40
+    byte-identical mod the id shift). Measured on that corpus,
+    doc_minhash_lsh_dedup emitted 1.65M pairs, 99% cross-copy at
+    J~=0.997 -- the manufactured quadratic blowup this module's
+    docstring forbids, which the 50x Spark absolutes (86.4 s) were
+    quietly paying for. A seeded permutation is the same
+    structure-preserving bijection with a 62!-sized family: no
+    multiplicity aliases it."""
+    import hashlib
+    import random
+
     from pyspark.sql import functions as F
 
-    src = spark.read.parquet(f"{SRC}/documents.parquet")
+    src = spark.read.parquet(f"{src_dir or SRC}/documents.parquet")
+    chars = _ALPHA + _ALPHA.upper() + _DIGIT
     parts = [src]
     for i in range(1, copies):
-        rot_a = _ALPHA[i:] + _ALPHA[:i]
-        rot_d = _DIGIT[i % 10:] + _DIGIT[: i % 10]
+        if i < 26:
+            rot_a = _ALPHA[i:] + _ALPHA[:i]
+            rot_d = _DIGIT[i % 10:] + _DIGIT[: i % 10]
+            subst = rot_a + rot_a.upper() + rot_d
+        else:
+            rng = random.Random(
+                int(hashlib.md5(f"textperm_{i}".encode())
+                    .hexdigest()[:15], 16)
+            )
+            lower = list(_ALPHA)
+            rng.shuffle(lower)
+            digit = list(_DIGIT)
+            rng.shuffle(digit)
+            # case-consistent like the Caesar branch: upper mirrors
+            # lower, so case-folding pipelines see one bijection
+            subst = "".join(lower) + "".join(lower).upper() \
+                + "".join(digit)
         c = (
             src.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
-            .withColumn(
-                "text",
-                F.translate(
-                    "text",
-                    _ALPHA + _ALPHA.upper() + _DIGIT,
-                    rot_a + rot_a.upper() + rot_d,
-                ),
-            )
+            .withColumn("text", F.translate("text", chars, subst))
         )
         parts.append(c)
     out = parts[0]
@@ -513,9 +551,25 @@ def main() -> None:
         # measurement, not an extrapolation (MULTS; default 10x + 20x)
         for mult in MULTS:
             nd_dir = f"{out_dir}_neardup{'' if mult == 10 else mult}"
-            if not os.path.exists(f"{nd_dir}/documents.parquet"):
+            gen_marker = os.path.join(nd_dir, ".gen")
+            if os.path.exists(f"{nd_dir}/documents.parquet"):
+                # dirs built before the r12 generator fix carry no .gen
+                # marker; for <= 26 copies the corpora are byte-identical
+                # either way, but a stale high-multiplicity dir is the
+                # degenerate-identity corpus -- refuse to measure on it
+                gen = (open(gen_marker).read()
+                       if os.path.exists(gen_marker) else "caesar-v1")
+                if mult > 26 and gen != NEARDUP_GEN:
+                    raise SystemExit(
+                        f"{nd_dir} was built by generator '{gen}' which "
+                        f"degenerates above 26 copies (r12 post-mortem); "
+                        "delete it or point at a fresh out_dir"
+                    )
+            else:
                 t0 = time.time()
                 build_neardup(spark, nd_dir, copies=mult)
+                with open(gen_marker, "w") as fh:
+                    fh.write(NEARDUP_GEN)
                 print(f"built {nd_dir} in {time.time() - t0:.1f}s",
                       file=sys.stderr)
             nd_con = duckdb.connect()
