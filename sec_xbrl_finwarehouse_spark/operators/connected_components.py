@@ -55,11 +55,21 @@ def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Data
     themselves.
     """
     ca, cb = pairs.columns
+    # one Generate instead of union-of-two-projections: the union form
+    # referenced ``pairs`` twice, so the ENTIRE upstream near-dup
+    # pipeline (LSH candidates + verification) evaluated once per
+    # branch during the materializing count below (guide §1.2; the
+    # callers' internal persists only blunted, not removed, the second
+    # pass). The explode emits both edge directions from a single scan
+    # of the pair set -- identical rows.
     edges_raw = (
-        pairs.select(F.col(ca).alias("src"), F.col(cb).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(cb).alias("src"), F.col(ca).alias("dst"))
+        pairs.select(
+            F.explode(F.array(
+                F.struct(F.col(ca).alias("src"), F.col(cb).alias("dst")),
+                F.struct(F.col(cb).alias("src"), F.col(ca).alias("dst")),
+            )).alias("e")
         )
+        .select("e.src", "e.dst")
         .persist()
     )
     # materialize the edge set once (the first iteration would have
@@ -80,11 +90,20 @@ def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Data
     ))
     edges = edges_raw.repartition(width, "dst").localCheckpoint(eager=True)
     edges_raw.unpersist()
+    # LAZY checkpoints from here on (guide §1.2: the iteration cost on a
+    # pair graph this small is Spark job overhead, not data): the
+    # convergence-sum action below is the job that materializes each
+    # round's labels checkpoint, so one job per iteration does
+    # propagate + checkpoint + fixpoint test. The eager spelling ran
+    # TWO jobs per round (checkpoint, then sum) plus a third up front
+    # for the initial labels -- measured r12 at sf0.1 via the
+    # clusters-minus-neardup deltas: doc 1.67 s -> 0.94 s, emb 1.18 s
+    # -> 0.61 s for the loop, identical labels.
     labels = (
         edges.select(F.col("src").alias("node_id"))
         .distinct()
         .withColumn("rep", F.col("node_id"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     for _ in range(max_iters):
@@ -99,7 +118,7 @@ def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Data
                 "node_id",
                 F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur = labels.agg(F.sum("rep")).first()[0]
         if cur == prev_sum:

@@ -48,7 +48,7 @@ from .image_queries import (
     PHASH_N,
     phash_tail_ctes,
 )
-from .text_queries import _documents
+from .text_queries import _documents, _persist_hot
 
 # same lossless banding geometry as the image family: 7 x 9 = 63 bits,
 # pigeonhole guarantees any pair within Hamming 6 collides on a band
@@ -83,7 +83,9 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bit_count(xor) <= {AUDIO_HAM_MAX}`` verification, Hamming filter
     BEFORE the pair distinct (survivor-sized shuffle). Lossless by
     pigeonhole; NULL fingerprints (too-short clips) never band."""
-    sh = _doc_afps(spark, sf_dir).filter(F.col("afp").isNotNull())
+    # persisted: both self-join sides + the guide §4.4 pushdown
+    # duplication of the Arrow fingerprint kernel (see the image twin)
+    sh = _persist_hot(_doc_afps(spark, sf_dir).filter(F.col("afp").isNotNull()))
     banded = sh.select(
         "doc_id", "afp",
         F.explode(F.array(*[

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import parallelize_scan, table_path
+from .text_queries import _persist_hot
 
 N_QUERIES = 10        # vec_id < N_QUERIES are the query set
 TOPK = 5
@@ -145,6 +146,19 @@ def _cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_n(a, b, na, nb):
+    """Cosine with the norms precomputed by the caller: bit-identical to
+    :func:`_cosine` (same IEEE ops -- the norm of a vector is the same
+    double whether computed beside the dot product or in an earlier
+    projection; ``*`` is commutative bit-for-bit), but the O(dim)
+    norm folds run once per VECTOR instead of once per scored PAIR.
+    Guide §1.2 (per-task work): the interpreted higher-order-function
+    fold is the entire scoring cost here, and 2 of its 3 O(dim) passes
+    per pair are redundant -- hoisting them to the fetch projection cuts
+    the pair-scoring work to the dot product alone."""
+    return _dot(a, b) / (na * nb)
+
+
 # DuckDB spelling of the same double-promoted cosine.
 _DUCK_COS = (
     "round(list_sum([{a}[i] * {b}[i] for i in range(1, len({a}) + 1)])"
@@ -170,16 +184,19 @@ def q_emb_ann_topk(
     if sample_queries:
         queries = queries.filter(_sample_pred(F.col("vec_id")))
     queries = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+        _norm(F.col("emb")).alias("qn"),
     )
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "emb"
+        F.col("vec_id").alias("neighbor_id"), "emb",
+        _norm(F.col("emb")).alias("cn"),
     )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .select(
             "query_id", "neighbor_id",
-            F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+            F.round(_cosine_n(F.col("qemb"), F.col("emb"),
+                              F.col("qn"), F.col("cn")), 6).alias("cosine"),
         )
     )
     return _topk_per_query(scored)
@@ -235,12 +252,20 @@ def q_emb_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), "emb"
     )
-    coarse_scored = corpus.crossJoin(F.broadcast(queries)).select(
-        "query_id", "neighbor_id",
-        F.round(
-            _cosine(F.slice("qemb", 1, PREFIX_DIMS),
-                    F.slice("emb", 1, PREFIX_DIMS)), 6
-        ).alias("cosine"),
+    coarse_scored = (
+        corpus.withColumn("cpre", F.slice("emb", 1, PREFIX_DIMS))
+        .withColumn("cpn", _norm(F.col("cpre")))
+        .crossJoin(F.broadcast(
+            queries.withColumn("qpre", F.slice("qemb", 1, PREFIX_DIMS))
+            .withColumn("qpn", _norm(F.col("qpre")))
+        ))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                _cosine_n(F.col("qpre"), F.col("cpre"),
+                          F.col("qpn"), F.col("cpn")), 6
+            ).alias("cosine"),
+        )
     )
     pool = _topk_per_query(coarse_scored, k=PREFIX_POOL).select(
         "query_id", "neighbor_id", F.col("cosine").alias("coarse")
@@ -308,11 +333,16 @@ def q_emb_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     below is the sub-quadratic scale path. The join condition keeps
     only v1 < v2, and one side is broadcast when it fits."""
     e = _embeddings(spark, sf_dir).select("vec_id", "emb")
-    a = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"))
+    # norms hoisted below the theta join (guide §1.2): computed once per
+    # VECTOR in each side's projection instead of once per O(n^2) pair
+    a = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
+                 _norm(F.col("emb")).alias("n1"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
+                 _norm(F.col("emb")).alias("n2"))
     return (
         a.join(b, F.col("v1") < F.col("v2"))
-        .withColumn("cosine", F.round(_cosine(F.col("e1"), F.col("e2")), 6))
+        .withColumn("cosine", F.round(_cosine_n(F.col("e1"), F.col("e2"),
+                                                F.col("n1"), F.col("n2")), 6))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .select("v1", "v2", "cosine")
     )
@@ -489,23 +519,25 @@ def q_emb_lsh_ann_topk(
     # plane is a coin flip); Hamming-2 lifts it to the >= 0.85 gate
     # without clustering assumptions (BASELINE.md r9 probe sweep).
     q = q.select(
-        "query_id", "qemb", "tbl",
+        "query_id", "qemb", _norm(F.col("qemb")).alias("qn"), "tbl",
         F.explode(F.array(
             *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in PROBE_MASKS],
         )).alias("bucket"),
     )
     c = (
         _bucketed(e.filter(F.col("vec_id") >= N_QUERIES))
-        .select(F.col("vec_id").alias("neighbor_id"), "emb", "tbl", "bucket")
+        .select(F.col("vec_id").alias("neighbor_id"), "emb",
+                _norm(F.col("emb")).alias("cn"), "tbl", "bucket")
     )
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
-        .select("query_id", "qemb", "neighbor_id", "emb")
+        .select("query_id", "qemb", "qn", "neighbor_id", "emb", "cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cand.select(
         "query_id", "neighbor_id",
-        F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+        F.round(_cosine_n(F.col("qemb"), F.col("emb"),
+                          F.col("qn"), F.col("cn")), 6).alias("cosine"),
     )
     return _topk_per_query(scored)
 
@@ -607,7 +639,12 @@ def q_emb_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     true near-duplicates), unit-tested on planted duplicates."""
     e = _embeddings(spark, sf_dir, parallel=False).select("vec_id", "emb")
     buckets = _lsh_buckets_udf()
-    b = (
+    # persisted: the bucket table feeds BOTH self-join sides, and the
+    # two sides' projections alias differently so exchange reuse cannot
+    # fire -- unpersisted, the Arrow bucket UDF (and the scan under it)
+    # executed once per side (guide §1.2/§4). LSH_TABLES rows per
+    # vector; at 100 TB set the hot-set level to DISK_ONLY (conf).
+    b = _persist_hot(
         e.select("vec_id", buckets("emb").alias("bks"))
         .select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
     )
@@ -619,11 +656,14 @@ def q_emb_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v1", "v2")
         .dropDuplicates(["v1", "v2"])
     )
-    e1 = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"))
-    e2 = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"))
+    e1 = e.select(F.col("vec_id").alias("v1"), F.col("emb").alias("e1"),
+                  _norm(F.col("emb")).alias("n1"))
+    e2 = e.select(F.col("vec_id").alias("v2"), F.col("emb").alias("e2"),
+                  _norm(F.col("emb")).alias("n2"))
     return (
         cand.join(e1, "v1").join(e2, "v2")
-        .withColumn("cosine", F.round(_cosine(F.col("e1"), F.col("e2")), 6))
+        .withColumn("cosine", F.round(_cosine_n(F.col("e1"), F.col("e2"),
+                                                F.col("n1"), F.col("n2")), 6))
         .filter(F.col("cosine") >= NEARDUP_COS)
         .select("v1", "v2", "cosine")
     )
@@ -735,7 +775,9 @@ def q_emb_knn_graph(
     BASELINE.md r11."""
     e = _embeddings(spark, sf_dir, parallel=False).select("vec_id", "emb")
     buckets = _lsh_buckets_udf(lsh_bits)
-    b = (
+    # persisted for the same reason as q_emb_lsh_neardup's bucket table:
+    # both self-join sides, differently aliased, no exchange reuse
+    b = _persist_hot(
         e.select("vec_id", buckets("emb").alias("bks"))
         .select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
     )
@@ -747,16 +789,19 @@ def q_emb_knn_graph(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    eq_ = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    eq_ = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
+                   _norm(F.col("emb")).alias("qn"))
     en = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"),
+        _norm(F.col("emb")).alias("nn"),
     )
     scored = (
         cand.join(eq_, "query_id")
         .join(en, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
-            F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("cosine"),
+            F.round(_cosine_n(F.col("qe"), F.col("ne"),
+                              F.col("qn"), F.col("nn")), 6).alias("cosine"),
         )
     )
     return _topk_per_query(scored).withColumnRenamed("query_id", "vec_id")
@@ -819,7 +864,14 @@ def q_emb_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph: md5 planes, round-6 cosine, neighbor_id tie-break -- the
     DuckDB oracle reproduces the refined graph bit-exactly."""
     e = _embeddings(spark, sf_dir, parallel=False).select("vec_id", "emb")
-    g = q_emb_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    # persisted: the seed graph feeds BOTH sides of the 2-hop self-join
+    # AND the union branch (3 plan references) -- unpersisted, the whole
+    # LSH + candidate + rerank seed pipeline executed once per reference
+    # (guide §1.2 / §5: recomputing beats caching only when the
+    # intermediate is cheap; the seed graph is k x corpus rows, tiny).
+    g = _persist_hot(
+        q_emb_knn_graph(spark, sf_dir).select("vec_id", "neighbor_id")
+    )
     hop = g.select(
         F.col("vec_id").alias("mid"), F.col("neighbor_id").alias("hop2")
     )
@@ -834,16 +886,19 @@ def q_emb_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["vec_id", "neighbor_id"])
         .withColumnRenamed("vec_id", "query_id")
     )
-    eq_ = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
+    eq_ = e.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"),
+                   _norm(F.col("emb")).alias("qn"))
     en = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne")
+        F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("ne"),
+        _norm(F.col("emb")).alias("nn"),
     )
     scored = (
         cand.join(eq_, "query_id")
         .join(en, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
-            F.round(_cosine(F.col("qe"), F.col("ne")), 6).alias("cosine"),
+            F.round(_cosine_n(F.col("qe"), F.col("ne"),
+                              F.col("qn"), F.col("nn")), 6).alias("cosine"),
         )
     )
     return _topk_per_query(scored).withColumnRenamed("query_id", "vec_id")
@@ -969,23 +1024,26 @@ def q_emb_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents_one_row = _cells_one_row(_centroids(e))
     assigned = (
         e.filter(F.col("vec_id") >= N_QUERIES)
-        .select(F.col("vec_id").alias("neighbor_id"), "emb")
+        .select(F.col("vec_id").alias("neighbor_id"), "emb",
+                _norm(F.col("emb")).alias("cn"))
         .crossJoin(cents_one_row)
-        .select("neighbor_id", "emb",
+        .select("neighbor_id", "emb", "cn",
                 _nearest_cells(F.col("emb"), 1)[0]["cell"].alias("cell"))
     )
     probes = (
         e.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"),
+                _norm(F.col("emb")).alias("qn"))
         .crossJoin(cents_one_row)
-        .select("query_id", "qemb",
+        .select("query_id", "qemb", "qn",
                 F.explode(F.transform(
                     _nearest_cells(F.col("qemb"), NPROBE), lambda s: s["cell"]
                 )).alias("cell"))
     )
     scored = assigned.join(F.broadcast(probes), "cell").select(
         "query_id", "neighbor_id",
-        F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+        F.round(_cosine_n(F.col("qemb"), F.col("emb"),
+                          F.col("qn"), F.col("cn")), 6).alias("cosine"),
     )
     return _topk_per_query(scored)
 
@@ -1679,11 +1737,13 @@ def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("neighbor_label"),
     )
     scored = (
-        corpus.crossJoin(F.broadcast(queries))
+        corpus.withColumn("cn", _norm(F.col("emb")))
+        .crossJoin(F.broadcast(queries.withColumn("qn", _norm(F.col("qemb")))))
         .filter(F.col("neighbor_label") != F.col("qlabel"))
         .select(
             "query_id", "neighbor_id", "neighbor_label",
-            F.round(_cosine(F.col("qemb"), F.col("emb")), 6).alias("cosine"),
+            F.round(_cosine_n(F.col("qemb"), F.col("emb"),
+                              F.col("qn"), F.col("cn")), 6).alias("cosine"),
         )
     )
     # the label rides through the shared top-k (carry): no second

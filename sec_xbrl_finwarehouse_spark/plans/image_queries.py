@@ -53,7 +53,7 @@ from ..functions.phash import (
     RASTER_PX,
     text_phash_column,
 )
-from .text_queries import _documents
+from .text_queries import _documents, _persist_hot
 
 PHASH_D_N = PHASH_D * PHASH_N  # 256: row-pass intermediate size
 PHASH_DD = PHASH_D * PHASH_D   # 64: low-frequency block size
@@ -89,7 +89,12 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct (survivor-sized shuffle -- the ordering measured on the
     SimHash twin). Lossless by pigeonhole: <= 6 differing bits cannot
     touch all 7 bands."""
-    sh = _doc_phashes(spark, sf_dir)
+    # persisted: the hash table feeds both self-join sides, and the
+    # isnotnull(key) pushdown additionally DUPLICATED the Arrow pHash
+    # kernel below the pushed filter on each side (guide §4.4 -- the
+    # before-plan shows 2 ArrowEvalPython per side, 4 kernel passes
+    # total); one persist makes it 1 pass. 16 bytes/doc.
+    sh = _persist_hot(_doc_phashes(spark, sf_dir))
     banded = sh.select(
         "doc_id", "phash",
         F.explode(F.array(*[

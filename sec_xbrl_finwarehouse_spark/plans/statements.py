@@ -243,6 +243,61 @@ def _wide_v3_argmax(facts: DataFrame) -> DataFrame:
     )
 
 
+def _wide_v1v2_argmax(facts: DataFrame, filings: DataFrame) -> DataFrame:
+    """Fused dedup+pivot for v1/v2, the W2 twin of :func:`_wide_v3_argmax`.
+
+    The W2 winner (form-priority CASE, then filed DESC NULLS LAST, then
+    the ``value DESC`` tiebreak) is an argmax under ONE packed scalar
+    key: ``(1 - form_priority) << 24 | days(filed since 0001-01-01)``.
+    The priority bit dominates because the day count is < 2^24 for any
+    representable date, and NULL filed floors to day 0 -- exactly the
+    ``desc_nulls_last`` order. Equal-key rows differ only in value, so
+
+      stage 1: groupBy(cik, fy, tag, key) . max(value)
+      stage 2: groupBy(cik, fy) . pivot(tag) . max_by(value, key)
+
+    are both whole-stage-codegen HashAggregates with primitive buffers
+    (the struct-keyed ``max_by`` alternative falls back to
+    ObjectHashAggregate -- see the v3 docstring). Identical output to
+    the window path (tests/test_statements_versions.py)."""
+    joined = (
+        facts.alias("f")
+        .join(
+            F.broadcast(
+                filings.select("accession_no", "fiscal_year", "fiscal_period")
+            ).alias("fl"),
+            F.col("f.filing_accession_no") == F.col("fl.accession_no"),
+            "inner",
+        )
+        .filter(
+            F.col("fl.fiscal_year").isNotNull()
+            & (F.col("fl.fiscal_period") == "FY")
+            & (F.col("f.unit") == "USD")
+        )
+        .select("f.tag", "f.value", "f.cik", "f.form", "f.filed",
+                F.col("fl.fiscal_year").alias("fiscal_year"))
+    )
+    floor = F.lit("0001-01-01").cast("date")
+    filed_days = F.datediff(
+        desc_nulls_last_key(F.col("filed"), floor), floor
+    ).cast("long")
+    key = (
+        (F.lit(1).cast("long") - form_priority(F.col("form")))
+        * F.lit(1 << 24).cast("long")
+        + filed_days
+    )
+    long = joined.select("cik", "fiscal_year", "tag", "value",
+                         key.alias("__key"))
+    stage1 = long.groupBy("cik", "fiscal_year", "tag", "__key").agg(
+        F.max("value").alias("value")
+    )
+    return (
+        stage1.groupBy("cik", "fiscal_year")
+        .pivot("tag", list(_ALL_TAGS))
+        .agg(F.max_by(F.col("value"), F.col("__key")))
+    )
+
+
 def build_statements(
     facts: DataFrame,
     version: str = "v3",
@@ -253,7 +308,7 @@ def build_statements(
     """facts -> statements_annual (one row per cik x fiscal_year).
 
     ``strategy='argmax'`` (default) fuses dedup+pivot into one hash
-    aggregation; ``'window'`` is the literal W1 row_number spelling --
+    aggregation; ``'window'`` is the literal W1/W2 row_number spelling --
     same results, used for differential testing.
     """
     if version == "v3" and strategy == "argmax":
@@ -264,8 +319,13 @@ def build_statements(
     elif version in ("v1", "v2"):
         if filings is None:
             raise ValueError(f"{version} requires the filings dimension (J1)")
-        long = canonical_tag_values_v1v2(facts, filings, deterministic)
-        wide = pivot_first(long, ["cik", "fiscal_year"], "tag", "value", _ALL_TAGS)
+        if strategy == "argmax":
+            wide = _wide_v1v2_argmax(facts, filings)
+        else:
+            long = canonical_tag_values_v1v2(facts, filings, deterministic)
+            wide = pivot_first(
+                long, ["cik", "fiscal_year"], "tag", "value", _ALL_TAGS
+            )
     else:
         raise ValueError(f"unknown statements version: {version}")
 

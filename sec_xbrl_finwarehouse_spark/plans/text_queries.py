@@ -1030,7 +1030,13 @@ def q_doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    pairs = (
+    # persisted: the verified pair set feeds BOTH the broadcast doc-id
+    # semi-join below and the final estimate join -- unpersisted, the
+    # whole candidate+verify chain (3 joins + 2 aggregations) executed
+    # twice, once for the broadcast build and once for the output plan
+    # (guide §1.2/§5: don't compute things twice; measured r12, the
+    # audit was 2.4x the LSH dedup it builds on). Pair-graph-sized.
+    pairs = _persist_hot(
         _jaccard_from_exploded(ex, cand)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "jaccard")
@@ -1789,9 +1795,13 @@ def q_doc_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints once."""
     bits_per = SIMHASH_BITS // SIMHASH_BANDS
     d = _documents(spark, sf_dir)
-    sh = _simhash_from_tokens(
+    # persisted: the fingerprint table feeds both self-join sides; the
+    # sides alias differently so exchange reuse does not collapse them
+    # and the token-explode + 60-bit-sum aggregation ran once per side
+    # (guide §1.2). 16 bytes/doc.
+    sh = _persist_hot(_simhash_from_tokens(
         d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    )
+    ))
     banded = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[

@@ -77,3 +77,60 @@ def test_v3_period_boundaries(spark):
     ])
     out = {r["cik"]: r["revenues"] for r in build_statements(facts, "v3").collect()}
     assert out == {"D": 2.0, "E": 3.0}
+
+
+# r12 OPTIMIZATION: the fused v1/v2 argmax pivot must be row-identical
+# to the literal W2 window spelling on an adversarial fixture: NULL
+# filed (DESC NULLS LAST), same-day refilings (value DESC tiebreak),
+# 10-K-vs-20-F priority beating recency, and a cik with ONLY a
+# lower-priority form.
+V1V2_ARGMAX_ROWS = [
+    # 20-F newer vs 10-K older: priority must win over recency
+    ("C", "us-gaap", "Revenues", "USD", "2020-01-01", "2020-12-31",
+     1.0, "a", "10-K", "2021-01-01", None),
+    ("C", "us-gaap", "Revenues", "USD", "2020-01-01", "2020-12-31",
+     2.0, "b", "20-F", "2021-06-01", None),
+    # same-day 10-K refilings: value DESC tiebreak
+    ("C", "us-gaap", "NetIncomeLoss", "USD", "2020-01-01", "2020-12-31",
+     5.0, "c", "10-K", "2021-02-01", None),
+    ("C", "us-gaap", "NetIncomeLoss", "USD", "2020-01-01", "2020-12-31",
+     7.0, "d", "10-K", "2021-02-01", None),
+    # NULL filed vs real filed at equal priority: NULLS LAST
+    ("D", "us-gaap", "Revenues", "USD", "2020-01-01", "2020-12-31",
+     9.0, "e", "20-F", None, None),
+    ("D", "us-gaap", "Revenues", "USD", "2020-01-01", "2020-12-31",
+     3.0, "f", "20-F", "2021-01-01", None),
+    # only a 20-F anywhere: must still surface
+    ("E", "us-gaap", "Assets", "USD", None, "2020-12-31",
+     11.0, "g", "20-F", "2021-03-01", None),
+]
+V1V2_ARGMAX_FILINGS = [
+    ("a", 2020, "FY"), ("b", 2020, "FY"), ("c", 2020, "FY"),
+    ("d", 2020, "FY"), ("e", 2020, "FY"), ("f", 2020, "FY"),
+    ("g", 2020, "FY"),
+]
+
+
+def _sorted_rows(df):
+    cols = sorted(df.columns)
+    return sorted(
+        [tuple(str(r[c]) for c in cols) for r in df.collect()]
+    )
+
+
+def test_v1v2_argmax_matches_window(spark):
+    facts = _facts(spark, V1V2_ARGMAX_ROWS)
+    filings = _filings(spark, V1V2_ARGMAX_FILINGS)
+    for version in ("v1", "v2"):
+        fused = build_statements(facts, version, filings=filings,
+                                 strategy="argmax")
+        window = build_statements(facts, version, filings=filings,
+                                  strategy="window")
+        assert _sorted_rows(fused) == _sorted_rows(window), version
+    # spot semantics: priority beats recency, NULLS LAST, value DESC tie
+    out = {r["cik"]: r for r in
+           build_statements(facts, "v1", filings=filings).collect()}
+    assert out["C"]["revenues"] == 1.0       # 10-K wins over newer 20-F
+    assert out["C"]["net_income"] == 7.0     # same-day tie -> max value
+    assert out["D"]["revenues"] == 3.0       # real filed beats NULL
+    assert out["E"]["total_assets"] == 11.0  # lone 20-F survives
