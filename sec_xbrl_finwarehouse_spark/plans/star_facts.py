@@ -126,46 +126,53 @@ def synthetic_facts(
     # explicit projection documents what the exchange actually carries;
     # Catalyst's ColumnPruning reaches the same scan/shuffle schema (6
     # measure columns + 8 derived) either way -- verified via ReadSchema.
+    #
+    # r12 OPTIMIZATION: the whole builder is ONE ``spark.sql`` template
+    # (the snippets above were already SQL text) instead of ~60 composed
+    # Column objects -- the Column spelling cost ~0.4 s of driver time
+    # per compose (py4j round-trips; guide §1.2 applied to the driver),
+    # paid by every statements/ratios/screener query. The REPARTITION
+    # hint is the SQL spelling of the same cik exchange. Identical rows
+    # and plan shape (oracle-exact, tests/test_statements_versions.py).
     branch_inputs = ("l_extendedprice", "l_discount", "l_tax", "l_quantity",
                      "l_returnflag", "l_linestatus", "l_suppkey")
-    base = lineitem.select(
-        *branch_inputs, *[F.expr(sql).alias(name) for name, sql in BASE_COLS.items()]
+    base_cols = ",\n               ".join(
+        f"{sql} AS {name}" for name, sql in BASE_COLS.items()
     )
-    if entity_partitions:
-        base = base.repartition(entity_partitions, "cik")
-    branches = [
-        F.struct(
-            F.lit(b.tag).alias("tag"),
-            F.lit(b.stock).alias("is_stock"),
-            (
-                F.when(F.expr(b.where_sql), F.expr(b.value_sql))
-                if b.where_sql else F.expr(b.value_sql)
-            ).cast("double").alias("value"),
+    hint = (f"/*+ REPARTITION({entity_partitions}, cik) */ "
+            if entity_partitions else "")
+    branch_structs = ", ".join(
+        "struct('{tag}' AS tag, {stock} AS is_stock, CAST({val} AS DOUBLE)"
+        " AS value)".format(
+            tag=b.tag,
+            stock="true" if b.stock else "false",
+            val=(f"CASE WHEN {b.where_sql} THEN {b.value_sql} END"
+                 if b.where_sql else b.value_sql),
         )
         for b in FACT_BRANCHES
         if tags is None or b.tag in tags
-    ]
-    exploded = (
-        base.select(
-            "cik", "taxonomy", "unit", "form", "filed", "accn", "y", "quarterly",
-            F.explode(F.array(*branches)).alias("t"),
-        )
-        .filter(F.col("t.value").isNotNull())
     )
-    return exploded.select(
-        "cik",
-        "taxonomy",
-        F.col("t.tag").alias("tag"),
-        "unit",
-        F.when(F.col("t.is_stock"), F.expr(STOCK_PERIOD_START))
-        .otherwise(F.expr(FLOW_PERIOD_START))
-        .alias("period_start"),
-        F.expr(PERIOD_END).alias("period_end"),
-        F.col("t.value").alias("value"),
-        F.col("accn").alias("filing_accession_no"),
-        "form",
-        "filed",
-        F.lit(None).cast("string").alias("frame"),
+    return lineitem.sparkSession.sql(
+        f"""
+        WITH base AS (
+          SELECT {hint}{", ".join(branch_inputs)},
+               {base_cols}
+          FROM {{lineitem}}
+        ),
+        exploded AS (
+          SELECT cik, taxonomy, unit, form, filed, accn, y, quarterly, t
+          FROM base LATERAL VIEW explode(array({branch_structs})) AS t
+          WHERE t.value IS NOT NULL
+        )
+        SELECT cik, taxonomy, t.tag AS tag, unit,
+               CASE WHEN t.is_stock THEN {STOCK_PERIOD_START}
+                    ELSE {FLOW_PERIOD_START} END AS period_start,
+               {PERIOD_END} AS period_end,
+               t.value AS value, accn AS filing_accession_no, form, filed,
+               CAST(NULL AS STRING) AS frame
+        FROM exploded
+        """,
+        lineitem=lineitem,
     )
 
 

@@ -930,30 +930,41 @@ def minhash_bands_of(ex: DataFrame) -> DataFrame:
     single hash (MINHASH_COEFFS), one groupBy(doc_id) with partial mins,
     then explode to band keys. Shared by the batch dedup query and the
     incremental-index path (plans/incremental_dedup.py) so stored and
-    freshly-computed signatures are always comparable."""
-    hashed = ex.select(
-        "doc_id",
-        F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)).alias("sh"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_PRIME))
-          .alias(f"h{i}")
-          for i, (a, b) in enumerate(MINHASH_COEFFS)]
+    freshly-computed signatures are always comparable.
+
+    r12 OPTIMIZATION: composed as ONE ``spark.sql`` template instead of
+    ~400 Column objects (128 min terms + 64 band structs, each costing
+    ~10 py4j round-trips) -- the Column spelling spent 2.3 s of DRIVER
+    time per query composing this block (cProfile: 22k socket round
+    trips; guide §1.2 applied to the driver). Identical rows and schema
+    (differentially tested old-vs-new at sf0.1, diff 0)."""
+    mins = ", ".join(
+        f"min(({a}L * sh + {b}L) % {MINHASH_PRIME}L) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
     )
     n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col(f"h{b * MINHASH_BAND_ROWS + r}")
-                                 for r in range(MINHASH_BAND_ROWS)]).alias("bh"),
-                )
-                for b in range(n_bands)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bh")
+    bands = ", ".join(
+        "struct({b} AS band, xxhash64({cols}) AS bh)".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * MINHASH_BAND_ROWS + r}"
+                for r in range(MINHASH_BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return ex.sparkSession.sql(
+        f"""
+        WITH hashed AS (
+          SELECT doc_id, pmod(xxhash64(shingle), {MINHASH_PRIME}) AS sh
+          FROM {{ex}}
+        ),
+        sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, bk.band AS band, bk.bh AS bh
+        FROM sig LATERAL VIEW explode(array({bands})) AS bk
+        """,
+        ex=ex,
+    )
 
 
 def q_doc_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,13 +1064,16 @@ def q_doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long") % MINHASH_PRIME
         ).alias("sh"),
     )
-    sig = hp.groupBy("doc_id").agg(
-        F.array(*[
-            F.min(
-                (F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_PRIME)
-            )
-            for a, b in MINHASH_COEFFS
-        ]).alias("sig")
+    # r12 OPTIMIZATION: one SQL template instead of 128 composed min()
+    # Columns -- the Column spelling cost ~1.1 s of driver time per
+    # compose (py4j round-trips; see minhash_bands_of). Same rows.
+    mins = ", ".join(
+        f"min(({a}L * sh + {b}L) % {MINHASH_PRIME}L)"
+        for a, b in MINHASH_COEFFS
+    )
+    sig = hp.sparkSession.sql(
+        f"SELECT doc_id, array({mins}) AS sig FROM {{hp}} GROUP BY doc_id",
+        hp=hp,
     )
     j = (
         pairs.join(
@@ -1708,24 +1722,28 @@ def _simhash_from_tokens(toks: DataFrame) -> DataFrame:
     """(doc_id, tok) -> (doc_id, simhash): per bit, sum +1/-1 by the
     token-hash bit, sign -> fingerprint bit. One groupBy(doc_id) with 60
     conditional sums (map-side partial agg), then reassembly -- all
-    built-ins, no UDF. 60 bits keep the fingerprint a positive long."""
+    built-ins, no UDF. 60 bits keep the fingerprint a positive long.
+
+    r12 OPTIMIZATION: composed as ONE ``spark.sql`` template instead of
+    120 conditional-sum/reassembly Columns -- the Column spelling cost
+    ~1.3 s of driver time per compose (py4j round-trips; guide §1.2
+    applied to the driver). Identical rows."""
     hashed = toks.withColumn("th", _portable_hash60(F.col("tok")))
-    bit_sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
-                       F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
-        ]
+    sums = ", ".join(
+        f"sum(CASE WHEN (shiftright(th, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+        f" AS b{i}"
+        for i in range(SIMHASH_BITS)
     )
-    return bit_sums.select(
-        "doc_id",
-        sum(
-            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0))
-             .cast("long") * F.lit(1 << i).cast("long"))
-            for i in range(SIMHASH_BITS)
-        ).alias("simhash"),
+    fp = " + ".join(
+        f"CAST(CASE WHEN b{i} > 0 THEN 1 ELSE 0 END AS BIGINT) * {1 << i}L"
+        for i in range(SIMHASH_BITS)
+    )
+    return hashed.sparkSession.sql(
+        f"""
+        WITH bit_sums AS (SELECT doc_id, {sums} FROM {{hashed}} GROUP BY doc_id)
+        SELECT doc_id, {fp} AS simhash FROM bit_sums
+        """,
+        hashed=hashed,
     )
 
 
