@@ -88,40 +88,54 @@ def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Data
         edges_raw.sparkSession.sparkContext.defaultParallelism,
         (n_edges + EDGES_PER_PARTITION - 1) // EDGES_PER_PARTITION,
     ))
-    edges = edges_raw.repartition(width, "dst").localCheckpoint(eager=True)
-    edges_raw.unpersist()
-    # LAZY checkpoints from here on (guide §1.2: the iteration cost on a
-    # pair graph this small is Spark job overhead, not data): the
-    # convergence-sum action below is the job that materializes each
-    # round's labels checkpoint, so one job per iteration does
-    # propagate + checkpoint + fixpoint test. The eager spelling ran
-    # TWO jobs per round (checkpoint, then sum) plus a third up front
-    # for the initial labels -- measured r12 at sf0.1 via the
-    # clusters-minus-neardup deltas: doc 1.67 s -> 0.94 s, emb 1.18 s
-    # -> 0.61 s for the loop, identical labels.
+    # LAZY checkpoints throughout (guide §1.2: the iteration cost on a
+    # pair graph this small is Spark job overhead, not data): every
+    # materialization below is absorbed into the next convergence
+    # action, so the whole loop runs ONE job per round. The edges
+    # checkpoint is materialized by round 1's job; its repartition
+    # shuffle files are reused by every later reference, so the lazy
+    # spelling costs no recompute (r12: the eager edges checkpoint and
+    # the separate initial-labels job were pure job-overhead, ~0.3 s
+    # per cluster query at sf0.1).
+    edges = edges_raw.repartition(width, "dst").localCheckpoint(eager=False)
+    # Round 1 fused into initialization: labels start as the identity,
+    # so the first Hash-Min propagation min(self, neighbors) needs no
+    # join at all -- it is a single aggregation over the edge list
+    # (both directions are present, so every node appears as src).
     labels = (
-        edges.select(F.col("src").alias("node_id"))
-        .distinct()
-        .withColumn("rep", F.col("node_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(
+            F.col("src").alias("node_id"),
+            F.least(F.col("src"), F.col("mn")).alias("rep"),
+        )
         .localCheckpoint(eager=False)
     )
-    prev_sum = None
-    for _ in range(max_iters):
+    # Convergence is detected IN-ROUND: each propagation carries a
+    # ``changed`` flag (labels only ever decrease, so changed=0 is the
+    # fixpoint), and the one scalar action per round both materializes
+    # the round's checkpoint and tests it. The previous sum-compare
+    # spelling needed a full extra round after convergence just to
+    # observe the sum was unchanged -- one whole join+agg job saved on
+    # every near-clique graph (they converge in 1-2 rounds).
+    for _ in range(max_iters - 1):
         nmin = (
             edges.join(labels, edges["dst"] == labels["node_id"])
             .groupBy("src")
             .agg(F.min("rep").alias("nrep"))
         )
-        labels = (
+        stepped = (
             labels.join(nmin, labels["node_id"] == nmin["src"], "left")
             .select(
                 "node_id",
                 F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep"),
+                (F.coalesce("nrep", "rep") < F.col("rep")).alias("chg"),
             )
             .localCheckpoint(eager=False)
         )
-        cur = labels.agg(F.sum("rep")).first()[0]
-        if cur == prev_sum:
+        n_changed = stepped.agg(F.sum(F.col("chg").cast("long"))).first()[0]
+        labels = stepped.select("node_id", "rep")
+        if not n_changed:
             break
-        prev_sum = cur
+    edges_raw.unpersist()
     return labels

@@ -23,6 +23,8 @@ exchange on top of the per-modality pipelines.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,14 +73,39 @@ def q_multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard-verified), image banded-Hamming pairs, and audio
     banded-Hamming pairs, unioned into one edge set and closed
     transitively -- every document labeled with its cross-modal
-    component's min doc_id, ``keep`` marking the canonical copy."""
+    component's min doc_id, ``keep`` marking the canonical copy.
+
+    r12 OPTIMIZATION (guide §2.6, overlap independent jobs): the three
+    modal pair pipelines share no inputs past the raw scans, but a
+    single lazy union evaluated them back-to-back inside one action --
+    each pipeline's straggler tail (and its driver-side planning) left
+    the cluster idle before the next one started. The pair graphs are
+    persisted and materialized in TWO driver lanes: the text pipeline
+    (pure JVM codegen) in one, the image-then-audio pipelines (Arrow
+    Python kernels) serialized in the other -- overlapping the two
+    Python-kernel pipelines with EACH OTHER was measured slower (two
+    concurrent 32-task Arrow stages spawn ~2x the Python workers and
+    thrash the decode kernels' CPU/memory), while JVM work overlaps
+    Python-worker work on disjoint resources. The CC edge count then
+    reads the cached pair sets. Same union, same rows (scheduling
+    only); on a cluster the same two-lane overlap backfills executors
+    (guide §2.6)."""
+    text = q_doc_minhash_lsh_dedup(spark, sf_dir).select("d1", "d2").persist()
+    image = q_image_neardup(spark, sf_dir).select("d1", "d2").persist()
+    audio = q_audio_neardup(spark, sf_dir).select("d1", "d2").persist()
+
+    def _lane(lane: tuple[tuple[str, DataFrame], ...]) -> None:
+        for modality, df in lane:
+            spark.sparkContext.setJobDescription(
+                f"multimodal_dedup_clusters: {modality} pair graph"
+            )
+            df.count()
+
+    lanes = [(("text", text),), (("image", image), ("audio", audio))]
+    with ThreadPoolExecutor(max_workers=len(lanes)) as pool:
+        list(pool.map(_lane, lanes))
     return cluster_union_pair_graphs(
-        _documents(spark, sf_dir),
-        [
-            q_doc_minhash_lsh_dedup(spark, sf_dir),
-            q_image_neardup(spark, sf_dir),
-            q_audio_neardup(spark, sf_dir),
-        ],
+        _documents(spark, sf_dir), [text, image, audio]
     )
 
 

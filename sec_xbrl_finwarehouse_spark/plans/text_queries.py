@@ -1237,7 +1237,9 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 
 # ---- keep-best-per-cluster (dedup decision x quality signal) ---------------
 
-def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_dedup_keep_best(
+    spark: SparkSession, sf_dir: str, quality: DataFrame | None = None
+) -> DataFrame:
     """The actual dedup DECISION a training pipeline ships: within each
     near-dup cluster keep the highest-quality member (longest token
     count, doc_id as the tie-break), not the arbitrary min-id one.
@@ -1248,9 +1250,39 @@ def q_doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny (2-5 docs), so the window sees bounded groups no matter how
     large the corpus, and singleton docs (the overwhelming majority)
     pass through with keep=true. One extra shuffle on cluster_rep over
-    the cluster-member subset only."""
-    clusters = q_doc_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_rep")
-    quality = q_doc_quality(spark, sf_dir).select("doc_id", "n_tokens")
+    the cluster-member subset only.
+
+    ``quality`` lets a composing query (doc_corpus_build) inject an
+    already-persisted quality frame so the corpus is not re-tokenized
+    here. When absent, the quality pass is persisted and materialized
+    from a side thread WHILE the cluster chain's Hash-Min actions run
+    on the main thread (guide §2.6 -- the CC loop's driver-blocking
+    rounds otherwise leave the cores idle for exactly the time the
+    quality tokenize pass needs)."""
+    if quality is None:
+        quality = _persist_hot(
+            q_doc_quality(spark, sf_dir).select("doc_id", "n_tokens")
+        )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+
+            def _materialize() -> None:
+                spark.sparkContext.setJobDescription(
+                    "doc_dedup_keep_best: quality pass"
+                )
+                quality.count()
+
+            fut = pool.submit(_materialize)
+            clusters = q_doc_dedup_clusters(spark, sf_dir).select(
+                "doc_id", "cluster_rep"
+            )
+            fut.result()
+    else:
+        quality = quality.select("doc_id", "n_tokens")
+        clusters = q_doc_dedup_clusters(spark, sf_dir).select(
+            "doc_id", "cluster_rep"
+        )
     j = clusters.join(quality, "doc_id")
     w = Window.partitionBy("cluster_rep").orderBy(
         F.col("n_tokens").desc(), F.col("doc_id").asc()
@@ -1622,12 +1654,29 @@ def q_doc_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     constituents are the dedup pipeline (LSH-bounded) and the component
     labeling (pair-graph-sized). At 100 TB each constituent would be a
     materialized mart and this becomes a co-partitioned mart join."""
-    quality = q_doc_quality(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("quality_keep")
+    # r12 OPTIMIZATION: ONE quality pass. The previous composition ran
+    # q_doc_quality twice (once for the keep flag here, once inside
+    # keep_best for n_tokens) -- two full tokenize passes over the
+    # corpus (guide §1.2: don't compute things twice). The shared frame
+    # is persisted and materialized from a side thread while the dedup
+    # chain's Hash-Min actions block the main thread (guide §2.6).
+    shared_q = _persist_hot(
+        q_doc_quality(spark, sf_dir).select("doc_id", "n_tokens", "keep")
     )
-    dedup = q_doc_dedup_keep_best(spark, sf_dir).select(
-        "doc_id", "cluster_rep", "n_tokens", F.col("keep").alias("dedup_keep")
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+
+        def _materialize() -> None:
+            spark.sparkContext.setJobDescription("doc_corpus_build: quality pass")
+            shared_q.count()
+
+        fut = pool.submit(_materialize)
+        dedup = q_doc_dedup_keep_best(spark, sf_dir, quality=shared_q).select(
+            "doc_id", "cluster_rep", "n_tokens", F.col("keep").alias("dedup_keep")
+        )
+        fut.result()
+    quality = shared_q.select("doc_id", F.col("keep").alias("quality_keep"))
     lang = q_doc_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
     split = q_doc_train_test_split(spark, sf_dir)
     return (
