@@ -191,7 +191,15 @@ def text_audiofp_column(text_col):
                 out[i] = int(h)
         return pd.Series(pd.array(out, dtype="Int64"))
 
-    return _afp(text_col)
+    # guide §4.4: the callers filter on ``afp IS NOT NULL``; pushing
+    # that filter below the scan-parallelizing exchange substitutes the
+    # UDF into the pushed predicate, so every clip paid the decode+DCT
+    # kernel TWICE (observed: two ArrowEvalPython nodes in the
+    # audio_neardup cache build, one below the pushed filter whose
+    # fingerprint is discarded). Non-deterministic forbids the
+    # duplication; the fingerprint itself is a pure function, the marker
+    # only pins WHERE it is evaluated.
+    return _afp.asNondeterministic()(text_col)
 
 
 def audio_fingerprint_features(media: DataFrame) -> DataFrame:

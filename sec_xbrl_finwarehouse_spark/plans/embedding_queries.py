@@ -461,7 +461,14 @@ def _lsh_buckets_udf(lsh_bits: int = LSH_BITS):
             out.append(ids.tolist())
         return pd.Series(out)
 
-    return buckets
+    # guide §4.4: callers filter on the bucket array (size > 0 /
+    # isnotnull); the optimizer pushed those filters below the
+    # scan-parallelizing exchange by SUBSTITUTING the UDF into the
+    # predicate, so every embedding paid the bucket GEMM twice (two
+    # ArrowEvalPython nodes in the pre-fix emb_lsh_ann_topk plan, the
+    # lower one's buckets discarded). The function is pure; the marker
+    # only forbids duplicating/reordering its evaluation.
+    return buckets.asNondeterministic()
 
 
 def q_emb_lsh_ann_topk(
@@ -1647,6 +1654,15 @@ def q_emb_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(KMEANS_ITERS - 1):
         c_prev = rebuild_centroids(assign(c_prev))
+    # The final assignment feeds BOTH the last centroid rebuild and the
+    # member counts; ReuseExchange cannot dedupe the two subtrees (the
+    # assignment ends in a projection). Persisting it was measured at
+    # sf0.1 (interleaved A/B, 32 and 8 cores): the cache barrier + write
+    # cost MORE than letting the two chains run concurrently (2.15 s ->
+    # 2.47 s at 32c, 1.57 s -> 1.63 s at 8c), so it stays unpersisted
+    # here. At real scale the duplicated GEMM pass dominates instead:
+    # set spark.finwarehouse.hotSetStorageLevel and wrap with
+    # _persist_hot there (one-line change, see OPTIMIZATION_r12.md).
     a_last = assign(c_prev)
     c_last = rebuild_centroids(a_last)
     counts = a_last.groupBy("cid").agg(F.count("*").alias("n_members"))
@@ -2569,6 +2585,15 @@ def _recall_vs_exact(
     # the kwarg is passed only when sampling, so rankers without the
     # flag (IVF/IVFPQ recall paths) keep working unsampled
     kw = {"sample_queries": True} if sampled else {}
+    # The exact ranking feeds BOTH the hit join and the query-id spine
+    # below; ReuseExchange cannot dedupe the subtree (parent exchanges
+    # differ: join key vs distinct key), so the brute-force pass
+    # evaluates twice. Persisting it was measured at sf0.1 (interleaved
+    # A/B, 32 and 8 cores): the cache barrier cost as much as or more
+    # than the concurrent duplicate chains (ivf_recall 1.92 s -> 2.16 s
+    # at 32c), so it stays unpersisted here; at real scale the exact
+    # O(n*q) pass dominates and _persist_hot should wrap this select
+    # (see OPTIMIZATION_r12.md).
     exact = q_emb_ann_topk(spark, sf_dir, **kw).select(
         "query_id", "neighbor_id"
     )
