@@ -249,10 +249,27 @@ def q_company_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ratios_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GET /ratios/{ticker} analog (api.py:21-43): lookup + keyed history."""
+    """GET /ratios/{ticker} analog (api.py:21-43): lookup + keyed history.
+
+    r12 OPTIMIZATION (guide §3.4): the point lookup used to compute the
+    FULL statements+ratios chain (explode + pivot over every company)
+    and only then inner-join the one-ticker cik set. The same cik set
+    now pre-filters the facts with a broadcast semi-join BEFORE the
+    build, so the explode/pivot/aggregate chain runs over one company's
+    facts instead of all of them. Identical rows: the final inner join
+    in :func:`company_ratios` would drop every other cik anyway, and
+    the build groups by (cik, fiscal_year) so per-cik results are
+    independent.
+    """
+    from ..session import default_parallelism
+
     companies = star_companies(_read(spark, sf_dir, "supplier"))
-    return company_ratios(companies, q_ratios_annual(spark, sf_dir),
-                          PROFILE_TICKER, limit=10)
+    cik = companies.filter(F.col("ticker") == PROFILE_TICKER.upper()).select("cik")
+    facts = synthetic_facts(
+        _read(spark, sf_dir, "lineitem"), entity_partitions=default_parallelism()
+    ).join(F.broadcast(cik), "cik", "semi")
+    ratios = compute_ratios(build_statements(facts, version="v3"))
+    return company_ratios(companies, ratios, PROFILE_TICKER, limit=10)
 
 
 # tag subset feeding the screener's output/filter columns (roe,
