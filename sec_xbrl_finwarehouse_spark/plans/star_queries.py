@@ -251,7 +251,7 @@ def q_company_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ratios_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /ratios/{ticker} analog (api.py:21-43): lookup + keyed history.
 
-    r12 OPTIMIZATION (guide §3.4): the point lookup used to compute the
+    r12 OPTIMIZATION (guide §3.2): the point lookup used to compute the
     FULL statements+ratios chain (explode + pivot over every company)
     and only then inner-join the one-ticker cik set. The same cik set
     now pre-filters the facts with a broadcast semi-join BEFORE the
