@@ -38,10 +38,33 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import parallelize_scan, table_path
-from .text_queries import _persist_hot
+from .text_queries import _persist_hot, _source_bytes
 
 N_QUERIES = 10        # vec_id < N_QUERIES are the query set
 TOPK = 5
+
+# Size gate for "persist an intermediate that has two plan references
+# ReuseExchange cannot dedupe" (kmeans final assignment, the recall
+# audits' exact pass). Below this embeddings-table size the duplicated
+# chains run concurrently in otherwise-idle cores and the persist's
+# serial cache barrier measured SLOWER (interleaved A/B at sf0.1, 32
+# and 8 cores: kmeans 2.15 s -> 2.47 s / 1.57 s -> 1.63 s, ivf_recall
+# 1.92 s -> 2.16 s / 1.49 s -> 1.66 s); above it the duplicated
+# brute-force/GEMM pass is the dominant cost and recomputing it loses.
+# Same local-metadata gate idiom as decontaminate's broadcast ceiling.
+DUAL_REF_PERSIST_MIN_BYTES = 256 << 20
+
+
+def _persist_if_large(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Persist ``df`` only when the embeddings table is large enough
+    that re-evaluating a dual-referenced subtree over it dominates the
+    cache barrier (or when the size is unknowable, e.g. a remote URI --
+    the production case, where recomputation is always the bigger
+    risk)."""
+    n = _source_bytes(table_path(sf_dir, "embeddings"))
+    if 0 <= n < DUAL_REF_PERSIST_MIN_BYTES:
+        return df
+    return _persist_hot(df)
 
 # deterministic engine-portable query sample for the at-scale recall
 # monitor: first md5 hex of the query_id's decimal string in 0..7
@@ -1656,14 +1679,12 @@ def q_emb_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         c_prev = rebuild_centroids(assign(c_prev))
     # The final assignment feeds BOTH the last centroid rebuild and the
     # member counts; ReuseExchange cannot dedupe the two subtrees (the
-    # assignment ends in a projection). Persisting it was measured at
-    # sf0.1 (interleaved A/B, 32 and 8 cores): the cache barrier + write
-    # cost MORE than letting the two chains run concurrently (2.15 s ->
-    # 2.47 s at 32c, 1.57 s -> 1.63 s at 8c), so it stays unpersisted
-    # here. At real scale the duplicated GEMM pass dominates instead:
-    # set spark.finwarehouse.hotSetStorageLevel and wrap with
-    # _persist_hot there (one-line change, see OPTIMIZATION_r12.md).
-    a_last = assign(c_prev)
+    # assignment ends in a projection), so it re-evaluates once per
+    # consumer. Persisting it unconditionally measured SLOWER at sf0.1
+    # (see DUAL_REF_PERSIST_MIN_BYTES), so the persist engages only
+    # when the corpus is big enough that the duplicated assignment GEMM
+    # dominates. (vec_id, cid) rows only when it does engage.
+    a_last = _persist_if_large(assign(c_prev), sf_dir)
     c_last = rebuild_centroids(a_last)
     counts = a_last.groupBy("cid").agg(F.count("*").alias("n_members"))
     shift = F.round(
@@ -2588,14 +2609,13 @@ def _recall_vs_exact(
     # The exact ranking feeds BOTH the hit join and the query-id spine
     # below; ReuseExchange cannot dedupe the subtree (parent exchanges
     # differ: join key vs distinct key), so the brute-force pass
-    # evaluates twice. Persisting it was measured at sf0.1 (interleaved
-    # A/B, 32 and 8 cores): the cache barrier cost as much as or more
-    # than the concurrent duplicate chains (ivf_recall 1.92 s -> 2.16 s
-    # at 32c), so it stays unpersisted here; at real scale the exact
-    # O(n*q) pass dominates and _persist_hot should wrap this select
-    # (see OPTIMIZATION_r12.md).
-    exact = q_emb_ann_topk(spark, sf_dir, **kw).select(
-        "query_id", "neighbor_id"
+    # evaluates twice. Persisting it unconditionally measured SLOWER at
+    # sf0.1 (see DUAL_REF_PERSIST_MIN_BYTES), so the persist engages
+    # only when the corpus is big enough that the exact O(n*q) pass
+    # dominates. TOPK x query-count rows only when it does engage.
+    exact = _persist_if_large(
+        q_emb_ann_topk(spark, sf_dir, **kw).select("query_id", "neighbor_id"),
+        sf_dir,
     )
     approx = approx_fn(spark, sf_dir, **kw).select(
         "query_id", "neighbor_id"

@@ -420,3 +420,29 @@ def test_sampled_recall_is_scan_level_and_subset_consistent(spark):
     for i in md5_at:
         assert "Relation" in lines[i + 1] and "parquet" in lines[i + 1], \
             lines[i:i + 2]
+
+
+def test_dual_ref_persist_gate(spark, tmp_path, monkeypatch):
+    """r12: the dual-reference persist (kmeans final assignment, recall
+    exact pass) engages only above the embeddings-size gate -- below it
+    the duplicated chains are cheaper than the cache barrier (measured,
+    see DUAL_REF_PERSIST_MIN_BYTES) -- and ALWAYS when the source size
+    is unknowable (remote URI at production scale)."""
+    from pyspark import StorageLevel
+
+    df = spark.range(3)
+
+    # small local table -> no persist
+    small = eq._persist_if_large(df, "/root/testdata/sf0.001")
+    assert small.storageLevel == StorageLevel.NONE
+
+    # unknown source (no such local path) -> persist
+    unknown = eq._persist_if_large(spark.range(3), str(tmp_path / "nope"))
+    assert unknown.storageLevel != StorageLevel.NONE
+    unknown.unpersist()
+
+    # large local table -> persist (gate lowered instead of writing GBs)
+    monkeypatch.setattr(eq, "DUAL_REF_PERSIST_MIN_BYTES", 1)
+    big = eq._persist_if_large(spark.range(3), "/root/testdata/sf0.001")
+    assert big.storageLevel != StorageLevel.NONE
+    big.unpersist()
