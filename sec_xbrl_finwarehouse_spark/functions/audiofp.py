@@ -158,10 +158,17 @@ def text_pcm_np(text: str) -> np.ndarray:
     feed :func:`_grid255_from_int_pcm` directly -- no fake float/int16
     round-trip that could diverge from the SQL oracle's integer
     arithmetic."""
-    if not text:
+    from .phash import codes255_np
+
+    return pcm_from_codes_np(codes255_np(text))
+
+
+def pcm_from_codes_np(codes: np.ndarray) -> np.ndarray:
+    """:func:`text_pcm_np` over pre-computed
+    :func:`..functions.phash.codes255_np` codes (the fused cross-modal
+    kernel's entry point). Same integer-mean centering."""
+    if len(codes) == 0:
         return np.zeros(0, dtype=np.int64)
-    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-    codes = np.minimum(cp, 255).astype(np.int64)
     return codes - int(codes.sum()) // len(codes)
 
 
@@ -200,6 +207,62 @@ def text_audiofp_column(text_col):
     # duplication; the fingerprint itself is a pure function, the marker
     # only pins WHERE it is evaluated.
     return _afp.asNondeterministic()(text_col)
+
+
+def text_phash_afp_column(text_col):
+    """BOTH deterministic perceptual hashes -- the image pHash and the
+    audio fingerprint -- from ONE Arrow pass over the text column, as a
+    ``struct<phash, afp>`` (r12, guide §4: the Python boundary is paid
+    per kernel invocation; the cross-modal dedup query ran the image
+    kernel and the audio kernel as two separate ArrowEvalPython passes,
+    each shipping the full text column JVM->Python and each re-encoding
+    every string to codepoints). One pass ships the text once, encodes
+    once (:func:`..functions.phash.codes255_np` -- the shared first
+    step of both syntheses), and hashes BOTH grid stacks in one batched
+    einsum (:func:`..functions.phash.phash64_batch` rows are
+    independent, so the combined call is bit-identical to two calls --
+    asserted in tests/test_crossmodal.py).
+
+    Only the cross-modal query uses this: the single-modality queries
+    keep their single-hash kernels (computing the other modality's hash
+    there would be pure waste). Non-deterministic for the same §4.4
+    reason as :func:`text_audiofp_column` (pin single evaluation; the
+    function is pure)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .phash import codes255_np, raster32_from_codes
+
+    @pandas_udf("struct<phash: long, afp: long>")
+    def _fused(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        rasters: list[np.ndarray] = []
+        agrids: list[np.ndarray] = []
+        aidx: list[int] = []
+        for i, t in enumerate(texts):
+            codes = codes255_np(t or "")
+            rasters.append(raster32_from_codes(codes))
+            g = _grid255_from_int_pcm(pcm_from_codes_np(codes))
+            if g is not None:
+                agrids.append(g)
+                aidx.append(i)
+        if n == 0:
+            return pd.DataFrame({
+                "phash": pd.array([], dtype="Int64"),
+                "afp": pd.array([], dtype="Int64"),
+            })
+        grids = np.stack(rasters).reshape(-1, PHASH_N, PHASH_N)
+        if agrids:
+            grids = np.concatenate([grids, np.stack(agrids)])
+        hashes = phash64_batch(grids)
+        afp: list[int | None] = [None] * n
+        for i, h in zip(aidx, hashes[n:]):
+            afp[i] = int(h)
+        return pd.DataFrame({
+            "phash": pd.Series(hashes[:n]),
+            "afp": pd.array(afp, dtype="Int64"),
+        })
+
+    return _fused.asNondeterministic()(text_col)
 
 
 def audio_fingerprint_features(media: DataFrame) -> DataFrame:

@@ -100,6 +100,19 @@ def phash64_np(pixels) -> int:
                                                         PHASH_N))[0])
 
 
+def codes255_np(text: str) -> np.ndarray:
+    """Clamped character codes of a text -- the shared first step of
+    BOTH deterministic media syntheses (the image raster below and the
+    audio PCM in :mod:`.audiofp`): one int64 per character, the
+    codepoint clamped to 255. Factored out so the cross-modal fused
+    kernel (:func:`..functions.audiofp.text_phash_afp_column`) encodes
+    each text exactly once."""
+    if not text:
+        return np.zeros(0, dtype=np.int64)
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    return np.minimum(cp, 255).astype(np.int64)
+
+
 def raster32_np(text: str) -> np.ndarray:
     """Deterministic 32x32 grayscale raster of a text: pixel p
     (0-based, row-major) is the integer mean of the character
@@ -121,10 +134,15 @@ def raster32_np(text: str) -> np.ndarray:
     that are substitutions. Bit-identical to the SQL-oracle spelling
     in plans/image_queries.py: clamp-255, >> shifts, floor-div mean,
     all integers."""
-    if not text:
+    return raster32_from_codes(codes255_np(text))
+
+
+def raster32_from_codes(codes: np.ndarray) -> np.ndarray:
+    """:func:`raster32_np` over pre-computed :func:`codes255_np` codes
+    (the fused cross-modal kernel's entry point). Same arithmetic,
+    same all-zero raster for the empty text."""
+    if len(codes) == 0:
         return np.zeros(RASTER_PX, dtype=np.int64)
-    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-    codes = np.minimum(cp, 255).astype(np.int64)
     length = np.int64(len(codes))
     anchor = (np.arange(RASTER_PX, dtype=np.int64) * length) >> 10
     w = max(np.int64(1), length >> 6)

@@ -46,6 +46,7 @@ from .image_queries import (
     IMG_BANDS,
     IMG_HAM_MAX,
     PHASH_N,
+    banded_hamming_pairs,
     phash_tail_ctes,
 )
 from .text_queries import _documents, _persist_hot
@@ -84,36 +85,11 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the pair distinct (survivor-sized shuffle). Lossless by
     pigeonhole; NULL fingerprints (too-short clips) never band."""
     # persisted: both self-join sides + the guide §4.4 pushdown
-    # duplication of the Arrow fingerprint kernel (see the image twin)
+    # duplication of the Arrow fingerprint kernel (see the image twin).
+    # The banded join is the image family's banded_hamming_pairs (this
+    # module's banding constants alias its by design).
     sh = _persist_hot(_doc_afps(spark, sf_dir).filter(F.col("afp").isNotNull()))
-    banded = sh.select(
-        "doc_id", "afp",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("afp"), b * AUDIO_BAND_BITS)
-                 .bitwiseAND(F.lit((1 << AUDIO_BAND_BITS) - 1))
-                 .alias("key"),
-            )
-            for b in range(AUDIO_BANDS)
-        ])).alias("bk"),
-    ).select("doc_id", "afp", F.col("bk.band").alias("band"),
-             F.col("bk.key").alias("key"))
-    left = banded.select(F.col("doc_id").alias("d1"),
-                         F.col("afp").alias("p1"), "band", "key")
-    right = banded.select(F.col("doc_id").alias("d2"),
-                          F.col("afp").alias("p2"), "band", "key")
-    return (
-        left.join(right, ["band", "key"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select(
-            "d1", "d2",
-            F.bit_count(F.col("p1").bitwiseXOR(F.col("p2")))
-             .cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= AUDIO_HAM_MAX)
-        .dropDuplicates(["d1", "d2"])
-    )
+    return banded_hamming_pairs(sh, "afp")
 
 
 def q_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

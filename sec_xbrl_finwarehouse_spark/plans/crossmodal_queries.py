@@ -28,14 +28,16 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.audiofp import text_phash_afp_column
 from ..operators.connected_components import hash_min_components
-from .audio_queries import AUDIO_NEARDUP_SQL, q_audio_neardup
+from .audio_queries import AUDIO_NEARDUP_SQL
 from .image_queries import ORACLES as _IMG_ORACLES
-from .image_queries import q_image_neardup
+from .image_queries import banded_hamming_pairs
 from .text_queries import (
     CC_MAX_ITERS,
     DOC_JACCARD_PAIRS_SQL,
     _documents,
+    _persist_hot,
     q_doc_minhash_lsh_dedup,
 )
 
@@ -81,18 +83,49 @@ def q_multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     each pipeline's straggler tail (and its driver-side planning) left
     the cluster idle before the next one started. The pair graphs are
     persisted and materialized in TWO driver lanes: the text pipeline
-    (pure JVM codegen) in one, the image-then-audio pipelines (Arrow
-    Python kernels) serialized in the other -- overlapping the two
-    Python-kernel pipelines with EACH OTHER was measured slower (two
+    (pure JVM codegen) in one, the image-then-audio pipelines (one
+    Arrow Python kernel, see below) in the other -- overlapping two
+    Python-kernel stages with EACH OTHER was measured slower (two
     concurrent 32-task Arrow stages spawn ~2x the Python workers and
     thrash the decode kernels' CPU/memory), while JVM work overlaps
     Python-worker work on disjoint resources. The CC edge count then
     reads the cached pair sets. Same union, same rows (scheduling
     only); on a cluster the same two-lane overlap backfills executors
-    (guide §2.6)."""
+    (guide §2.6).
+
+    r12 OPTIMIZATION (guide §4, the Python boundary): both perceptual
+    hashes come from ONE fused Arrow kernel pass
+    (functions/audiofp.text_phash_afp_column) over ONE documents scan,
+    instead of the image and audio kernels each scanning the corpus and
+    shipping the full text column JVM->Python separately -- the
+    serialized Arrow lane was this query's critical path. The fused
+    (doc_id, phash, afp) table is persisted (24 bytes/doc) and feeds
+    both banded Hamming joins (image_queries.banded_hamming_pairs --
+    the identical join both single-modality queries run). Hash values
+    are bit-identical to the single-modality kernels (shared numpy
+    functions, combined einsum batch is row-independent -- asserted in
+    tests), so the pair graphs and clusters are unchanged."""
+    fused = _persist_hot(
+        _documents(spark, sf_dir)
+        .select(
+            "doc_id",
+            text_phash_afp_column(
+                F.coalesce(F.col("text"), F.lit(""))
+            ).alias("f"),
+        )
+        .select(
+            "doc_id",
+            F.col("f.phash").alias("phash"),
+            F.col("f.afp").alias("afp"),
+        )
+    )
     text = q_doc_minhash_lsh_dedup(spark, sf_dir).select("d1", "d2").persist()
-    image = q_image_neardup(spark, sf_dir).select("d1", "d2").persist()
-    audio = q_audio_neardup(spark, sf_dir).select("d1", "d2").persist()
+    image = banded_hamming_pairs(
+        fused.select("doc_id", "phash"), "phash"
+    ).select("d1", "d2").persist()
+    audio = banded_hamming_pairs(
+        fused.filter(F.col("afp").isNotNull()).select("doc_id", "afp"), "afp"
+    ).select("d1", "d2").persist()
 
     def _lane(lane: tuple[tuple[str, DataFrame], ...]) -> None:
         for modality, df in lane:

@@ -82,35 +82,32 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc_phashes(spark, sf_dir)
 
 
-def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by pHash Hamming distance, banded for scale:
-    (band, 9-bit key) equi-join candidates, exact ``bit_count(xor) <=
-    {IMG_HAM_MAX}`` verification, Hamming filter BEFORE the pair
-    distinct (survivor-sized shuffle -- the ordering measured on the
-    SimHash twin). Lossless by pigeonhole: <= 6 differing bits cannot
-    touch all 7 bands."""
-    # persisted: the hash table feeds both self-join sides, and the
-    # isnotnull(key) pushdown additionally DUPLICATED the Arrow pHash
-    # kernel below the pushed filter on each side (guide §4.4 -- the
-    # before-plan shows 2 ArrowEvalPython per side, 4 kernel passes
-    # total); one persist makes it 1 pass. 16 bytes/doc.
-    sh = _persist_hot(_doc_phashes(spark, sf_dir))
+def banded_hamming_pairs(sh: DataFrame, hcol: str) -> DataFrame:
+    """(doc_id, ``hcol`` 63-bit hash) table -> verified near-dup pairs
+    (d1, d2, hamming): (band, 9-bit key) equi-join candidates, exact
+    ``bit_count(xor) <= {IMG_HAM_MAX}`` verification, Hamming filter
+    BEFORE the pair distinct (survivor-sized shuffle -- the ordering
+    measured on the SimHash twin). Lossless by pigeonhole: <= 6
+    differing bits cannot touch all 7 bands. The caller persists ``sh``
+    (it feeds both self-join sides). ONE spelling of the banded join
+    shared by the image, audio, and cross-modal queries (the audio
+    family's banding constants alias these by design)."""
     banded = sh.select(
-        "doc_id", "phash",
+        "doc_id", hcol,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("phash"), b * IMG_BAND_BITS)
+                F.shiftright(F.col(hcol), b * IMG_BAND_BITS)
                  .bitwiseAND(F.lit((1 << IMG_BAND_BITS) - 1)).alias("key"),
             )
             for b in range(IMG_BANDS)
         ])).alias("bk"),
-    ).select("doc_id", "phash", F.col("bk.band").alias("band"),
+    ).select("doc_id", hcol, F.col("bk.band").alias("band"),
              F.col("bk.key").alias("key"))
     left = banded.select(F.col("doc_id").alias("d1"),
-                         F.col("phash").alias("p1"), "band", "key")
+                         F.col(hcol).alias("p1"), "band", "key")
     right = banded.select(F.col("doc_id").alias("d2"),
-                          F.col("phash").alias("p2"), "band", "key")
+                          F.col(hcol).alias("p2"), "band", "key")
     return (
         left.join(right, ["band", "key"])
         .filter(F.col("d1") < F.col("d2"))
@@ -122,6 +119,18 @@ def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= IMG_HAM_MAX)
         .dropDuplicates(["d1", "d2"])
     )
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by pHash Hamming distance, banded for scale --
+    see :func:`banded_hamming_pairs` for the join shape."""
+    # persisted: the hash table feeds both self-join sides, and the
+    # isnotnull(key) pushdown additionally DUPLICATED the Arrow pHash
+    # kernel below the pushed filter on each side (guide §4.4 -- the
+    # before-plan shows 2 ArrowEvalPython per side, 4 kernel passes
+    # total); one persist makes it 1 pass. 16 bytes/doc.
+    sh = _persist_hot(_doc_phashes(spark, sf_dir))
+    return banded_hamming_pairs(sh, "phash")
 
 
 # ---- DuckDB oracles --------------------------------------------------------

@@ -48,6 +48,52 @@ def test_duplicate_edges_across_modalities_collapse(spark):
     assert got == {1: 1, 2: 1, 3: 3, 4: 3}
 
 
+def test_fused_kernel_matches_single_modality_kernels(spark):
+    """The fused struct<phash, afp> kernel (one Arrow pass, one
+    combined einsum batch -- the r12 cross-modal optimization) must be
+    bit-identical to the image and audio kernels run separately, on
+    every edge class: empty text, sub-frame text (afp NULL), exactly
+    one frame, multi-frame, and non-ASCII codepoints (clamp-255)."""
+    from pyspark.sql import functions as F
+
+    from sec_xbrl_finwarehouse_spark.functions.audiofp import (
+        text_audiofp_column,
+        text_phash_afp_column,
+    )
+    from sec_xbrl_finwarehouse_spark.functions.phash import text_phash_column
+
+    texts = [
+        "",
+        "short",
+        "x" * 255,            # one char under a frame -> afp NULL
+        "y" * 256,            # exactly one frame
+        ("lorem ipsum dolor sit amet " * 40)[:1000],
+        "café ☃ \U0001f600 " * 60,  # clamped codepoints
+        None,                  # NULL text (coalesced to '')
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    coalesced = F.coalesce(F.col("text"), F.lit(""))
+    got = (
+        df.select(
+            "doc_id",
+            text_phash_afp_column(coalesced).alias("f"),
+            text_phash_column(coalesced).alias("phash1"),
+            text_audiofp_column(coalesced).alias("afp1"),
+        )
+        .select("doc_id", "f.phash", "f.afp", "phash1", "afp1")
+        .collect()
+    )
+    assert len(got) == len(texts)
+    for r in got:
+        assert r.phash == r.phash1, r
+        assert r.afp == r.afp1, r
+    # the sub-frame rows really exercise the NULL branch
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[0].afp is None and by_id[2].afp is None
+    assert by_id[3].afp is not None
+
+
 def test_multimodal_clusters_refine_each_modality(spark):
     """End-to-end at sf0.001: every per-modality cluster is contained
     in the cross-modal cluster of its members (union can only merge,
