@@ -45,6 +45,19 @@ CC_MAX_ITERS = 20
 # iteration this cheap).
 EDGES_PER_PARTITION = 1_000_000
 
+# r12 (guide §3.1): every caller LEFT-joins the corpus-sized entity
+# table against the labels this operator returns, and labels cover only
+# pair-graph NODES (<= 2 x edges) -- orders of magnitude smaller than
+# the corpus. Catalyst cannot estimate a localCheckpoint's size, so it
+# planned that join sort-merge: TWO exchanges + sorts of the corpus
+# side per cluster query. The operator knows the edge count (it already
+# counts edges to size the iteration width), so it hints broadcast when
+# the label set is provably small; above the gate (~2 x 4M x 16-byte
+# rows ~ 128 MB framed, comfortably under the 8 GB / 512M-row broadcast
+# cap but large enough that shipping it everywhere stops paying) the
+# sort-merge plan is the right one and the hint is omitted.
+BROADCAST_LABELS_MAX_EDGES = 4_000_000
+
 
 def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
     """(a, b) undirected edge pairs -> (node_id, rep) component labels.
@@ -138,4 +151,8 @@ def hash_min_components(pairs: DataFrame, max_iters: int = CC_MAX_ITERS) -> Data
         if not n_changed:
             break
     edges_raw.unpersist()
+    # same rows either way; the hint only picks the join strategy for
+    # the caller's corpus LEFT JOIN labels (see BROADCAST_LABELS_MAX_EDGES)
+    if n_edges <= BROADCAST_LABELS_MAX_EDGES:
+        return F.broadcast(labels)
     return labels

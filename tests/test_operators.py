@@ -92,3 +92,37 @@ def test_insert_if_absent_idempotent(spark):
 def test_natural_key_dedup_reingest_noop(spark):
     df = spark.createDataFrame([("A", 1.0), ("A", 1.0), ("B", 2.0)], "k string, v double")
     assert natural_key_dedup(df, ["k", "v"]).count() == 2
+
+
+def test_hash_min_components_broadcast_gate(spark, monkeypatch):
+    """r12: hash_min_components hints broadcast on its returned labels
+    when the measured edge count is under BROADCAST_LABELS_MAX_EDGES,
+    so the callers' corpus LEFT JOIN labels plans a broadcast join
+    instead of sort-merging the corpus side. The labels themselves must
+    be identical with and without the hint (the hint only picks the
+    join strategy), and the small-graph join must actually plan
+    broadcast."""
+    from sec_xbrl_finwarehouse_spark.operators import connected_components as cc
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    entities = spark.createDataFrame([(i,) for i in range(1, 13)],
+                                     "node_id long")
+
+    def labels_map():
+        labels = cc.hash_min_components(pairs)
+        joined = entities.join(labels, "node_id", "left")
+        return labels, {r.node_id: r.rep for r in joined.collect()}
+
+    labels_hinted, got = labels_map()
+    expect = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert {k: v for k, v in got.items() if v is not None} == expect
+    plan = entities.join(labels_hinted, "node_id", "left")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    # above the gate: same labels, no hint forced
+    monkeypatch.setattr(cc, "BROADCAST_LABELS_MAX_EDGES", -1)
+    _, got_unhinted = labels_map()
+    assert got_unhinted == got
