@@ -47,15 +47,19 @@ EDGES_PER_PARTITION = 1_000_000
 
 # r12 (guide §3.1): every caller LEFT-joins the corpus-sized entity
 # table against the labels this operator returns, and labels cover only
-# pair-graph NODES (<= 2 x edges) -- orders of magnitude smaller than
-# the corpus. Catalyst cannot estimate a localCheckpoint's size, so it
-# planned that join sort-merge: TWO exchanges + sorts of the corpus
-# side per cluster query. The operator knows the edge count (it already
-# counts edges to size the iteration width), so it hints broadcast when
-# the label set is provably small; above the gate (~2 x 4M x 16-byte
-# rows ~ 128 MB framed, comfortably under the 8 GB / 512M-row broadcast
-# cap but large enough that shipping it everywhere stops paying) the
-# sort-merge plan is the right one and the hint is omitted.
+# pair-graph NODES -- orders of magnitude smaller than the corpus.
+# Catalyst cannot estimate a localCheckpoint's size, so it planned that
+# join sort-merge: TWO exchanges + sorts of the corpus side per cluster
+# query. The operator knows the edge count (it already counts edges to
+# size the iteration width), so it hints broadcast when the label set
+# is provably small. Semantics of the gate (ADVICE r12): ``n_edges``
+# is the DIRECTED count (the explode in hash_min_components emits both
+# directions, so n_edges = 2 x input pairs), and every label row is a
+# distinct ``src`` of some directed edge, so labels <= n_edges rows.
+# At the 4M gate that bounds the broadcast at ~4M x 16-byte rows
+# ~ 64 MB framed -- comfortably under the 8 GB / 512M-row broadcast cap
+# but large enough that shipping it everywhere stops paying. Above the
+# gate the sort-merge plan is the right one and the hint is omitted.
 BROADCAST_LABELS_MAX_EDGES = 4_000_000
 
 

@@ -60,7 +60,9 @@ FP_FOLD = FP_FRAME // PHASH_N  # 8: consecutive samples per envelope bin
 
 
 def _doc_afps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _documents(spark, sf_dir)
+    # kernel=True: row-aware split width so the fingerprint Arrow
+    # kernel gets full batches, not 32 near-empty ones (guide §4.2, r13)
+    d = _documents(spark, sf_dir, kernel=True)
     return d.select(
         "doc_id",
         text_audiofp_column(F.coalesce(F.col("text"), F.lit(""))).alias(
@@ -81,7 +83,7 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clip pairs by fingerprint Hamming distance, banded for
     scale: (band, 9-bit key) equi-join candidates, exact
-    ``bit_count(xor) <= {AUDIO_HAM_MAX}`` verification, Hamming filter
+    ``bit_count(xor) <= AUDIO_HAM_MAX`` (= 6) verification, Hamming filter
     BEFORE the pair distinct (survivor-sized shuffle). Lossless by
     pigeonhole; NULL fingerprints (too-short clips) never band."""
     # persisted: both self-join sides + the guide §4.4 pushdown

@@ -106,7 +106,9 @@ def q_multimodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions, combined einsum batch is row-independent -- asserted in
     tests), so the pair graphs and clusters are unchanged."""
     fused = _persist_hot(
-        _documents(spark, sf_dir)
+        # kernel=True: row-aware split width for the fused Arrow kernel
+        # (guide §4.2, r13; see image_queries._doc_phashes)
+        _documents(spark, sf_dir, kernel=True)
         .select(
             "doc_id",
             text_phash_afp_column(

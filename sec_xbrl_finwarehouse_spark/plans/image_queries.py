@@ -65,7 +65,9 @@ IMG_HAM_MAX = IMG_BANDS - 1  # pigeonhole-lossless banding
 
 
 def _doc_phashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _documents(spark, sf_dir)
+    # kernel=True: row-aware split width so the pHash Arrow kernel gets
+    # full batches, not 32 near-empty ones (guide §4.2, r13)
+    d = _documents(spark, sf_dir, kernel=True)
     return d.select(
         "doc_id",
         text_phash_column(F.coalesce(F.col("text"), F.lit(""))).alias(
@@ -85,7 +87,7 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def banded_hamming_pairs(sh: DataFrame, hcol: str) -> DataFrame:
     """(doc_id, ``hcol`` 63-bit hash) table -> verified near-dup pairs
     (d1, d2, hamming): (band, 9-bit key) equi-join candidates, exact
-    ``bit_count(xor) <= {IMG_HAM_MAX}`` verification, Hamming filter
+    ``bit_count(xor) <= IMG_HAM_MAX`` (= 6) verification, Hamming filter
     BEFORE the pair distinct (survivor-sized shuffle -- the ordering
     measured on the SimHash twin). Lossless by pigeonhole: <= 6
     differing bits cannot touch all 7 bands. The caller persists ``sh``

@@ -102,15 +102,34 @@ def _source_bytes(path: str) -> int:
     return total
 
 
-def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Minimum rows per split for scans feeding Arrow/pandas kernels
+# (guide §4.2): below this, the per-task Python round-trip and the
+# kernel's fixed per-batch setup (numpy allocs, einsum dispatch)
+# outweigh the extra parallelism. Chosen by A/B at sf0.1 (r13): with
+# 32-way splits of the ~5k-doc table the kernel queries ANTI-scaled
+# (slower at 32 cores than 8 -- PERF_r12); rows/512 widths were
+# flat-or-better at 32 cores and strictly better at 8. At real scale
+# rows >> cores x 512 and this is a no-op.
+KERNEL_MIN_SPLIT_ROWS = 512
+
+
+def _documents(
+    spark: SparkSession, sf_dir: str, kernel: bool = False
+) -> DataFrame:
     """Documents scan, spread across cores when the file layout is too
     small to parallelize naturally (single-row-group local test files
     scan as ONE split, serializing the tokenize/shingle CPU work that
     dominates every query here). Hash-partitioned on doc_id so the
     per-doc aggregations downstream reuse the exchange. No-op at real
-    scale -- see :func:`parallelize_scan`."""
+    scale -- see :func:`parallelize_scan`.
+
+    ``kernel=True`` for scans that feed an Arrow/pandas kernel: the
+    split width is additionally row-aware (KERNEL_MIN_SPLIT_ROWS) so
+    the kernel never receives near-empty Arrow batches (guide §4.2;
+    the r12 anti-scaling fix -- see parallelize_scan)."""
     return parallelize_scan(
-        spark.read.parquet(table_path(sf_dir, "documents")), "doc_id"
+        spark.read.parquet(table_path(sf_dir, "documents")), "doc_id",
+        min_split_rows=KERNEL_MIN_SPLIT_ROWS if kernel else None,
     )
 
 
@@ -308,7 +327,10 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretokens make the effective cost ~O(distinct pretokens)). See
     functions/bpe.py for the greedy/rank-order equivalence contract
     the DuckDB oracle relies on."""
-    d = _documents(spark, sf_dir).select("doc_id", "text")
+    # kernel=True: row-aware split width (guide §4.2, r13 -- the BPE
+    # kernel's per-task pretoken memo only pays off on full batches;
+    # 32-way splits of the small local table anti-scaled, 0.59x)
+    d = _documents(spark, sf_dir, kernel=True).select("doc_id", "text")
     return d.mapInPandas(
         bpe_encode_batches,
         "doc_id bigint, n_bpe_tokens bigint, enc_md5 string",
@@ -1024,37 +1046,48 @@ def q_doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit's error numbers speak for the production path too.
 
     Scale shape: signatures are computed ONLY for documents that
-    appear in a verified pair (broadcast semi-join on the pair-doc
-    ids), so the audit costs O(pairs x shingles-per-doc), independent
-    of corpus size; the pair set itself comes from the LSH path's
-    banded candidates, never from an all-pairs join."""
+    appear in an LSH CANDIDATE pair (broadcast semi-join on the
+    candidate-doc ids), so the audit costs O(candidates x
+    shingles-per-doc), independent of corpus size; the pair set itself
+    comes from the LSH path's banded candidates, never from an
+    all-pairs join."""
     ex = _persist_hot(_doc_shingles_exploded(spark, sf_dir))
     # same pair pipeline as q_doc_minhash_lsh_dedup, but sharing THIS
     # persisted shingle set (calling the query would re-scan + re-persist
     # its own copy; measured ~2x the whole audit)
     bands = _persist_hot(minhash_bands_of(ex))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # persisted: the candidate set feeds BOTH the exact-Jaccard verify
+    # chain and the signature doc-id semi-join below.
+    cand = _persist_hot(
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    # persisted: the verified pair set feeds BOTH the broadcast doc-id
-    # semi-join below and the final estimate join -- unpersisted, the
-    # whole candidate+verify chain (3 joins + 2 aggregations) executed
-    # twice, once for the broadcast build and once for the output plan
-    # (guide §1.2/§5: don't compute things twice; measured r12, the
-    # audit was 2.4x the LSH dedup it builds on). Pair-graph-sized.
-    pairs = _persist_hot(
+    pairs = (
         _jaccard_from_exploded(ex, cand)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("d1", "d2", "jaccard")
     )
+    # r13 OPTIMIZATION (guide §1.2/§2.6): the signature doc set is
+    # derived from the CANDIDATE pairs, not the verified pairs. Output
+    # rows are identical -- verified pairs are a subset of candidates,
+    # and the final inner joins below drop every non-pair signature --
+    # but the broadcast doc-id build no longer sits ABOVE the whole
+    # 3-join verify chain, so (a) the verify chain is referenced once
+    # (its r12 persist and the serial barrier it forced are gone) and
+    # (b) the signature aggregation runs CONCURRENTLY with the verify
+    # chain inside the one output job instead of strictly after it.
+    # Candidates that fail verification get a signature they don't
+    # need; the candidate set is pair-graph-sized by LSH design
+    # (64-band miss math in the module docstring), so the waste is
+    # bounded and the r12 scale contract (audit cost independent of
+    # corpus size) still holds.
     docs = (
-        pairs.select(F.col("d1").alias("doc_id"))
-        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        cand.select(F.col("d1").alias("doc_id"))
+        .unionByName(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
     hp = ex.join(F.broadcast(docs), "doc_id", "left_semi").select(
@@ -1071,10 +1104,12 @@ def q_doc_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"min(({a}L * sh + {b}L) % {MINHASH_PRIME}L)"
         for a, b in MINHASH_COEFFS
     )
-    sig = hp.sparkSession.sql(
+    # persisted: sig is joined twice below (d1 and d2 sides); without
+    # the persist the md5 signature aggregation evaluates once per side
+    sig = _persist_hot(hp.sparkSession.sql(
         f"SELECT doc_id, array({mins}) AS sig FROM {{hp}} GROUP BY doc_id",
         hp=hp,
-    )
+    ))
     j = (
         pairs.join(
             sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sa")),
@@ -1430,7 +1465,9 @@ def q_doc_bpe_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window per shard, no global ordering anywhere. At 100 TB the
     encode pass is embarrassingly parallel and the window shuffles
     once on the shard key."""
-    d = _documents(spark, sf_dir).select("doc_id", "text")
+    # kernel=True: row-aware split width (guide §4.2, r13; see
+    # q_doc_bpe_encode)
+    d = _documents(spark, sf_dir, kernel=True).select("doc_id", "text")
     counted = d.mapInPandas(
         bpe_count_batches, "doc_id bigint, n_tokens bigint"
     )

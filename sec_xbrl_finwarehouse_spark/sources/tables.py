@@ -41,7 +41,8 @@ def _parse_bytes(s: str) -> int:
 
 
 def parallelize_scan(
-    df: DataFrame, *keys: str, target: int | None = None
+    df: DataFrame, *keys: str, target: int | None = None,
+    min_split_rows: int | None = None,
 ) -> DataFrame:
     """Spread a SMALL file-backed scan across the cluster before
     CPU-heavy narrow work (tokenize, shingle, per-dimension array math).
@@ -60,6 +61,19 @@ def parallelize_scan(
     shuffled. When ``keys`` are given the repartition hash-partitions on
     them, so a downstream groupBy/window on the same (or a superset)
     key reuses the exchange instead of adding a second one.
+
+    ``min_split_rows`` makes the split width ROW-aware for scans that
+    feed Arrow/pandas kernels (guide §4.2: keep batch sizes large
+    enough for vectorization to pay off). Splitting a small scan into
+    ``defaultParallelism`` pieces hands each Python worker a
+    near-empty Arrow batch, so the per-task JVM->Python round-trip and
+    the kernel's fixed per-batch setup dominate -- measured ANTI-scaling
+    at sf0.1 (32 cores slower than 8: doc_bpe_encode 0.59x,
+    audio_fingerprint 0.68x, image_neardup 0.81x; PERF_r12 scaling
+    block). The row count comes from parquet footers (driver-side
+    metadata, no job); width = clamp(rows / min_split_rows, 1, target).
+    At real scale rows >> target x min_split_rows and the clamp is a
+    no-op -- this only stops the LOW end from over-splitting.
     """
     from ..session import default_parallelism
 
@@ -69,8 +83,10 @@ def parallelize_scan(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     )
     est_splits = 0
+    paths = []
     for uri in df.inputFiles():
         path = uri[len("file://"):] if uri.startswith("file://") else uri
+        paths.append(path)
         try:
             size = os.path.getsize(path)
         except OSError:
@@ -78,9 +94,24 @@ def parallelize_scan(
         est_splits += max(1, -(-size // max_pb))
         if est_splits >= target:
             return df
+    if min_split_rows and min_split_rows > 0:
+        n_rows = _footer_rows(paths)
+        if n_rows >= 0:
+            target = max(1, min(target, -(-n_rows // min_split_rows)))
     if keys:
         return df.repartition(target, *keys)
     return df.repartition(target)
+
+
+def _footer_rows(paths: list[str]) -> int:
+    """Total row count from local parquet footers; -1 when unreadable
+    (caller then keeps the byte-estimated width)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    except Exception:
+        return -1
 
 
 def load_star_tables(
